@@ -1,0 +1,5 @@
+from lucene_kmp_spark.analysis.standard import (  # noqa: F401
+    Token,
+    analyze,
+    standard_tokenize,
+)

@@ -1,0 +1,323 @@
+"""SPIMI-style distributed inverted-index build (the Lucene "write path").
+
+Dataflow (reference analog in parens — see SURVEY.md §2.2, §3.2):
+
+1. tokenize: Arrow ``mapInPandas`` over (doc_id, text) emitting one row per
+   (doc, term): ``(doc_id, term, tf, positions, norm)``
+   (``index/FreqProxTermsWriterPerField.kt:64-110`` in-RAM invert; the norm is
+   ``SmallFloat.intToByte4(postFilterTokenCount)`` per
+   ``search/similarities/Similarity.kt:134-144``)
+2. distributed per-term rank WITHOUT a per-term single reducer (hot-term skew:
+   "the" can appear in >50% of 10^12 docs):
+   a. bucket = doc_id >> BUCKET_BITS (8,192-doc buckets)
+   b. counts per (term,bucket)    — map-side-combined agg (metadata-scale)
+   c. prefix-sum per term over buckets (window over metadata rows only)
+   d. join counts back, local rank within the bounded (term,bucket) group
+   e. global rank = bucket offset + local rank; block_id = rank // 128
+   (this replaces Lucene's single-threaded term sort at flush,
+   ``index/TermsHashPerField.kt:76-78``, with a salted two-stage layout)
+3. block encode: group by (term, block_id) — groups are ≤128 postings by
+   construction, perfectly distributed — then delta+varint pack docIDs,
+   varint freqs/positions, 1 byte/doc norms (denormalized .nvd so queries
+   never join a norms table), and per-block competitive impact pairs
+   (``codecs/CompetitiveImpactAccumulator.kt:14-70``) for block-max pruning.
+   Block size 128 matches ``codecs/lucene101/ForUtil.kt:121``.
+4. term_dict: ``(term, df, ttf)`` (``codecs/lucene90/blocktree`` stats)
+5. global stats: maxDoc/docCount/sumTotalTermFreq/sumDocFreq — the one
+   global computation, broadcast at query time
+   (``search/IndexSearcher.kt:932-953``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lucene_kmp_spark.analysis import analyze
+from lucene_kmp_spark.util.packing import delta_encode, varint_encode
+from lucene_kmp_spark.util.smallfloat import int_to_byte4
+
+BLOCK_SIZE = 128          # docs per posting block (ForUtil.kt:121)
+BUCKET_BITS = 13          # 8,192-doc rank buckets for the skew-safe global rank
+LEVEL1_FACTOR = 32        # blocks per level-1 skip entry (Lucene101PostingsFormat.kt:484-487)
+
+TOKENS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("term", StringType()),
+        StructField("tf", IntegerType()),
+        StructField("positions", ArrayType(IntegerType())),
+        StructField("norm", IntegerType()),  # unsigned byte 0..255
+    ]
+)
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("block_id", IntegerType()),
+        StructField("num_docs", IntegerType()),
+        StructField("min_doc_id", LongType()),
+        StructField("max_doc_id", LongType()),
+        StructField("max_tf", IntegerType()),
+        StructField("doc_ids_enc", BinaryType()),
+        StructField("freqs_enc", BinaryType()),
+        StructField("norms_enc", BinaryType()),
+        StructField("positions_enc", BinaryType()),
+        StructField("impact_tfs", ArrayType(IntegerType())),
+        StructField("impact_norms", ArrayType(IntegerType())),
+    ]
+)
+
+
+def tokenize_to_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    stop_words: tuple[str, ...] = (),
+) -> DataFrame:
+    """docs(doc_id, text, ...) -> one row per (doc, distinct term)."""
+    stop_set = frozenset(stop_words) if stop_words else None
+
+    def gen(batches):
+        for pdf in batches:
+            out_doc, out_term, out_tf, out_pos, out_norm = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf[text_col].values):
+                if text is None:
+                    continue
+                terms, positions, _length = analyze(text, stop_set=stop_set)
+                if not terms:
+                    continue
+                norm = int_to_byte4(len(terms))
+                acc: dict[str, list[int]] = {}
+                for t, p in zip(terms, positions):
+                    acc.setdefault(t, []).append(p)
+                for t, plist in acc.items():
+                    out_doc.append(doc_id)
+                    out_term.append(t)
+                    out_tf.append(len(plist))
+                    out_pos.append(plist)
+                    out_norm.append(norm)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "term": pd.Series(out_term, dtype="object"),
+                    "tf": pd.Series(out_tf, dtype="int32"),
+                    "positions": pd.Series(out_pos, dtype="object"),
+                    "norm": pd.Series(out_norm, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, schema=TOKENS_SCHEMA)
+
+
+def _competitive_impacts(tfs: np.ndarray, norms: np.ndarray):
+    """Pareto frontier of (tf, norm): max tf per norm, dominated pairs pruned
+    (CompetitiveImpactAccumulator.kt:14-70)."""
+    best: dict[int, int] = {}
+    for t, n in zip(tfs.tolist(), norms.tolist()):
+        if best.get(n, 0) < t:
+            best[n] = t
+    out_t, out_n = [], []
+    max_tf = 0
+    for n in sorted(best):
+        t = best[n]
+        if t > max_tf:
+            out_t.append(t)
+            out_n.append(n)
+            max_tf = t
+    return out_t, out_n
+
+
+def _encode_blocks(batches):
+    for pdf in batches:
+        rows = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}
+        for term, block_id, entries in zip(
+            pdf["term"].values, pdf["block_id"].values, pdf["entries"].values
+        ):
+            doc_ids = np.array([e["doc_id"] for e in entries], dtype=np.int64)
+            order = np.argsort(doc_ids, kind="stable")
+            doc_ids = doc_ids[order]
+            tfs = np.array([e["tf"] for e in entries], dtype=np.int64)[order]
+            norms = np.array([e["norm"] for e in entries], dtype=np.int64)[order]
+            pos_lists = [entries[i]["positions"] for i in order.tolist()]
+            # positions: per-doc delta encoding, concatenated (split by freqs at decode)
+            flat = []
+            for pl in pos_lists:
+                prev = 0
+                for p in pl:
+                    flat.append(p - prev)
+                    prev = p
+            it, inorm = _competitive_impacts(tfs, norms)
+            rows["term"].append(term)
+            rows["block_id"].append(int(block_id))
+            rows["num_docs"].append(len(doc_ids))
+            rows["min_doc_id"].append(int(doc_ids[0]))
+            rows["max_doc_id"].append(int(doc_ids[-1]))
+            rows["max_tf"].append(int(tfs.max()))
+            rows["doc_ids_enc"].append(delta_encode(doc_ids))
+            rows["freqs_enc"].append(varint_encode(tfs))
+            rows["norms_enc"].append(norms.astype(np.uint8).tobytes())
+            rows["positions_enc"].append(varint_encode(np.array(flat, dtype=np.int64)))
+            rows["impact_tfs"].append(it)
+            rows["impact_norms"].append(inorm)
+        yield pd.DataFrame(rows)
+
+
+def build_postings(tokens: DataFrame, skew_safe: bool = True) -> DataFrame:
+    """tokens -> blocked postings. ``skew_safe`` selects the bucketed two-stage
+    global rank (required at scale); ``False`` uses a plain per-term window
+    (single reducer per term — test-scale only, used for equivalence tests)."""
+    if skew_safe:
+        t = tokens.withColumn("bucket", F.shiftright("doc_id", BUCKET_BITS))
+        counts = t.groupBy("term", "bucket").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("term").orderBy("bucket")
+        offsets = counts.withColumn(
+            "base", F.sum("c").over(w) - F.col("c")
+        ).drop("c")
+        local_w = Window.partitionBy("term", "bucket").orderBy("doc_id")
+        ranked = (
+            t.join(offsets, ["term", "bucket"])
+            .withColumn("grank", F.col("base") + F.row_number().over(local_w) - 1)
+            .drop("bucket", "base")
+        )
+    else:
+        w = Window.partitionBy("term").orderBy("doc_id")
+        ranked = tokens.withColumn("grank", F.row_number().over(w) - 1)
+
+    blocks = (
+        ranked.withColumn("block_id", (F.col("grank") / BLOCK_SIZE).cast("int"))
+        .groupBy("term", "block_id")
+        .agg(
+            F.collect_list(F.struct("doc_id", "tf", "norm", "positions")).alias("entries")
+        )
+    )
+    return blocks.mapInPandas(_encode_blocks, schema=POSTINGS_SCHEMA)
+
+
+@dataclass
+class IndexStats:
+    max_doc: int
+    doc_count: int
+    sum_total_term_freq: int
+    sum_doc_freq: int
+    num_terms: int
+
+    @property
+    def avgdl(self) -> float:
+        return self.sum_total_term_freq / max(self.doc_count, 1)
+
+    def to_dict(self):
+        return self.__dict__.copy()
+
+
+@dataclass
+class InvertedIndex:
+    """A queryable index: postings + term_dict + docs + global stats.
+
+    Plays the role of Lucene's point-in-time IndexReader over a commit
+    (``index/DirectoryReader.kt``): ``docs`` is the stored-fields row store,
+    ``postings`` the .doc/.pos/.nvd analog, ``term_dict`` the blocktree stats,
+    ``stats`` the broadcast CollectionStatistics.
+    """
+
+    spark: SparkSession
+    field_name: str
+    docs: DataFrame        # original columns + doc_id
+    postings: DataFrame    # POSTINGS_SCHEMA
+    term_dict: DataFrame   # term, df, ttf, num_blocks
+    stats: IndexStats
+    key_cols: tuple = ("doc_id",)
+    extra: dict = field(default_factory=dict)
+
+    def write(self, path: str):
+        self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+        self.postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+        self.term_dict.write.mode("overwrite").parquet(os.path.join(path, "term_dict"))
+        manifest = {
+            "field": self.field_name,
+            "key_cols": list(self.key_cols),
+            "stats": self.stats.to_dict(),
+            "format_version": 1,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    @staticmethod
+    def read(spark: SparkSession, path: str) -> "InvertedIndex":
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        return InvertedIndex(
+            spark=spark,
+            field_name=manifest["field"],
+            docs=spark.read.parquet(os.path.join(path, "docs")),
+            postings=spark.read.parquet(os.path.join(path, "postings")),
+            term_dict=spark.read.parquet(os.path.join(path, "term_dict")),
+            stats=IndexStats(**manifest["stats"]),
+            key_cols=tuple(manifest["key_cols"]),
+        )
+
+
+def build_index(
+    docs_with_ids: DataFrame,
+    text_col: str = "text",
+    stop_words: tuple[str, ...] = (),
+    skew_safe: bool = True,
+    cache: bool = True,
+) -> InvertedIndex:
+    """Build an InvertedIndex from a DataFrame that already has a ``doc_id``
+    column (use ``assign_doc_ids`` first for keyed corpora)."""
+    spark = docs_with_ids.sparkSession
+    max_doc = docs_with_ids.count()
+
+    tokens = tokenize_to_tokens(docs_with_ids, text_col=text_col, stop_words=stop_words)
+    if cache:
+        tokens = tokens.persist()
+
+    term_dict = tokens.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("ttf"),
+    )
+    postings = build_postings(tokens, skew_safe=skew_safe)
+    if cache:
+        term_dict = term_dict.persist()
+        postings = postings.persist()
+
+    agg = term_dict.agg(
+        F.sum("df").alias("sum_df"),
+        F.sum("ttf").alias("sum_ttf"),
+        F.count("*").alias("num_terms"),
+    ).collect()[0]
+    doc_count = tokens.select("doc_id").distinct().count()
+
+    stats = IndexStats(
+        max_doc=max_doc,
+        doc_count=doc_count,
+        sum_total_term_freq=int(agg["sum_ttf"] or 0),
+        sum_doc_freq=int(agg["sum_df"] or 0),
+        num_terms=int(agg["num_terms"] or 0),
+    )
+    if cache:
+        tokens.unpersist()
+    return InvertedIndex(
+        spark=spark,
+        field_name=text_col,
+        docs=docs_with_ids,
+        postings=postings,
+        term_dict=term_dict,
+        stats=stats,
+    )

@@ -1,0 +1,528 @@
+"""Query execution: compile the Query AST to DataFrame plans over the index.
+
+The physical shape mirrors the reference's read path (SURVEY.md §3.1):
+
+* stage 1 — global stats + per-term stats resolved once, driver-side, and
+  closed over by the scoring UDF (the Spark analog of ``createWeight``'s one
+  global computation, ``search/IndexSearcher.kt:773,912-953``)
+* stage 2 — partition-parallel block decode + float32 BM25 scoring inside an
+  Arrow ``mapInPandas`` (the per-leaf BulkScorer, ``Lucene101PostingsReader.kt``)
+* stage 3 — ``ORDER BY score DESC, doc_id ASC LIMIT k`` =
+  TakeOrderedAndProject, Spark's native distributed top-k collector
+  (tie-break per ``search/HitQueue.kt:56-62``; merge per ``TopDocs.kt:119-181``)
+
+Boolean composition (``search/BooleanWeight.kt`` semantics): MUST/FILTER =
+inner/semi joins on doc_id ordered by clause cost (df ascending, the
+``ConjunctionDISI.kt:21-61`` leapfrog order), SHOULD = union + hash aggregate,
+MUST_NOT = left_anti. Cross-clause score sums accumulate in double and cast to
+float32 at the end, matching the reference's double accumulators
+(``WANDScorer.kt:83``, ``DisjunctionSumScorer``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lucene_kmp_spark.index.builder import InvertedIndex
+from lucene_kmp_spark.search import bm25
+from lucene_kmp_spark.search.query import (
+    BooleanQuery,
+    ColumnFilterQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    rewrite_query,
+)
+
+_SCORED_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("tf", IntegerType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+_POS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("tf", IntegerType()),
+        StructField("norm", IntegerType()),
+        StructField("positions", ArrayType(IntegerType())),
+    ]
+)
+
+
+def _decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    from lucene_kmp_spark.util.packing import delta_decode, varint_decode
+
+    doc_ids = delta_decode(bytes(row["doc_ids_enc"]))
+    tfs = varint_decode(bytes(row["freqs_enc"]))
+    norms = np.frombuffer(bytes(row["norms_enc"]), dtype=np.uint8)
+    return doc_ids, tfs, norms
+
+
+@dataclass
+class TermStats:
+    df: int
+    ttf: int
+
+
+class IndexSearcher:
+    """Point-in-time searcher over an InvertedIndex (``search/IndexSearcher.kt``)."""
+
+    def __init__(self, index: InvertedIndex, k1: float = 1.2, b: float = 0.75, dtype=np.float32):
+        self.index = index
+        self.k1 = k1
+        self.b = b
+        self.dtype = dtype
+        s = index.stats
+        self.avgdl = bm25.avg_field_length(s.sum_total_term_freq, s.doc_count, dtype)
+        # per-norm-byte cache is term-independent (BM25Similarity.kt:161-165)
+        one, k1_, b_ = dtype(1), dtype(k1), dtype(b)
+        from lucene_kmp_spark.util.smallfloat import LENGTH_TABLE
+
+        self.cache = one / (k1_ * ((one - b_) + b_ * LENGTH_TABLE.astype(dtype) / self.avgdl))
+
+    # ------------------------------------------------------------------ stats
+    def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
+        if not terms:
+            return {}
+        rows = (
+            self.index.term_dict.filter(F.col("term").isin(list(set(terms))))
+            .select("term", "df", "ttf")
+            .collect()
+        )
+        return {r["term"]: TermStats(int(r["df"]), int(r["ttf"])) for r in rows}
+
+    def _weight(self, term_df: int, boost: float):
+        dt = self.dtype
+        return dt(dt(boost) * bm25.idf(term_df, self.index.stats.doc_count, dt))
+
+    # --------------------------------------------------------------- scoring
+    def _scored_terms_df(self, boosts: dict[str, float], stats=None) -> DataFrame:
+        """(term, doc_id, tf, score) for every posting of the given terms."""
+        if stats is None:
+            stats = self.term_stats(list(boosts))
+        weights = {t: float(self._weight(st.df, boosts[t])) for t, st in stats.items()}
+        if not weights:
+            return self._empty_scored()
+        cache = self.cache
+        dt = self.dtype
+        rows = self.index.postings.filter(F.col("term").isin(list(weights)))
+
+        def gen(batches):
+            for pdf in batches:
+                outs = {"term": [], "doc_id": [], "tf": [], "score": []}
+                for i in range(len(pdf)):
+                    row = pdf.iloc[i]
+                    doc_ids, tfs, norms = _decode_block(row)
+                    w = dt(weights[row["term"]])
+                    ni = cache[norms.astype(np.int64)]
+                    sc = w - w / (dt(1) + tfs.astype(dt) * ni)
+                    outs["term"].append(np.repeat(row["term"], len(doc_ids)))
+                    outs["doc_id"].append(doc_ids)
+                    outs["tf"].append(tfs)
+                    outs["score"].append(sc.astype(np.float64))
+                if outs["doc_id"]:
+                    yield pd.DataFrame(
+                        {
+                            "term": np.concatenate(outs["term"]),
+                            "doc_id": np.concatenate(outs["doc_id"]),
+                            "tf": np.concatenate(outs["tf"]).astype(np.int32),
+                            "score": np.concatenate(outs["score"]),
+                        }
+                    )
+
+        return rows.mapInPandas(gen, schema=_SCORED_SCHEMA)
+
+    def _empty_scored(self) -> DataFrame:
+        return self.index.spark.createDataFrame([], schema=_SCORED_SCHEMA)
+
+    def _positions_df(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, tf, norm, positions) — the POSITIONS postings view."""
+        from lucene_kmp_spark.util.packing import varint_decode
+
+        rows = self.index.postings.filter(F.col("term").isin(list(set(terms))))
+
+        def gen(batches):
+            for pdf in batches:
+                recs = {"term": [], "doc_id": [], "tf": [], "norm": [], "positions": []}
+                for i in range(len(pdf)):
+                    row = pdf.iloc[i]
+                    doc_ids, tfs, norms = _decode_block(row)
+                    deltas = varint_decode(bytes(row["positions_enc"]))
+                    starts = np.cumsum(tfs) - tfs
+                    for j in range(len(doc_ids)):
+                        d = deltas[starts[j] : starts[j] + tfs[j]]
+                        recs["term"].append(row["term"])
+                        recs["doc_id"].append(int(doc_ids[j]))
+                        recs["tf"].append(int(tfs[j]))
+                        recs["norm"].append(int(norms[j]))
+                        recs["positions"].append(np.cumsum(d).astype(np.int32).tolist())
+                yield pd.DataFrame(recs)
+
+        return rows.mapInPandas(gen, schema=_POS_SCHEMA)
+
+    # ------------------------------------------------------------ match sets
+    def _doc_set(self, q: Query) -> DataFrame:
+        """Distinct doc_ids matching q (ScoreMode.NO_SCORES path)."""
+        if isinstance(q, TermQuery):
+            return self._docs_for_term_filter(F.col("term") == q.term)
+        if isinstance(q, TermInSetQuery):
+            return self._docs_for_term_filter(F.col("term").isin(list(q.terms)))
+        if isinstance(q, PrefixQuery):
+            return self._docs_for_term_filter(F.col("term").startswith(q.prefix))
+        if isinstance(q, WildcardQuery):
+            return self._docs_for_term_filter(F.col("term").rlike(_wildcard_to_regex(q.pattern)))
+        if isinstance(q, RegexpQuery):
+            return self._docs_for_term_filter(F.col("term").rlike("^(?:" + q.regexp + ")$"))
+        if isinstance(q, TermRangeQuery):
+            return self._docs_for_term_filter(_range_pred(q))
+        if isinstance(q, ColumnFilterQuery):
+            return self.index.docs.filter(q.sql_predicate).select("doc_id")
+        if isinstance(q, MatchAllDocsQuery):
+            return self.index.docs.select("doc_id")
+        if isinstance(q, MatchNoDocsQuery):
+            return self.index.spark.createDataFrame([], schema="doc_id long")
+        if isinstance(q, ConstantScoreQuery):
+            return self._doc_set(q.query)
+        # general fallback: scored execution, keep doc ids
+        return self.execute(q).select("doc_id")
+
+    def _docs_for_term_filter(self, pred) -> DataFrame:
+        """Decode doc_ids only for postings whose term matches a predicate.
+
+        The term predicate is pushed into the Parquet scan of the postings
+        table (PushedFilters on the `term` column — the term-dictionary
+        lookup of ``codecs/lucene90/blocktree`` becomes file/row-group
+        pruning)."""
+        rows = self.index.postings.filter(pred).select("doc_ids_enc")
+
+        def gen(batches):
+            from lucene_kmp_spark.util.packing import delta_decode
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                arrs = [delta_decode(bytes(b)) for b in pdf["doc_ids_enc"].values]
+                yield pd.DataFrame({"doc_id": np.concatenate(arrs)})
+
+        return rows.mapInPandas(gen, schema="doc_id long").distinct()
+
+    # ------------------------------------------------------------- execution
+    def execute(self, q: Query) -> DataFrame:
+        """Full match set with scores: DataFrame(doc_id long, score double)."""
+        q = rewrite_query(q)
+        return self._exec(q)
+
+    def _exec(self, q: Query) -> DataFrame:
+        if isinstance(q, TermQuery):
+            return self._scored_terms_df({q.term: q.boost}).select("doc_id", "score")
+        if isinstance(q, SynonymQuery):
+            return self._exec_synonym(q)
+        if isinstance(q, BooleanQuery):
+            return self._exec_boolean(q)
+        if isinstance(q, PhraseQuery):
+            return self._exec_phrase(q)
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery)):
+            # CONSTANT_SCORE rewrite (MultiTermQuery.kt:21-70): match set, score = boost
+            return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
+        if isinstance(q, FuzzyQuery):
+            return self._exec_fuzzy(q)
+        if isinstance(q, ConstantScoreQuery):
+            return self._doc_set(q.query).withColumn("score", F.lit(float(q.boost)).cast("double"))
+        if isinstance(q, MatchAllDocsQuery):
+            return self.index.docs.select("doc_id").withColumn("score", F.lit(float(q.boost)).cast("double"))
+        if isinstance(q, MatchNoDocsQuery):
+            return self.index.spark.createDataFrame([], schema="doc_id long, score double")
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._exec_dismax(q)
+        if isinstance(q, ColumnFilterQuery):
+            return self._doc_set(q).withColumn("score", F.lit(0.0))
+        raise NotImplementedError(type(q).__name__)
+
+    def _exec_synonym(self, q: SynonymQuery) -> DataFrame:
+        """SynonymQuery.kt:40 — blended stats: df = max over terms, freq summed."""
+        stats = self.term_stats(list(q.terms))
+        if not stats:
+            return self._exec(MatchNoDocsQuery())
+        blended_df = max(st.df for st in stats.values())
+        w = float(self._weight(blended_df, q.boost))
+        dt = self.dtype
+        cache = self.cache
+        pos = self._positions_df(list(q.terms)).select("doc_id", "tf", "norm")
+        agg = pos.groupBy("doc_id").agg(F.sum("tf").alias("tf"), F.max("norm").alias("norm"))
+
+        def gen(batches):
+            for pdf in batches:
+                ni = cache[pdf["norm"].values.astype(np.int64)]
+                sc = dt(w) - dt(w) / (dt(1) + pdf["tf"].values.astype(dt) * ni)
+                yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "score": sc.astype(np.float64)})
+
+        return agg.mapInPandas(gen, schema="doc_id long, score double")
+
+    def _exec_boolean(self, q: BooleanQuery) -> DataFrame:
+        musts = [c.query for c in q.clauses if c.occur == Occur.MUST]
+        shoulds = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+        filters = [c.query for c in q.clauses if c.occur == Occur.FILTER]
+        must_nots = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
+        msm = q.minimum_should_match
+
+        base = None
+        if musts:
+            # conjunction ordered by cost ascending (ConjunctionDISI.kt:29-32)
+            ordered = sorted(musts, key=self._cost_estimate)
+            base = self._exec(ordered[0]).withColumnRenamed("score", "s0")
+            for i, m in enumerate(ordered[1:], start=1):
+                nxt = self._exec(m).withColumnRenamed("score", f"s{i}")
+                base = base.join(nxt, "doc_id")
+            score_expr = sum(F.col(f"s{i}") for i in range(len(ordered)))
+            base = base.select("doc_id", score_expr.alias("score"))
+
+        if shoulds:
+            sdf = None
+            for s in shoulds:
+                part = self._exec(s)
+                sdf = part if sdf is None else sdf.unionByName(part)
+            sagg = sdf.groupBy("doc_id").agg(
+                F.sum("score").alias("_s_score"), F.count("*").alias("_s_cnt")
+            )
+            if base is not None:
+                base = base.join(sagg, "doc_id", "left")
+                if msm > 0:
+                    base = base.filter(F.coalesce(F.col("_s_cnt"), F.lit(0)) >= msm)
+                base = base.select(
+                    "doc_id",
+                    (F.col("score") + F.coalesce(F.col("_s_score"), F.lit(0.0))).alias("score"),
+                )
+            else:
+                base = sagg.filter(F.col("_s_cnt") >= max(msm, 1)).select(
+                    "doc_id", F.col("_s_score").alias("score")
+                )
+
+        if base is None:
+            if filters:
+                base = self._doc_set(filters[0]).withColumn("score", F.lit(0.0))
+                filters = filters[1:]
+            else:
+                return self._exec(MatchNoDocsQuery())
+
+        for f_q in filters:
+            base = base.join(self._doc_set(f_q), "doc_id", "left_semi")
+        for n_q in must_nots:
+            base = base.join(self._doc_set(n_q), "doc_id", "left_anti")
+        if q.boost != 1.0:
+            base = base.select("doc_id", (F.col("score") * F.lit(float(q.boost))).alias("score"))
+        return base
+
+    def _exec_dismax(self, q: DisjunctionMaxQuery) -> DataFrame:
+        parts = None
+        for sub in q.queries:
+            p = self._exec(sub)
+            parts = p if parts is None else parts.unionByName(p)
+        if parts is None:
+            return self._exec(MatchNoDocsQuery())
+        tb = float(q.tie_breaker)
+        agg = parts.groupBy("doc_id").agg(F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+        return agg.select(
+            "doc_id",
+            ((F.col("_mx") + F.lit(tb) * (F.col("_sm") - F.col("_mx"))) * F.lit(float(q.boost))).alias("score"),
+        )
+
+    def _exec_phrase(self, q: PhraseQuery) -> DataFrame:
+        """Exact/sloppy phrase: position-join + vectorized verification
+        (ExactPhraseMatcher.kt:19-60 / SloppyPhraseMatcher.kt:33)."""
+        terms = list(q.terms)
+        stats = self.term_stats(terms)
+        if len(stats) < len(set(terms)):
+            return self._exec(MatchNoDocsQuery())
+        # phrase idf = sum of per-term idfs accumulated in double (BM25Similarity.kt:134-147)
+        dt = self.dtype
+        idf_sum = float(sum(float(bm25.idf(stats[t].df, self.index.stats.doc_count, dt)) for t in terms))
+        w = dt(dt(q.boost) * dt(idf_sum))
+        cache = self.cache
+
+        pos = self._positions_df(list(set(terms)))
+        joined = None
+        for i, t in enumerate(terms):
+            p = pos.filter(F.col("term") == t).select(
+                "doc_id",
+                F.col("positions").alias(f"p{i}"),
+                *( [F.col("norm").alias("norm")] if i == 0 else [] ),
+            )
+            joined = p if joined is None else joined.join(p, "doc_id")
+
+        n = len(terms)
+        slop = q.slop
+
+        def gen(batches):
+            for pdf in batches:
+                out_doc, out_score = [], []
+                for r in range(len(pdf)):
+                    row = pdf.iloc[r]
+                    plists = [np.asarray(row[f"p{i}"], dtype=np.int64) for i in range(n)]
+                    if slop == 0:
+                        base0 = plists[0]
+                        ok = np.ones(len(base0), dtype=bool)
+                        for i in range(1, n):
+                            ok &= np.isin(base0 + i, plists[i])
+                        freq = int(ok.sum())
+                    else:
+                        freq = _sloppy_freq(plists, slop)
+                    if freq > 0:
+                        ni = cache[int(row["norm"]) & 0xFF]
+                        sc = w - w / (dt(1) + dt(freq) * ni)
+                        out_doc.append(int(row["doc_id"]))
+                        out_score.append(float(sc))
+                yield pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
+                                    "score": pd.Series(out_score, dtype="float64")})
+
+        return joined.mapInPandas(gen, schema="doc_id long, score double")
+
+    def _exec_fuzzy(self, q: FuzzyQuery) -> DataFrame:
+        """FuzzyQuery.kt:38,159-162: expand to the top-``max_expansions`` terms
+        within ``max_edits``, then score as a boosted disjunction.
+
+        Expansion runs JVM-side (``levenshtein`` + length pruning pushed into
+        the term_dict scan); only the top-50 term list is collected."""
+        t = q.term
+        cand = (
+            self.index.term_dict.filter(F.length("term").between(len(t) - q.max_edits, len(t) + q.max_edits))
+        )
+        if q.prefix_length > 0:
+            cand = cand.filter(F.col("term").startswith(t[: q.prefix_length]))
+        cand = (
+            cand.withColumn("_dist", F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("_dist") <= q.max_edits)
+            .select("term", "_dist", "df")
+            .collect()
+        )
+        if not cand:
+            return self._exec(MatchNoDocsQuery())
+        scored = []
+        for r in cand:
+            dist = int(r["_dist"])
+            sim = 1.0 - dist / min(len(t), len(r["term"])) if dist > 0 else 1.0
+            scored.append((sim, r["term"]))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        top = scored[: q.max_expansions]
+        sub = tuple(TermQuery(term, boost=q.boost * s) for s, term in top)
+        return self._exec(BooleanQuery.build(should=sub))
+
+    def _cost_estimate(self, q: Query) -> int:
+        if isinstance(q, TermQuery):
+            st = self.term_stats([q.term])
+            return st[q.term].df if q.term in st else 0
+        if isinstance(q, PhraseQuery):
+            st = self.term_stats(list(q.terms))
+            return min((s.df for s in st.values()), default=0)
+        return 1 << 60
+
+    # ----------------------------------------------------------------- top-k
+    def top_k(self, q: Query, k: int = 10, hydrate: bool = False) -> DataFrame:
+        """TopScoreDocCollector analog: score desc, docID asc on ties
+        (HitQueue.kt:56-62) — Spark's TakeOrderedAndProject does the
+        per-partition heaps + merge."""
+        scored = self.execute(q)
+        if self.dtype == np.float32:
+            scored = scored.select("doc_id", F.col("score").cast("float").alias("score"))
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if hydrate:
+            out = out.join(self.index.docs, "doc_id", "left").orderBy(F.desc("score"), F.asc("doc_id"))
+        return out
+
+    def search_after(self, q: Query, after_score: float, after_doc: int, k: int = 10) -> DataFrame:
+        """Pagination (IndexSearcher.kt:363-398): keep hits strictly worse than
+        the (score, doc) cursor."""
+        scored = self.execute(q)
+        if self.dtype == np.float32:
+            scored = scored.select("doc_id", F.col("score").cast("float").alias("score"))
+        cond = (F.col("score") < after_score) | (
+            (F.col("score") == after_score) & (F.col("doc_id") > after_doc)
+        )
+        return scored.filter(cond).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def count(self, q: Query) -> int:
+        """count(query) fast path (IndexSearcher.kt:282-306)."""
+        q = rewrite_query(q)
+        if isinstance(q, TermQuery):
+            st = self.term_stats([q.term])
+            return st[q.term].df if q.term in st else 0
+        if isinstance(q, MatchAllDocsQuery):
+            return self.index.stats.max_doc
+        return self._doc_set(q).count()
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _range_pred(q: TermRangeQuery):
+    pred = F.lit(True)
+    if q.lower is not None:
+        pred = pred & (F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower)
+    if q.upper is not None:
+        pred = pred & (F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper)
+    return pred
+
+
+def _sloppy_freq(plists: list[np.ndarray], slop: int) -> int:
+    """Simplified sloppy matching: count alignments whose total displacement
+    from the exact phrase shape is <= slop (SloppyPhraseMatcher.kt semantics,
+    simplified: weight 1 per match instead of 1/(1+distance))."""
+    base0 = plists[0]
+    freq = 0
+    for p in base0.tolist():
+        # greedy: for each subsequent term pick the closest position to expected
+        disp = 0
+        ok = True
+        for i in range(1, len(plists)):
+            expected = p + i
+            diffs = np.abs(plists[i] - expected)
+            j = int(diffs.argmin())
+            disp += int(diffs[j])
+            if disp > slop:
+                ok = False
+                break
+        if ok:
+            freq += 1
+    return freq

@@ -1,0 +1,215 @@
+"""Query AST ("logical plan") + rewrite rules.
+
+Mirrors the reference's Query tree and ``Query.rewrite`` fixpoint
+(``search/IndexSearcher.kt:699-712``; rules in ``search/BooleanQuery.kt:170-470``).
+Occur flags per ``search/BooleanClause.kt``: MUST (AND, scores), FILTER (AND,
+no score), SHOULD (OR), MUST_NOT (ANDNOT).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from enum import Enum
+
+
+class Occur(Enum):
+    MUST = "MUST"
+    FILTER = "FILTER"
+    SHOULD = "SHOULD"
+    MUST_NOT = "MUST_NOT"
+
+
+class Query:
+    boost: float = 1.0
+
+    def rewrite(self) -> "Query":
+        return self
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+    def rewrite(self) -> Query:
+        if len(self.terms) == 1:  # PhraseQuery.kt rewrite: 1-term phrase -> TermQuery
+            return TermQuery(self.terms[0], boost=self.boost)
+        return self
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # `*` any run, `?` single char (WildcardQuery.kt:24)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    regexp: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2           # FuzzyQuery.kt:159-162 defaults
+    prefix_length: int = 0
+    max_expansions: int = 50
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Several terms scored as if one term: df = max, freq summed
+    (search/SynonymQuery.kt:40)."""
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """score = max(clauses) + tie_breaker * sum(others)
+    (search/DisjunctionMaxQuery.kt:25)."""
+    queries: tuple["Query", ...]
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ColumnFilterQuery(Query):
+    """Structured predicate on a stored column (role='user', ts ranges...).
+
+    This is where Catalyst takes over: the predicate is pushed to the docs
+    scan (Parquet min/max pruning replaces the reference's BKD points,
+    search/PointRangeQuery.kt:40). Never scores (constant 0 unless wrapped)."""
+    sql_predicate: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    occur: Occur
+    query: Query
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...]
+    minimum_should_match: int = 0
+    boost: float = 1.0
+
+    @staticmethod
+    def build(
+        must=(), should=(), must_not=(), filter=(), minimum_should_match: int = 0, boost: float = 1.0
+    ) -> "BooleanQuery":
+        cl = (
+            [BooleanClause(Occur.MUST, q) for q in must]
+            + [BooleanClause(Occur.SHOULD, q) for q in should]
+            + [BooleanClause(Occur.MUST_NOT, q) for q in must_not]
+            + [BooleanClause(Occur.FILTER, q) for q in filter]
+        )
+        return BooleanQuery(tuple(cl), minimum_should_match, boost)
+
+    def rewrite(self) -> Query:
+        # rewrite children first (fixpoint loop lives in rewrite_query)
+        clauses = tuple(BooleanClause(c.occur, rewrite_query(c.query)) for c in self.clauses)
+        pos = [c for c in clauses if c.occur != Occur.MUST_NOT]
+        neg = [c for c in clauses if c.occur == Occur.MUST_NOT]
+        # empty / purely-negative BQ matches nothing (BooleanQuery.kt:224-231)
+        if not pos:
+            return MatchNoDocsQuery()
+        # MatchNoDocs in MUST/FILTER -> nothing
+        if any(isinstance(c.query, MatchNoDocsQuery) for c in pos if c.occur in (Occur.MUST, Occur.FILTER)):
+            return MatchNoDocsQuery()
+        # a clause both required and prohibited -> nothing (BooleanQuery.kt:311-320)
+        neg_q = {c.query for c in neg}
+        if any(c.query in neg_q for c in pos if c.occur in (Occur.MUST, Occur.FILTER)):
+            return MatchNoDocsQuery()
+        # drop SHOULD MatchNoDocs
+        clauses = tuple(
+            c for c in clauses if not (c.occur == Occur.SHOULD and isinstance(c.query, MatchNoDocsQuery))
+        )
+        # dedup FILTER / MUST_NOT clauses (BooleanQuery.kt:290-438)
+        seen = set()
+        dedup = []
+        for c in clauses:
+            key = (c.occur, c.query)
+            if c.occur in (Occur.FILTER, Occur.MUST_NOT):
+                if key in seen:
+                    continue
+                seen.add(key)
+            dedup.append(c)
+        clauses = tuple(dedup)
+        # single-clause simplification (BooleanQuery.kt:233-249)
+        if len(clauses) == 1 and self.minimum_should_match <= 1:
+            c = clauses[0]
+            if c.occur in (Occur.MUST, Occur.SHOULD):
+                q = c.query
+                if self.boost != 1.0:
+                    return _with_boost(q, q.boost * self.boost)
+                return q
+            if c.occur == Occur.FILTER:
+                return ConstantScoreQuery(c.query, boost=0.0)
+        if clauses != self.clauses:
+            return BooleanQuery(clauses, self.minimum_should_match, self.boost)
+        return self
+
+
+def _with_boost(q: Query, boost: float) -> Query:
+    import dataclasses
+
+    return dataclasses.replace(q, boost=boost)
+
+
+def rewrite_query(q: Query, max_iters: int = 10) -> Query:
+    """Rewrite to fixpoint (IndexSearcher.kt:699-712)."""
+    for _ in range(max_iters):
+        nq = q.rewrite()
+        if nq is q:
+            return q
+        q = nq
+    return q

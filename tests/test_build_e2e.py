@@ -1,0 +1,250 @@
+"""End-to-end build + query parity vs the naive oracle (CheckHits pattern)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_kmp_spark.data.transcripts import synth_transcripts
+from lucene_kmp_spark.index import assign_doc_ids, build_index
+from lucene_kmp_spark.search.executor import IndexSearcher
+from lucene_kmp_spark.search.naive import NaiveIndex
+from lucene_kmp_spark.search.query import (
+    BooleanQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+N_CONVS = 60
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synth_transcripts(spark, n_convs=N_CONVS, seed=SEED)
+    docs = assign_doc_ids(df).persist()
+    docs.count()
+    return docs
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus):
+    return build_index(corpus, text_col="text")
+
+
+@pytest.fixture(scope="module")
+def searcher(index):
+    return IndexSearcher(index)
+
+
+@pytest.fixture(scope="module")
+def naive(corpus):
+    rows = [(r["doc_id"], r["text"]) for r in corpus.select("doc_id", "text").collect()]
+    return NaiveIndex(rows)
+
+
+def _topk(searcher, q, k=10):
+    return [(r["doc_id"], r["score"]) for r in searcher.top_k(q, k).collect()]
+
+
+def assert_topk_equal(engine, oracle, tol_ulp=0):
+    assert [d for d, _ in engine] == [d for d, _ in oracle], (engine, oracle)
+    for (d1, s1), (d2, s2) in zip(engine, oracle):
+        assert np.float32(s1) == np.float32(s2), (d1, s1, s2)
+
+
+# ---------------------------------------------------------------- docids
+
+
+def test_doc_ids_dense_and_ordered(corpus):
+    n = corpus.count()
+    ids = corpus.select("doc_id").orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in ids] == list(range(n))
+    # doc_id order == (conv_id, turn_idx) order
+    rows = corpus.select("conv_id", "turn_idx", "doc_id").orderBy("conv_id", "turn_idx").collect()
+    assert [r["doc_id"] for r in rows] == list(range(n))
+
+
+def test_doc_ids_stable_across_partitioning(spark):
+    df = synth_transcripts(spark, n_convs=20, seed=3)
+    a = assign_doc_ids(df, num_partitions=2).select("conv_id", "turn_idx", "doc_id")
+    b = assign_doc_ids(df.repartition(13), num_partitions=7).select("conv_id", "turn_idx", "doc_id")
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    assert diff == 0
+
+
+def test_per_turn_text_equality_invariant(spark, corpus):
+    """north-rule invariant: per-turn text equality under stable ordering."""
+    src = synth_transcripts(spark, n_convs=N_CONVS, seed=SEED).select("conv_id", "turn_idx", "text")
+    roundtrip = corpus.select("conv_id", "turn_idx", "text")
+    assert src.exceptAll(roundtrip).count() == 0
+    assert roundtrip.exceptAll(src).count() == 0
+
+
+# ---------------------------------------------------------------- stats
+
+
+def test_stats_match_naive(index, naive):
+    assert index.stats.doc_count == naive.doc_count
+    assert index.stats.sum_total_term_freq == naive.sum_ttf
+    assert index.stats.sum_doc_freq == sum(len(p) for p in naive.postings.values())
+
+
+def test_term_dict_matches_naive(index, naive):
+    rows = index.term_dict.collect()
+    got = {r["term"]: (r["df"], r["ttf"]) for r in rows}
+    exp = {t: (naive.df(t), naive.ttf(t)) for t in naive.postings}
+    assert got == exp
+
+
+def test_block_layout(index):
+    """Blocks hold <=128 docs, are disjoint and dense per term."""
+    from lucene_kmp_spark.index.builder import BLOCK_SIZE
+
+    rows = index.postings.select("term", "block_id", "num_docs", "min_doc_id", "max_doc_id").collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    for term, blocks in by_term.items():
+        blocks.sort(key=lambda r: r["block_id"])
+        assert [b["block_id"] for b in blocks] == list(range(len(blocks)))
+        for b in blocks[:-1]:
+            assert b["num_docs"] == BLOCK_SIZE, (term, b)
+        assert 1 <= blocks[-1]["num_docs"] <= BLOCK_SIZE
+        for prev, nxt in zip(blocks, blocks[1:]):
+            assert prev["max_doc_id"] < nxt["min_doc_id"]
+
+
+def test_skew_safe_equals_plain_window(spark, corpus, index):
+    from lucene_kmp_spark.index.builder import build_postings, tokenize_to_tokens
+
+    tokens = tokenize_to_tokens(corpus).persist()
+    a = build_postings(tokens, skew_safe=True)
+    b = build_postings(tokens, skew_safe=False)
+    cols = ["term", "block_id", "num_docs", "min_doc_id", "max_doc_id", "doc_ids_enc", "freqs_enc", "norms_enc"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+    tokens.unpersist()
+
+
+# ---------------------------------------------------------------- queries
+
+
+def test_term_query_topk(searcher, naive):
+    for term in ["the", "spark", "resurrection", "w0042", "hope"]:
+        oracle = naive.top_k(TermQuery(term))
+        assert oracle, f"vacuous test: {term} not in corpus"
+        assert_topk_equal(_topk(searcher, TermQuery(term)), oracle)
+
+
+def test_zipf_skew_present(naive):
+    # "the" (rank 1) must be a hot term so skew handling is actually exercised
+    assert naive.df("the") > 0.3 * naive.doc_count
+
+
+def test_term_query_missing_term(searcher, naive):
+    assert _topk(searcher, TermQuery("zzznotaterm")) == []
+
+
+def test_term_query_full_match_set(searcher, naive):
+    q = TermQuery("spark")
+    got = {r["doc_id"]: r["score"] for r in searcher.execute(q).collect()}
+    exp = naive.scores(q)
+    assert set(got) == set(exp)
+    for d in got:
+        assert np.float32(got[d]) == np.float32(exp[d])
+
+
+def test_bool_and(searcher, naive):
+    q = BooleanQuery.build(must=(TermQuery("the"), TermQuery("spark")))
+    assert_topk_equal(_topk(searcher, q), naive.top_k(q))
+
+
+def test_bool_or(searcher, naive):
+    q = BooleanQuery.build(should=(TermQuery("hope"), TermQuery("faith"), TermQuery("light")))
+    assert_topk_equal(_topk(searcher, q), naive.top_k(q))
+
+
+def test_bool_or_msm(searcher, naive):
+    q = BooleanQuery.build(
+        should=(TermQuery("hope"), TermQuery("faith"), TermQuery("light")),
+        minimum_should_match=2,
+    )
+    assert_topk_equal(_topk(searcher, q), naive.top_k(q))
+
+
+def test_bool_not(searcher, naive):
+    q = BooleanQuery.build(must=(TermQuery("the"),), must_not=(TermQuery("spark"),))
+    assert_topk_equal(_topk(searcher, q), naive.top_k(q))
+
+
+def test_bool_must_plus_should(searcher, naive):
+    q = BooleanQuery.build(must=(TermQuery("the"),), should=(TermQuery("hope"), TermQuery("spark")))
+    assert_topk_equal(_topk(searcher, q), naive.top_k(q))
+
+
+def test_bool_filter_no_score(searcher, naive):
+    q = BooleanQuery.build(must=(TermQuery("hope"),), filter=(TermQuery("the"),))
+    assert_topk_equal(_topk(searcher, q), naive.top_k(q))
+
+
+def test_phrase_query(searcher, naive):
+    q = PhraseQuery(("kingdom", "of"))
+    got, exp = _topk(searcher, q), naive.top_k(q)
+    assert_topk_equal(got, exp)
+
+
+def test_prefix_query(searcher, naive):
+    q = PrefixQuery("w00")
+    got = {r["doc_id"] for r in searcher.execute(q).collect()}
+    assert got == set(naive.scores(q))
+
+
+def test_wildcard_query(searcher, naive):
+    q = WildcardQuery("w0?4*")
+    got = {r["doc_id"] for r in searcher.execute(q).collect()}
+    assert got == set(naive.scores(q))
+
+
+def test_term_range_query(searcher, naive):
+    q = TermRangeQuery("spark", "token")
+    got = {r["doc_id"] for r in searcher.execute(q).collect()}
+    assert got == set(naive.scores(q))
+
+
+def test_term_in_set(searcher, naive):
+    q = TermInSetQuery(("spark", "hope", "zzz"))
+    got = {r["doc_id"] for r in searcher.execute(q).collect()}
+    assert got == set(naive.scores(q))
+
+
+def test_count_fast_path(searcher, naive):
+    assert searcher.count(TermQuery("the")) == naive.df("the")
+    q = BooleanQuery.build(must=(TermQuery("the"), TermQuery("spark")))
+    assert searcher.count(q) == len(naive.scores(q))
+
+
+def test_search_after(searcher, naive):
+    q = TermQuery("the")
+    full = naive.top_k(q, k=20)
+    page1 = _topk(searcher, q, k=10)
+    after_score, after_doc = page1[-1][1], page1[-1][0]
+    page2 = [
+        (r["doc_id"], r["score"])
+        for r in searcher.search_after(q, float(after_score), int(after_doc), k=10).collect()
+    ]
+    assert_topk_equal(page1 + page2, full)
+
+
+def test_index_roundtrip_write_read(tmp_path, spark, index, naive, searcher):
+    from lucene_kmp_spark.index.builder import InvertedIndex
+
+    path = str(tmp_path / "idx")
+    index.write(path)
+    idx2 = InvertedIndex.read(spark, path)
+    s2 = IndexSearcher(idx2)
+    q = BooleanQuery.build(must=(TermQuery("the"),), should=(TermQuery("hope"),))
+    assert_topk_equal(_topk(s2, q), naive.top_k(q))

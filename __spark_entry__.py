@@ -1,38 +1,591 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship parsed BM25 query over sf0.001 documents.
+``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+                     training-data pipeline ops), each (spark, sf_dir) -> DF.
+``oracle_sql()``   — DuckDB-equivalent SQL per query.
+
+Cross-engine float protocol: BM25/cosine oracle queries compute in float64
+with the exact same expression shapes on both sides (idf, the rewritten
+``w - w/(1 + tf*ni)`` form of BM25Similarity.kt:187-199, integer-exact
+SmallFloat norm quantization), round to 4 decimals, and rank by
+(rounded score DESC, id ASC) so ordering can never depend on sub-rounding
+noise. Lucene float32 bit-parity is pinned separately in tests/ against the
+naive oracle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1, B = 1.2, 0.75
+TOPK = 10
+
+# --------------------------------------------------------------------------
+# shared DuckDB CTE prelude: tokenize + stats + quantized norms
+# (documents.text is single-space-separated lowercase words, so string_split
+# == StandardAnalyzer here; engine side uses the real analyzer)
+# --------------------------------------------------------------------------
+_PRELUDE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+nstats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_ttf FROM dl),
+norm AS (
+  SELECT doc_id,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4))
+                     << (length(printf('%b', dl - 24)) - 4))
+    END AS qdl
+  FROM dl
+),
+avgd AS (SELECT sum_ttf::DOUBLE / n_docs AS avgdl, n_docs FROM nstats)
+"""
 
 
+def _sc_cte(name: str, term: str) -> str:
+    """Per-term BM25 score CTE — same op order as the float64 engine kernel."""
+    return f"""
+{name} AS (
+  SELECT tf.doc_id,
+         idf.w - idf.w / (1 + tf.tf * (1.0 / ({K1} * (0.25 + {B} * norm.qdl / avgd.avgdl)))) AS s
+  FROM tf
+  JOIN norm USING (doc_id)
+  CROSS JOIN avgd
+  CROSS JOIN (
+    SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+    FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = '{term}') d, avgd a
+  ) idf
+  WHERE tf.term = '{term}'
+)"""
+
+
+def _rank_tail(total_cte: str, k: int = TOPK) -> str:
+    # floor-quantization (exact on doubles) instead of round(): Spark's round
+    # goes through BigDecimal shortest-repr and can disagree with DuckDB at
+    # half boundaries; floor(x*1e4)/1e4 is the same IEEE op in both engines.
+    return f"""
+SELECT doc_id, rank, score FROM (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, doc_id ASC) AS INT) AS rank,
+         floor(s * 10000) / 10000 AS score
+  FROM {total_cte}
+) WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# engine-side helpers
+# --------------------------------------------------------------------------
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    from lucene_kmp_spark.index import build_index
+
+    key = sf_dir
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(_docs(spark, sf_dir), text_col="text")
+    return _INDEX_CACHE[key]
+
+
+def _searcher64(spark: SparkSession, sf_dir: str):
+    from lucene_kmp_spark.search.executor import IndexSearcher
+
+    return IndexSearcher(_index_for(spark, sf_dir), dtype=np.float64)
+
+
+def _q4(col):
+    """floor(x*1e4)/1e4 — engine-portable quantization, exact on doubles."""
+    return F.floor(col * 10000) / 10000
+
+
+def _ranked_topk(scored: DataFrame, k: int = TOPK, id_col: str = "doc_id") -> DataFrame:
+    w = Window.orderBy(F.desc(F.floor(F.col("score") * 10000)), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", _q4(F.col("score")).alias("score"))
+    )
+
+
+def _bm25_query(make_ast) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        s = _searcher64(spark, sf_dir)
+        return _ranked_topk(s.execute(make_ast()))
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# entry — flagship query
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Parsed boolean+phrase BM25 top-10 over sf0.001 documents (float32)."""
+    from lucene_kmp_spark.queryparser import parse
+    from lucene_kmp_spark.search.executor import IndexSearcher
+
+    idx = _index_for(spark, "/root/testdata/sf0.001")
+    s = IndexSearcher(idx)
+    q = parse('+merge join "order sort" scan*')
+    return s.top_k(q, 10, hydrate=True).select("doc_id", "score", "text")
 
 
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lucene_kmp_spark.pipeline import dedup, similarity, textstats
+    from lucene_kmp_spark.search.query import (
+        BooleanQuery,
+        PhraseQuery,
+        PrefixQuery,
+        SynonymQuery,
+        TermInSetQuery,
+        TermQuery,
+        TermRangeQuery,
+        WildcardQuery,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # ---- BM25 core (float64 oracle mode) ----
+    q["bm25_term"] = _bm25_query(lambda: TermQuery("merge"))
+    q["bm25_bool_and"] = _bm25_query(
+        lambda: BooleanQuery.build(must=(TermQuery("merge"), TermQuery("join")))
+    )
+    q["bm25_bool_or"] = _bm25_query(
+        lambda: BooleanQuery.build(should=(TermQuery("merge"), TermQuery("join"), TermQuery("scan")))
+    )
+    q["bm25_bool_not"] = _bm25_query(
+        lambda: BooleanQuery.build(must=(TermQuery("merge"),), must_not=(TermQuery("window"),))
+    )
+    q["bm25_bool_msm"] = _bm25_query(
+        lambda: BooleanQuery.build(
+            should=(TermQuery("merge"), TermQuery("join"), TermQuery("scan")),
+            minimum_should_match=2,
+        )
+    )
+    q["bm25_filter_clause"] = _bm25_query(
+        lambda: BooleanQuery.build(must=(TermQuery("merge"),), filter=(TermQuery("join"),))
+    )
+    q["bm25_phrase"] = _bm25_query(lambda: PhraseQuery(("order", "sort")))
+    q["bm25_synonym"] = _bm25_query(lambda: SynonymQuery(("merge", "scan")))
+
+    # ---- multi-term expansion (constant score -> exact doc sets) ----
+    def _docset(make_ast):
+        def run(spark, sf_dir):
+            s = _searcher64(spark, sf_dir)
+            return s.execute(make_ast()).select("doc_id").distinct()
+
+        return run
+
+    q["multiterm_prefix"] = _docset(lambda: PrefixQuery("sc"))
+    q["multiterm_wildcard"] = _docset(lambda: WildcardQuery("s?an*"))
+    q["multiterm_range"] = _docset(lambda: TermRangeQuery("scan", "table", True, True))
+    q["multiterm_in_set"] = _docset(lambda: TermInSetQuery(("merge", "window", "zzz")))
+
+    # ---- index statistics ----
+    def q_term_dict(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        w = Window.orderBy(F.desc("df"), F.asc("term"))
+        return (
+            idx.term_dict.select("term", "df", "ttf")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 20)
+        )
+
+    q["term_dict_top20"] = q_term_dict
+
+    def q_stats(spark, sf_dir):
+        st = _index_for(spark, sf_dir).stats
+        return spark.createDataFrame(
+            [(st.max_doc, st.doc_count, st.sum_total_term_freq, st.sum_doc_freq)],
+            schema="max_doc long, doc_count long, sum_ttf long, sum_df long",
+        )
+
+    q["collection_stats"] = q_stats
+
+    def q_norms(spark, sf_dir):
+        from lucene_kmp_spark.util.smallfloat import LENGTH_TABLE
+        from lucene_kmp_spark.index.builder import tokenize_to_tokens
+
+        docs = _docs(spark, sf_dir)
+        toks = tokenize_to_tokens(docs.select("doc_id", "text"))
+        lt = F.array(*[F.lit(int(v)) for v in LENGTH_TABLE.astype(np.int64)])
+        return (
+            toks.groupBy("doc_id")
+            .agg(F.sum("tf").alias("dl"), F.max("norm").alias("norm_byte"))
+            .filter(F.col("doc_id") < 100)
+            .select(
+                "doc_id",
+                F.col("dl").cast("long").alias("dl"),
+                F.element_at(lt, F.col("norm_byte") + 1).cast("long").alias("qdl"),
+            )
+        )
+
+    q["doc_norms"] = q_norms
+
+    def q_count(spark, sf_dir):
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+
+        s = _searcher64(spark, sf_dir)
+        return spark.createDataFrame([(s.count(TQ("merge")),)], schema="cnt long")
+
+    q["count_term"] = q_count
+
+    # ---- dedup ops ----
+    def q_dedup_exact(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        doubled = docs.select("doc_id", "text").unionByName(
+            docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        )
+        return dedup.exact_duplicate_groups(doubled)
+
+    q["dedup_exact_groups"] = q_dedup_exact
+
+    def q_minhash(spark, sf_dir):
+        return dedup.minhash_signatures(_docs(spark, sf_dir), salts=("s0", "s1", "s2", "s3"))
+
+    q["dedup_minhash_sig"] = q_minhash
+
+    def q_simhash(spark, sf_dir):
+        return dedup.simhash16(_docs(spark, sf_dir))
+
+    q["dedup_simhash"] = q_simhash
+
+    def q_jaccard(spark, sf_dir):
+        return (
+            dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
+            .select("id_a", "id_b", _q4(F.col("jaccard")).alias("jaccard"))
+        )
+
+    q["dedup_jaccard_pairs"] = q_jaccard
+
+    # ---- text analysis ----
+    def q_tokstats(spark, sf_dir):
+        return textstats.token_stats(_docs(spark, sf_dir)).filter(F.col("doc_id") < 100)
+
+    q["text_token_stats"] = q_tokstats
+
+    def q_quality(spark, sf_dir):
+        return textstats.quality_score(_docs(spark, sf_dir)).filter(F.col("doc_id") < 100)
+
+    q["text_quality"] = q_quality
+
+    def q_fingerprint(spark, sf_dir):
+        return textstats.fingerprint(_docs(spark, sf_dir)).filter(F.col("doc_id") < 100)
+
+    q["text_fingerprint"] = q_fingerprint
+
+    # ---- similarity search ----
+    def q_ann(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        scored = similarity.cosine_scores(emb.filter(F.col("vec_id") != 0), qvec).select(
+            "vec_id", F.col("cosine").alias("score")
+        )
+        w = Window.orderBy(F.desc(F.floor(F.col("score") * 10000)), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOPK)
+            .select("vec_id", _q4(F.col("score")).alias("score"), "rank")
+        )
+
+    q["ann_cosine_topk"] = q_ann
+
+    # ---- events (window/sessionization over the structured table) ----
+    def q_sessions(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = ev.withColumn("_prev", F.lag("ts").over(w)).withColumn(
+            "new_sess",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, _prev, ts)") > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        return flagged.groupBy("user_id").agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+
+    q["events_sessionize"] = q_sessions
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["bm25_term"] = _PRELUDE + "," + _sc_cte("sc0", "merge") + _rank_tail("sc0")
+
+    o["bm25_bool_and"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + ","
+        + _sc_cte("sc1", "join")
+        + """,
+total AS (
+  SELECT sc0.doc_id, sc0.s + sc1.s AS s FROM sc0 JOIN sc1 USING (doc_id)
+)"""
+        + _rank_tail("total")
+    )
+
+    o["bm25_bool_or"] = (
+        _PRELUDE
+        + ","
+        + ",".join(_sc_cte(f"sc{i}", t) for i, t in enumerate(["merge", "join", "scan"]))
+        + """,
+total AS (
+  SELECT doc_id, sum(s) AS s FROM (
+    SELECT * FROM sc0 UNION ALL SELECT * FROM sc1 UNION ALL SELECT * FROM sc2
+  ) GROUP BY doc_id
+)"""
+        + _rank_tail("total")
+    )
+
+    o["bm25_bool_not"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """,
+total AS (
+  SELECT doc_id, s FROM sc0
+  WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'window')
+)"""
+        + _rank_tail("total")
+    )
+
+    o["bm25_bool_msm"] = (
+        _PRELUDE
+        + ","
+        + ",".join(_sc_cte(f"sc{i}", t) for i, t in enumerate(["merge", "join", "scan"]))
+        + """,
+total AS (
+  SELECT doc_id, sum(s) AS s FROM (
+    SELECT * FROM sc0 UNION ALL SELECT * FROM sc1 UNION ALL SELECT * FROM sc2
+  ) GROUP BY doc_id HAVING count(*) >= 2
+)"""
+        + _rank_tail("total")
+    )
+
+    o["bm25_filter_clause"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """,
+total AS (
+  SELECT doc_id, s FROM sc0
+  WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'join')
+)"""
+        + _rank_tail("total")
+    )
+
+    o["bm25_phrase"] = (
+        _PRELUDE
+        + """,
+ph AS (
+  SELECT doc_id,
+         ((length(pad) - length(replace(pad, ' order  sort ', ''))) // length(' order  sort '))::BIGINT AS freq
+  FROM (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS pad FROM documents)
+),
+idfs AS (
+  SELECT (SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5))
+            FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'order') d, avgd a)
+       + (SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5))
+            FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'sort') d, avgd a) AS w
+),
+total AS (
+  SELECT ph.doc_id,
+         idfs.w - idfs.w / (1 + ph.freq * (1.0 / (1.2 * (0.25 + 0.75 * norm.qdl / avgd.avgdl)))) AS s
+  FROM ph JOIN norm USING (doc_id) CROSS JOIN avgd CROSS JOIN idfs
+  WHERE ph.freq > 0
+)"""
+        + _rank_tail("total")
+    )
+
+    o["bm25_synonym"] = (
+        _PRELUDE
+        + """,
+syn AS (
+  SELECT doc_id, sum(tf)::BIGINT AS tf FROM tf WHERE term IN ('merge', 'scan') GROUP BY doc_id
+),
+dfb AS (
+  SELECT greatest(
+    (SELECT count(*)::BIGINT FROM tf WHERE term = 'merge'),
+    (SELECT count(*)::BIGINT FROM tf WHERE term = 'scan')) AS df
+),
+idfb AS (SELECT ln(1 + (a.n_docs - dfb.df + 0.5) / (dfb.df + 0.5)) AS w FROM dfb, avgd a),
+total AS (
+  SELECT syn.doc_id,
+         idfb.w - idfb.w / (1 + syn.tf * (1.0 / (1.2 * (0.25 + 0.75 * norm.qdl / avgd.avgdl)))) AS s
+  FROM syn JOIN norm USING (doc_id) CROSS JOIN avgd CROSS JOIN idfb
+)"""
+        + _rank_tail("total")
+    )
+
+    # ---- multiterm doc sets ----
+    o["multiterm_prefix"] = _PRELUDE + "SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'sc%'"
+    o["multiterm_wildcard"] = (
+        _PRELUDE + "SELECT DISTINCT doc_id FROM tok WHERE regexp_full_match(term, 's.an.*')"
+    )
+    o["multiterm_range"] = (
+        _PRELUDE + "SELECT DISTINCT doc_id FROM tok WHERE term >= 'scan' AND term <= 'table'"
+    )
+    o["multiterm_in_set"] = (
+        _PRELUDE + "SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'window', 'zzz')"
+    )
+
+    # ---- stats ----
+    o["term_dict_top20"] = (
+        _PRELUDE
+        + """,
+td AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf FROM tf GROUP BY term)
+SELECT term, df, ttf, rank FROM (
+  SELECT term, df, ttf, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank FROM td
+) WHERE rank <= 20
+"""
+    )
+    o["collection_stats"] = (
+        _PRELUDE
+        + """
+SELECT (SELECT count(*)::BIGINT FROM documents) AS max_doc,
+       n_docs AS doc_count, sum_ttf,
+       (SELECT count(*)::BIGINT FROM tf) AS sum_df
+FROM nstats
+"""
+    )
+    o["doc_norms"] = (
+        _PRELUDE
+        + """
+SELECT dl.doc_id, dl.dl, norm.qdl::BIGINT AS qdl
+FROM dl JOIN norm USING (doc_id) WHERE dl.doc_id < 100
+"""
+    )
+    o["count_term"] = _PRELUDE + "SELECT count(*)::BIGINT AS cnt FROM tf WHERE term = 'merge'"
+
+    # ---- dedup ----
+    o["dedup_exact_groups"] = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT md5(text) AS digest, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS keep_id
+FROM doubled GROUP BY 1 HAVING count(*) > 1
+"""
+    o["dedup_minhash_sig"] = """
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT doc_id,
+       min(md5('s0|' || term)) AS sig0,
+       min(md5('s1|' || term)) AS sig1,
+       min(md5('s2|' || term)) AS sig2,
+       min(md5('s3|' || term)) AS sig3
+FROM tok GROUP BY doc_id
+"""
+    bit_sums = ",\n       ".join(
+        f"sum(CASE WHEN (h16 >> {k}) & 1 = 1 THEN tf ELSE -tf END) AS b{k}" for k in range(16)
+    )
+    sim_expr = " + ".join(f"(CASE WHEN b{k} >= 0 THEN {1 << k} ELSE 0 END)" for k in range(16))
+    o["dedup_simhash"] = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, CAST('0x' || substr(md5(term), 1, 4) AS BIGINT) AS h16 FROM tf),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits
+"""
+    o["dedup_jaccard_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+),
+sized AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM toks),
+ex AS (SELECT doc_id, n, unnest(ts) AS tok FROM sized),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*)::BIGINT AS i
+  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, floor(i * 1.0 / (na + nb - i) * 10000) / 10000 AS jaccard
+FROM inter WHERE i * 1.0 / (na + nb - i) >= 0.9
+"""
+
+    # ---- text analysis ----
+    o["text_token_stats"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       len(ts)::INT AS n_tokens,
+       len(list_distinct(ts))::INT AS n_distinct,
+       floor(list_sum(list_transform(ts, t -> length(t))) * 1.0 / len(ts) * 10000) / 10000 AS avg_token_len,
+       list_sum(list_transform(ts, t -> CAST(ceil(length(t) / 4.0) AS INT)))::INT AS bpe_ish_tokens
+FROM toks
+"""
+    stop_list = "['the','of','and','to','in','is','that','for','it','with','a','on']"
+    o["text_quality"] = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 100),
+m AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS n,
+         len(list_distinct(ts))::BIGINT AS nd,
+         len(list_intersect(list_distinct(ts), {stop_list}))::BIGINT AS stop_hits
+  FROM toks
+)
+SELECT doc_id,
+       floor(((CASE WHEN n >= 5 AND n <= 5000 THEN 0.4 ELSE 0.0 END)
+             + least(stop_hits * 1.0 / greatest(nd, 1) * 2, 1.0) * 0.3
+             + least(nd * 1.0 / greatest(n, 1) * 1.5, 1.0) * 0.3) * 10000) / 10000 AS quality,
+       floor(stop_hits * 1.0 / greatest(nd, 1) * 10000) / 10000 AS stopword_ratio,
+       floor(nd * 1.0 / greatest(n, 1) * 10000) / 10000 AS distinct_ratio
+FROM m
+"""
+    o["text_fingerprint"] = """
+SELECT doc_id,
+       md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ')) AS fingerprint
+FROM documents WHERE doc_id < 100
+"""
+
+    # ---- similarity ----
+    # dot products via zipped unnest + SUM in DOUBLE — duckdb's
+    # list_dot_product accumulates in float32 and drifts ~1e-5
+    o["ann_cosine_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+  FROM embeddings e, q WHERE e.vec_id != 0
+),
+dots AS (
+  SELECT vec_id, sum(a * b) AS dot, sum(a * a) AS na FROM pairs GROUP BY vec_id
+),
+qn AS (SELECT sum(b * b) AS nb FROM (SELECT unnest(qv)::DOUBLE AS b FROM q)),
+scored AS (SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS s FROM dots, qn)
+SELECT vec_id, floor(s * 10000) / 10000 AS score,
+       CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, vec_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+    # ---- events ----
+    o["events_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microseconds', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM flagged GROUP BY user_id
+"""
+    return o

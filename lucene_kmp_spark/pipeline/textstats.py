@@ -1,0 +1,98 @@
+"""Text analysis operators: token counts, quality scoring, language ID,
+document fingerprinting. Pure column expressions — no Python UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_kmp_spark.pipeline.dedup import tokens_col
+
+
+def q4(col):
+    """floor(x*1e4)/1e4 — quantization that is exact on doubles (unlike
+    round(), which can disagree across engines at half boundaries)."""
+    return F.floor(col * 10000) / 10000
+
+EN_STOPWORDS = ("the", "of", "and", "to", "in", "is", "that", "for", "it", "with", "a", "on")
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "und", "die", "ist", "mit"),
+    "es": ("el", "la", "de", "es", "con"),
+}
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_distinct, avg_token_len, bpe_ish_tokens).
+
+    bpe_ish = sum over words of ceil(len/4) — a deterministic proxy for BPE
+    token counts (real tokenizers plug in as a pandas UDF at this spot)."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("_chars"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("int")).alias(
+            "bpe_ish_tokens"
+        ),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        q4(F.col("_chars") / F.col("n_tokens")).alias("avg_token_len"),
+        "bpe_ish_tokens",
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + stopword ratio +
+    distinct ratio (a Gopher-rules-flavored filter, simplified)."""
+    toks = tokens_col(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(toks)
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)) / F.greatest(
+        F.size(F.array_distinct(toks)), F.lit(1)
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    len_ok = (n >= 5) & (n <= 5000)
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(stop_ratio * 2, F.lit(1.0)) * 0.3
+        + F.least(distinct_ratio * 1.5, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(text_col),
+        q4(score).alias("quality"),
+        q4(stop_ratio).alias("stopword_ratio"),
+        q4(distinct_ratio).alias("distinct_ratio"),
+    ).drop(text_col)
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram-free marker-word language guess (deterministic heuristic).
+
+    Picks the language whose stopword markers hit the most distinct tokens;
+    ties broken by language code ascending; no hits -> 'und'."""
+    toks = F.array_distinct(tokens_col(text_col))
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hit_cols.append(F.struct(F.size(F.array_intersect(toks, arr)).alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*hit_cols))
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical document fingerprint: md5 over the sorted distinct token set
+    (word-order/duplication insensitive — catches shuffled near-dups)."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fingerprint"),
+    )

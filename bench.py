@@ -1,0 +1,205 @@
+"""Bench harness: index-build throughput + query latency + scaling efficiency.
+
+Prints ONE JSON line:
+  {"metric": "bm25_suite", "value": <suite_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "build": {...}, "scaling": {...}}
+
+* corpus = deterministic synthetic transcripts at the sf scale
+  (north-rule input shape; byte-identical at any parallelism)
+* build throughput reported in turns/sec
+* scaling evidence per BASELINE.md: the same build+query job at local[N] and
+  local[4N] cores on the same input; efficiency = T_4N / (4 * T_N)
+  (sandbox proxy for N vs 4N executors)
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALING=0 to skip the scaling runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _session(cores: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    # build stages want >= 2x cores partitions; query-side smallness is
+    # handled by build_index(serve_partitions=...) + AQE coalescing
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.log.level", "ERROR")
+        .getOrCreate()
+    )
+
+
+def _query_set():
+    from lucene_kmp_spark.search.query import (
+        BooleanQuery,
+        FuzzyQuery,
+        PhraseQuery,
+        PrefixQuery,
+        TermInSetQuery,
+        TermQuery,
+        TermRangeQuery,
+    )
+
+    return {
+        "q_term": TermQuery("hope"),
+        "q_term_hot": TermQuery("the"),
+        "q_bool_and": BooleanQuery.build(must=(TermQuery("hope"), TermQuery("light"))),
+        "q_bool_or": BooleanQuery.build(
+            should=(TermQuery("hope"), TermQuery("faith"), TermQuery("light"))
+        ),
+        "q_bool_not": BooleanQuery.build(must=(TermQuery("hope"),), must_not=(TermQuery("the"),)),
+        "q_msm2": BooleanQuery.build(
+            should=(TermQuery("hope"), TermQuery("faith"), TermQuery("light"), TermQuery("truth")),
+            minimum_should_match=2,
+        ),
+        "q_phrase": PhraseQuery(("kingdom", "of")),
+        "q_prefix": PrefixQuery("w01"),
+        "q_range": TermRangeQuery("spark", "term"),
+        "q_in_set": TermInSetQuery(("hope", "faith", "light", "truth", "gospel")),
+        "q_fuzzy": FuzzyQuery("hope", max_edits=1),
+    }
+
+
+def run_once(
+    cores: int, sf_dir: str, time_queries: bool = True, n_convs: int | None = None, warmup: bool = False
+) -> dict:
+    """One full build+query cycle at the given parallelism. Returns metrics."""
+    spark = _session(cores)
+    try:
+        from lucene_kmp_spark.data.transcripts import synth_transcripts, transcripts_for_sf
+        from lucene_kmp_spark.index import assign_doc_ids, build_index
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        if warmup:
+            # JIT/codegen + python-worker warmup so the timed build measures
+            # steady-state throughput, not first-job compilation
+            wdocs = assign_doc_ids(synth_transcripts(spark, n_convs=50, seed=1))
+            widx = build_index(wdocs, cache=False)
+            widx.postings.count()
+
+        if n_convs is not None:
+            corpus = synth_transcripts(spark, n_convs=n_convs, seed=42)
+        else:
+            corpus = transcripts_for_sf(spark, sf_dir)
+        n_turns = corpus.count()  # materializes the generator (cheap, columnar)
+
+        t0 = time.perf_counter()
+        docs = assign_doc_ids(corpus)
+        idx = build_index(docs, text_col="text", serve_partitions=max(8, cores // 2))
+        # force full materialization of every index table
+        idx.postings.count()
+        idx.term_dict.count()
+        build_sec = time.perf_counter() - t0
+
+        out = {
+            "cores": cores,
+            "n_turns": n_turns,
+            "build_sec": round(build_sec, 3),
+            "turns_per_sec": round(n_turns / build_sec, 1),
+        }
+        if time_queries:
+            s = IndexSearcher(idx)
+            qtimes = {}
+            suite0 = time.perf_counter()
+            for name, q in _query_set().items():
+                t = time.perf_counter()
+                s.top_k(q, 10).collect()
+                qtimes[name] = round(time.perf_counter() - t, 3)
+            out["suite_sec"] = round(time.perf_counter() - suite0, 3)
+            out["queries"] = qtimes
+            lat = sorted(qtimes.values())
+            out["query_p95_sec"] = lat[max(0, int(round(0.95 * len(lat))) - 1)]
+        return out
+    finally:
+        spark.stop()
+
+
+def _scaling_subprocess(cores: int, n_convs: int) -> dict:
+    """Run one scaling measurement in a FRESH JVM (same-process reruns bias
+    toward the later run via JIT warmup — measured 1.7x)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-run", str(cores), str(n_convs)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-run":
+        cores, n_convs = int(sys.argv[2]), int(sys.argv[3])
+        res = run_once(cores, "", time_queries=False, n_convs=n_convs, warmup=True)
+        print(json.dumps(res))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+    sf = 0.1
+    for cand in ("0.001", "0.01", "0.1", "1"):
+        if f"sf{cand}" in sf_dir:
+            sf = float(cand)
+
+    main_run = run_once(cpus, sf_dir, time_queries=True)
+
+    result = {
+        "metric": "bm25_build_and_query_suite",
+        "value": main_run["suite_sec"],
+        "unit": "sec",
+        "queries": main_run["queries"],
+        "sf": sf,
+        "build": {
+            "cores": cpus,
+            "n_turns": main_run["n_turns"],
+            "build_sec": main_run["build_sec"],
+            "turns_per_sec": main_run["turns_per_sec"],
+            "query_p95_sec": main_run["query_p95_sec"],
+        },
+    }
+
+    if do_scaling:
+        # N vs 4N cores, identical input (deterministic generator), each in a
+        # fresh JVM with a warmup build; corpus sized so the build is
+        # compute-bound rather than scheduling-overhead-bound.
+        # Default pair is 2->8: on this box cores 16-32 are SMT siblings, so
+        # 8->32 measures hyperthread contention, not the engine (the pure-CPU
+        # burn ceiling for 8->32 is itself only ~0.68 — see BENCH/BASELINE.md).
+        lo_cores = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+        n_convs_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "16000"))
+        hi_cores = lo_cores * 4
+        lo = _scaling_subprocess(lo_cores, n_convs_scaling)
+        hi = _scaling_subprocess(hi_cores, n_convs_scaling)
+        result["scaling"] = {
+            "n_turns": hi["n_turns"],
+            "n_cores": lo_cores,
+            "n_turns_per_sec": lo["turns_per_sec"],
+            "4n_cores": hi_cores,
+            "4n_turns_per_sec": hi["turns_per_sec"],
+            "efficiency": round(hi["turns_per_sec"] / (4.0 * lo["turns_per_sec"]), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,17 +63,19 @@ TOKENS_SCHEMA = StructType(
         StructField("tf", IntegerType()),
         StructField("positions", ArrayType(IntegerType())),
         StructField("norm", IntegerType()),  # unsigned byte 0..255
+        StructField("is_first", IntegerType()),  # 1 on the doc's first term row
     ]
 )
 
 POSTINGS_SCHEMA = StructType(
     [
         StructField("term", StringType()),
-        StructField("block_id", IntegerType()),
+        StructField("block_id", LongType()),  # (bucket << 16) | slice — doc-order monotone
         StructField("num_docs", IntegerType()),
         StructField("min_doc_id", LongType()),
         StructField("max_doc_id", LongType()),
         StructField("max_tf", IntegerType()),
+        StructField("tf_sum", LongType()),
         StructField("doc_ids_enc", BinaryType()),
         StructField("freqs_enc", BinaryType()),
         StructField("norms_enc", BinaryType()),
@@ -94,7 +96,7 @@ def tokenize_to_tokens(
 
     def gen(batches):
         for pdf in batches:
-            out_doc, out_term, out_tf, out_pos, out_norm = [], [], [], [], []
+            out_doc, out_term, out_tf, out_pos, out_norm, out_first = [], [], [], [], [], []
             for doc_id, text in zip(pdf["doc_id"].values, pdf[text_col].values):
                 if text is None:
                     continue
@@ -105,12 +107,15 @@ def tokenize_to_tokens(
                 acc: dict[str, list[int]] = {}
                 for t, p in zip(terms, positions):
                     acc.setdefault(t, []).append(p)
+                first = 1
                 for t, plist in acc.items():
                     out_doc.append(doc_id)
                     out_term.append(t)
                     out_tf.append(len(plist))
                     out_pos.append(plist)
                     out_norm.append(norm)
+                    out_first.append(first)
+                    first = 0
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_doc, dtype="int64"),
@@ -118,6 +123,7 @@ def tokenize_to_tokens(
                     "tf": pd.Series(out_tf, dtype="int32"),
                     "positions": pd.Series(out_pos, dtype="object"),
                     "norm": pd.Series(out_norm, dtype="int32"),
+                    "is_first": pd.Series(out_first, dtype="int32"),
                 }
             )
 
@@ -142,70 +148,128 @@ def _competitive_impacts(tfs: np.ndarray, norms: np.ndarray):
     return out_t, out_n
 
 
-def _encode_blocks(batches):
-    for pdf in batches:
-        rows = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}
-        for term, block_id, entries in zip(
-            pdf["term"].values, pdf["block_id"].values, pdf["entries"].values
-        ):
-            doc_ids = np.array([e["doc_id"] for e in entries], dtype=np.int64)
-            order = np.argsort(doc_ids, kind="stable")
-            doc_ids = doc_ids[order]
-            tfs = np.array([e["tf"] for e in entries], dtype=np.int64)[order]
-            norms = np.array([e["norm"] for e in entries], dtype=np.int64)[order]
-            pos_lists = [entries[i]["positions"] for i in order.tolist()]
-            # positions: per-doc delta encoding, concatenated (split by freqs at decode)
-            flat = []
-            for pl in pos_lists:
-                prev = 0
-                for p in pl:
-                    flat.append(p - prev)
-                    prev = p
-            it, inorm = _competitive_impacts(tfs, norms)
-            rows["term"].append(term)
-            rows["block_id"].append(int(block_id))
-            rows["num_docs"].append(len(doc_ids))
-            rows["min_doc_id"].append(int(doc_ids[0]))
-            rows["max_doc_id"].append(int(doc_ids[-1]))
-            rows["max_tf"].append(int(tfs.max()))
-            rows["doc_ids_enc"].append(delta_encode(doc_ids))
-            rows["freqs_enc"].append(varint_encode(tfs))
-            rows["norms_enc"].append(norms.astype(np.uint8).tobytes())
-            rows["positions_enc"].append(varint_encode(np.array(flat, dtype=np.int64)))
-            rows["impact_tfs"].append(it)
-            rows["impact_norms"].append(inorm)
-        yield pd.DataFrame(rows)
+def _encode_group(rows, term, bucket, doc_ids, tfs, norms, pos_lists):
+    """Slice one sorted (term, bucket) posting run into <=128-doc blocks and
+    encode them. block_id = (bucket << 16) | slice — monotone in doc order."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.int64)
+    n = len(doc_ids)
+    for j, start in enumerate(range(0, n, BLOCK_SIZE)):
+        end = min(start + BLOCK_SIZE, n)
+        d, t_, nm = doc_ids[start:end], tfs[start:end], norms[start:end]
+        flat = []
+        for pl in pos_lists[start:end]:
+            prev = 0
+            for p in pl:
+                flat.append(p - prev)
+                prev = p
+        it, inorm = _competitive_impacts(t_, nm)
+        rows["term"].append(term)
+        rows["block_id"].append((int(bucket) << 16) | j)
+        rows["num_docs"].append(end - start)
+        rows["min_doc_id"].append(int(d[0]))
+        rows["max_doc_id"].append(int(d[-1]))
+        rows["max_tf"].append(int(t_.max()))
+        rows["tf_sum"].append(int(t_.sum()))
+        rows["doc_ids_enc"].append(delta_encode(d))
+        rows["freqs_enc"].append(varint_encode(t_))
+        rows["norms_enc"].append(nm.astype(np.uint8).tobytes())
+        rows["positions_enc"].append(varint_encode(np.array(flat, dtype=np.int64)))
+        rows["impact_tfs"].append(it)
+        rows["impact_norms"].append(inorm)
 
 
 def build_postings(tokens: DataFrame, skew_safe: bool = True) -> DataFrame:
-    """tokens -> blocked postings. ``skew_safe`` selects the bucketed two-stage
-    global rank (required at scale); ``False`` uses a plain per-term window
-    (single reducer per term — test-scale only, used for equivalence tests)."""
-    if skew_safe:
-        t = tokens.withColumn("bucket", F.shiftright("doc_id", BUCKET_BITS))
-        counts = t.groupBy("term", "bucket").agg(F.count("*").alias("c"))
-        w = Window.partitionBy("term").orderBy("bucket")
-        offsets = counts.withColumn(
-            "base", F.sum("c").over(w) - F.col("c")
-        ).drop("c")
-        local_w = Window.partitionBy("term", "bucket").orderBy("doc_id")
-        ranked = (
-            t.join(offsets, ["term", "bucket"])
-            .withColumn("grank", F.col("base") + F.row_number().over(local_w) - 1)
-            .drop("bucket", "base")
-        )
-    else:
+    """tokens -> blocked postings in ONE shuffle + one Arrow pass.
+
+    Layout: hash-repartition by (term, bucket=doc_id>>13) — the salted-term
+    shuffle that bounds any reducer's share of a hot term to 8,192 docs —
+    then sort within partitions and stream-slice each (term, bucket) run
+    into <=128-doc encoded blocks. A term's postings are MANY rows, never one
+    giant row, so 'the' at 10^12 docs is ~10^8 independent block rows spread
+    across the cluster. (``skew_safe=False`` keeps a per-term window variant
+    — single reducer per term — used only to cross-check equivalence.)"""
+    if not skew_safe:
         w = Window.partitionBy("term").orderBy("doc_id")
         ranked = tokens.withColumn("grank", F.row_number().over(w) - 1)
-
-    blocks = (
-        ranked.withColumn("block_id", (F.col("grank") / BLOCK_SIZE).cast("int"))
-        .groupBy("term", "block_id")
-        .agg(
-            F.collect_list(F.struct("doc_id", "tf", "norm", "positions")).alias("entries")
+        blocks = (
+            ranked.withColumn("bucket", F.lit(0))
+            .withColumn("slice", (F.col("grank") / BLOCK_SIZE).cast("long"))
+            .groupBy("term", "slice")
+            .agg(F.collect_list(F.struct("doc_id", "tf", "norm", "positions")).alias("entries"))
         )
+
+        def gen_simple(batches):
+            for pdf in batches:
+                rows = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}
+                for term, sl, entries in zip(
+                    pdf["term"].values, pdf["slice"].values, pdf["entries"].values
+                ):
+                    entries = sorted(entries, key=lambda e: e["doc_id"])
+                    _encode_group(
+                        rows,
+                        term,
+                        0,
+                        [e["doc_id"] for e in entries],
+                        [e["tf"] for e in entries],
+                        [e["norm"] for e in entries],
+                        [e["positions"] for e in entries],
+                    )
+                    rows["block_id"][-1] = int(sl)  # dense block numbering
+                yield pd.DataFrame(rows)
+
+        return blocks.mapInPandas(gen_simple, schema=POSTINGS_SCHEMA)
+
+    parted = (
+        tokens.withColumn("bucket", F.shiftright("doc_id", BUCKET_BITS))
+        .repartition("term", "bucket")
+        .sortWithinPartitions("term", "bucket", "doc_id")
     )
-    return blocks.mapInPandas(_encode_blocks, schema=POSTINGS_SCHEMA)
+
+    def gen(batches):
+        cur_key = None
+        cur = None  # (doc_ids, tfs, norms, pos_lists)
+
+        def flush(rows):
+            nonlocal cur_key, cur
+            if cur_key is not None and cur[0]:
+                _encode_group(rows, cur_key[0], cur_key[1], *cur)
+            cur_key, cur = None, None
+
+        for pdf in batches:
+            rows = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}
+            terms = pdf["term"].values
+            buckets = pdf["bucket"].values
+            doc_ids = pdf["doc_id"].values
+            tfs = pdf["tf"].values
+            norms = pdf["norm"].values
+            poss = pdf["positions"].values
+            # group-change boundaries (sorted input)
+            n = len(pdf)
+            i = 0
+            while i < n:
+                key = (terms[i], int(buckets[i]))
+                j = i + 1
+                while j < n and terms[j] == key[0] and int(buckets[j]) == key[1]:
+                    j += 1
+                if cur_key is not None and key != cur_key:
+                    flush(rows)
+                if cur_key is None:
+                    cur_key, cur = key, ([], [], [], [])
+                cur[0].extend(doc_ids[i:j].tolist())
+                cur[1].extend(tfs[i:j].tolist())
+                cur[2].extend(norms[i:j].tolist())
+                cur[3].extend(list(poss[i:j]))
+                i = j
+            if rows["term"]:
+                yield pd.DataFrame(rows)
+        rows = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}
+        flush(rows)
+        if rows["term"]:
+            yield pd.DataFrame(rows)
+
+    return parted.mapInPandas(gen, schema=POSTINGS_SCHEMA)
 
 
 @dataclass
@@ -243,6 +307,13 @@ class InvertedIndex:
     key_cols: tuple = ("doc_id",)
     extra: dict = field(default_factory=dict)
 
+    def unpersist(self):
+        for df in (self.postings, self.term_dict):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
     def write(self, path: str):
         self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
         self.postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
@@ -278,31 +349,49 @@ def build_index(
     stop_words: tuple[str, ...] = (),
     skew_safe: bool = True,
     cache: bool = True,
+    cache_tokens: bool = True,
+    serve_partitions: int | None = None,
 ) -> InvertedIndex:
     """Build an InvertedIndex from a DataFrame that already has a ``doc_id``
-    column (use ``assign_doc_ids`` first for keyed corpora)."""
+    column (use ``assign_doc_ids`` first for keyed corpora).
+
+    Parallelism split: the BUILD runs at ``spark.sql.shuffle.partitions``
+    (size to input bytes / 128MB, or ≥2x cores); the finished index tables are
+    coalesced to ``serve_partitions`` before caching so each query UDF stage
+    launches few tasks over the (much smaller) index — big task counts on
+    small index tables just multiply Python worker startup."""
     spark = docs_with_ids.sparkSession
     max_doc = docs_with_ids.count()
 
+    # tokens are NOT cached by default: the raw token stream (with position
+    # arrays) is the largest intermediate, and caching it costs more in
+    # memory pressure than the one extra (perfectly parallel) tokenize pass
+    # the doc_count computation needs
     tokens = tokenize_to_tokens(docs_with_ids, text_col=text_col, stop_words=stop_words)
-    if cache:
+    if cache_tokens:
         tokens = tokens.persist()
 
-    term_dict = tokens.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").alias("ttf"),
-    )
     postings = build_postings(tokens, skew_safe=skew_safe)
+    if serve_partitions:
+        postings = postings.coalesce(serve_partitions)
     if cache:
-        term_dict = term_dict.persist()
         postings = postings.persist()
 
+    # term_dict + collection stats derive from BLOCK METADATA (tiny), not a
+    # second shuffle over raw tokens (codecs/lucene90/blocktree per-term stats)
+    term_dict = postings.groupBy("term").agg(
+        F.sum("num_docs").alias("df"),
+        F.sum("tf_sum").alias("ttf"),
+    )
+    if cache:
+        term_dict = term_dict.persist()
     agg = term_dict.agg(
         F.sum("df").alias("sum_df"),
         F.sum("ttf").alias("sum_ttf"),
         F.count("*").alias("num_terms"),
     ).collect()[0]
-    doc_count = tokens.select("doc_id").distinct().count()
+    # docs with >=1 indexed term: narrow count over the per-doc marker rows
+    doc_count = tokens.filter(F.col("is_first") == 1).count()
 
     stats = IndexStats(
         max_doc=max_doc,
@@ -311,7 +400,7 @@ def build_index(
         sum_doc_freq=int(agg["sum_df"] or 0),
         num_terms=int(agg["num_terms"] or 0),
     )
-    if cache:
+    if cache_tokens:
         tokens.unpersist()
     return InvertedIndex(
         spark=spark,

@@ -1,0 +1,303 @@
+"""Segmented, incremental index: the IndexWriter/commit/merge machinery.
+
+Reference analogs (SURVEY.md §2.2, §3.2):
+
+* ``SegmentedIndexWriter.add_batch``   — IndexWriter.addDocuments
+  (``index/IndexWriter.kt:1239,1276``): each batch becomes an immutable
+  segment directory; docIDs continue from the current docBase (global,
+  never remapped — simpler than ``index/DocIDMerger.kt``)
+* ``delete_by_keys`` / ``update_batch`` — deleteDocuments / updateDocument
+  (``index/IndexWriter.kt:1591,1641``): deletes are a side table of docIDs
+  anti-joined at query time (the liveDocs bitset of
+  ``codecs/lucene90/Lucene90LiveDocsFormat.kt``); updates = delete + add
+* ``commit``                            — ``segments_N`` generation files
+  (``index/SegmentInfos.kt:35-45,93``): manifest.json written atomically
+  (tmp + rename), one generation per mutation; readers pin a generation
+  (Iceberg-snapshot semantics; Iceberg jars aren't in this container, so
+  parquet dirs + a JSON manifest play the role of the table format)
+* ``maybe_merge``                       — TieredMergePolicy
+  (``index/TieredMergePolicy.kt:60-91``): same constants (10 segments/tier,
+  16 MB floor, 5 GB cap); merged postings are rebuilt through the standard
+  build pipeline, so every invariant (128-doc blocks, impacts, encodings)
+  holds by construction
+* collection stats aggregate across segments and INCLUDE deleted docs until
+  they are merged away — exactly Lucene's behavior (deleted docs still count
+  in ``CollectionStatistics`` until segments rewrite).
+
+Per-segment lineage + metrics (docs indexed, postings rows, bytes) are
+recorded in the manifest — the north rule's checkpoint/resumability story:
+``add_batch`` is idempotent per ``batch_key`` (a re-run of an already
+committed batch is a no-op).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_kmp_spark.index.builder import IndexStats, InvertedIndex, build_index
+
+SEGMENTS_PER_TIER = 10          # TieredMergePolicy.kt:75-76
+FLOOR_SEGMENT_BYTES = 16 << 20  # TieredMergePolicy.kt:68
+MAX_MERGED_BYTES = 5 << 30      # TieredMergePolicy.kt:66
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+class SegmentedIndexWriter:
+    """Append/delete/update over a directory of immutable segments."""
+
+    def __init__(self, spark: SparkSession, root: str, key_cols=("conv_id", "turn_idx"), text_col="text"):
+        self.spark = spark
+        self.root = root
+        self.key_cols = tuple(key_cols)
+        self.text_col = text_col
+        os.makedirs(os.path.join(root, "segments"), exist_ok=True)
+        if not os.path.exists(self._manifest_path()):
+            self._write_manifest({"generation": 0, "segments": [], "deletes": [], "batches": {}})
+
+    # ------------------------------------------------------------- manifest
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def manifest(self) -> dict:
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict):
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic commit (segments_N analog)
+
+    @property
+    def max_doc(self) -> int:
+        return sum(s["n_docs"] for s in self.manifest()["segments"])
+
+    def _next_doc_base(self) -> int:
+        m = self.manifest()
+        return max((s["doc_base"] + s["n_docs"] for s in m["segments"]), default=0)
+
+    # ------------------------------------------------------------ mutations
+    def add_batch(self, df: DataFrame, batch_key: str | None = None) -> dict | None:
+        """Index a batch of turns as one new segment. Idempotent per
+        batch_key (checkpoint/resume: replaying a committed batch is a no-op).
+        Returns the segment lineage record."""
+        m = self.manifest()
+        if batch_key is not None and batch_key in m["batches"]:
+            return None
+        doc_base = self._next_doc_base()
+        ordered = df.orderBy(*self.key_cols)
+        from lucene_kmp_spark.index.docids import assign_doc_ids
+
+        with_ids = assign_doc_ids(ordered, key_cols=self.key_cols).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(doc_base)
+        )
+        n_docs = with_ids.count()
+        idx = build_index(with_ids, text_col=self.text_col, cache=True)
+        seg_id = f"seg-{len(m['segments']):05d}-{m['generation']:05d}"
+        seg_path = os.path.join(self.root, "segments", seg_id)
+        idx.write(seg_path)
+        record = {
+            "id": seg_id,
+            "doc_base": doc_base,
+            "n_docs": n_docs,
+            "stats": idx.stats.to_dict(),
+            "bytes": _dir_bytes(seg_path),
+            "created_at": time.time(),
+            "batch_key": batch_key,
+            "metrics": {
+                "docs_indexed": n_docs,
+                "postings_rows": idx.postings.count(),
+                "terms": idx.stats.num_terms,
+            },
+        }
+        m = self.manifest()
+        m["segments"].append(record)
+        m["generation"] += 1
+        if batch_key is not None:
+            m["batches"][batch_key] = seg_id
+        self._write_manifest(m)
+        idx.unpersist()
+        return record
+
+    def delete_by_keys(self, keys: DataFrame):
+        """Buffered deletes by (key_cols): resolved to docIDs now, applied at
+        query time via anti-join; physically purged at merge."""
+        reader = self.reader()
+        doc_ids = reader.index.docs.join(keys, list(self.key_cols), "left_semi").select("doc_id")
+        self._append_deletes(doc_ids)
+
+    def delete_by_query(self, query):
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        reader = self.reader()
+        s = IndexSearcher(reader.index)
+        doc_ids = s._doc_set(query)
+        self._append_deletes(doc_ids)
+
+    def _append_deletes(self, doc_ids: DataFrame):
+        m = self.manifest()
+        gen = m["generation"]
+        path = os.path.join(self.root, "deletes", f"del-{gen:05d}")
+        doc_ids.select("doc_id").write.mode("overwrite").parquet(path)
+        m["deletes"].append({"path": path, "generation": gen})
+        m["generation"] += 1
+        self._write_manifest(m)
+
+    def update_batch(self, df: DataFrame, batch_key: str | None = None):
+        """updateDocument semantics (IndexWriter.kt:1641): delete-by-key the
+        incoming keys, then add — atomic at the manifest level."""
+        self.delete_by_keys(df.select(*self.key_cols).distinct())
+        return self.add_batch(df, batch_key=batch_key)
+
+    # --------------------------------------------------------------- reader
+    def reader(self) -> "SegmentedReader":
+        return SegmentedReader(self.spark, self.root, self.manifest(), self.text_col, self.key_cols)
+
+    # ---------------------------------------------------------------- merge
+    def find_merges(self) -> list[list[dict]]:
+        """TieredMergePolicy-flavored selection: bucket segments into size
+        tiers (floored at 16 MB); any tier with > SEGMENTS_PER_TIER members
+        yields a merge of its smallest SEGMENTS_PER_TIER, capped at 5 GB."""
+        m = self.manifest()
+        import math
+
+        tiers: dict[int, list[dict]] = {}
+        for s in m["segments"]:
+            size = max(s["bytes"], FLOOR_SEGMENT_BYTES)
+            tier = int(math.log2(size / FLOOR_SEGMENT_BYTES)) if size > FLOOR_SEGMENT_BYTES else 0
+            tiers.setdefault(tier, []).append(s)
+        merges = []
+        for _tier, segs in sorted(tiers.items()):
+            if len(segs) > SEGMENTS_PER_TIER:
+                segs = sorted(segs, key=lambda s: s["bytes"])
+                chosen, total = [], 0
+                for s in segs:
+                    if len(chosen) >= SEGMENTS_PER_TIER or total + s["bytes"] > MAX_MERGED_BYTES:
+                        break
+                    chosen.append(s)
+                    total += s["bytes"]
+                if len(chosen) >= 2:
+                    merges.append(chosen)
+        return merges
+
+    def merge(self, segments: list[dict]) -> dict:
+        """k-way segment merge: docIDs are already global and disjoint, so the
+        merge is re-indexing the union of live docs through the standard
+        build pipeline (union + regroup; no docID remap)."""
+        ids = {s["id"] for s in segments}
+        m = self.manifest()
+        live_docs = None
+        for s in m["segments"]:
+            if s["id"] not in ids:
+                continue
+            seg_docs = self.spark.read.parquet(os.path.join(self.root, "segments", s["id"], "docs"))
+            live_docs = seg_docs if live_docs is None else live_docs.unionByName(seg_docs)
+        deleted = self._deletes_df()
+        if deleted is not None:
+            live_docs = live_docs.join(deleted, "doc_id", "left_anti")  # physical purge
+        idx = build_index(live_docs, text_col=self.text_col, cache=True)
+        seg_id = f"seg-merged-{m['generation']:05d}"
+        seg_path = os.path.join(self.root, "segments", seg_id)
+        idx.write(seg_path)
+        idx.unpersist()
+        n_docs = live_docs.count()
+        doc_base = min(s["doc_base"] for s in segments)
+        record = {
+            "id": seg_id,
+            "doc_base": doc_base,
+            "n_docs": n_docs,
+            "stats": idx.stats.to_dict(),
+            "bytes": _dir_bytes(seg_path),
+            "created_at": time.time(),
+            "batch_key": None,
+            "metrics": {"merged_from": sorted(ids), "docs_indexed": n_docs},
+        }
+        m = self.manifest()
+        m["segments"] = [s for s in m["segments"] if s["id"] not in ids] + [record]
+        m["generation"] += 1
+        self._write_manifest(m)
+        return record
+
+    def maybe_merge(self) -> list[dict]:
+        done = []
+        for group in self.find_merges():
+            done.append(self.merge(group))
+        return done
+
+    def _deletes_df(self) -> DataFrame | None:
+        m = self.manifest()
+        if not m["deletes"]:
+            return None
+        out = None
+        for d in m["deletes"]:
+            df = self.spark.read.parquet(d["path"])
+            out = df if out is None else out.unionByName(df)
+        return out.distinct()
+
+
+class SegmentedReader:
+    """Point-in-time composite reader over a manifest generation
+    (``index/DirectoryReader.kt`` / ``BaseCompositeReader.kt``)."""
+
+    def __init__(self, spark, root, manifest, text_col, key_cols):
+        self.generation = manifest["generation"]
+        segs = manifest["segments"]
+        docs = postings = term_dict = None
+        max_doc = doc_count = sum_ttf = sum_df = 0
+        for s in segs:
+            base = os.path.join(root, "segments", s["id"])
+            d = spark.read.parquet(os.path.join(base, "docs"))
+            p = spark.read.parquet(os.path.join(base, "postings")).withColumn(
+                "segment_id", F.lit(s["id"])
+            )
+            t = spark.read.parquet(os.path.join(base, "term_dict"))
+            docs = d if docs is None else docs.unionByName(d)
+            postings = p if postings is None else postings.unionByName(p)
+            term_dict = t if term_dict is None else term_dict.unionByName(t)
+            st = s["stats"]
+            max_doc += st["max_doc"]
+            doc_count += st["doc_count"]
+            sum_ttf += st["sum_total_term_freq"]
+            sum_df += st["sum_doc_freq"]
+        if docs is None:
+            raise ValueError("empty index: no segments committed yet")
+        term_dict = term_dict.groupBy("term").agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        num_terms = term_dict.count()
+        self.index = InvertedIndex(
+            spark=spark,
+            field_name=text_col,
+            docs=docs,
+            postings=postings,
+            term_dict=term_dict.persist(),
+            stats=IndexStats(max_doc, doc_count, sum_ttf, sum_df, num_terms),
+            key_cols=tuple(key_cols),
+        )
+        # liveDocs: deletes anti-joined at query time
+        deletes = manifest["deletes"]
+        self.deleted: DataFrame | None = None
+        if deletes:
+            out = None
+            for dd in deletes:
+                df = spark.read.parquet(dd["path"])
+                out = df if out is None else out.unionByName(df)
+            self.deleted = out.distinct().persist()
+
+    def searcher(self, **kw):
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        return IndexSearcher(self.index, live_filter=self.deleted, **kw)

@@ -99,11 +99,23 @@ class TermStats:
 class IndexSearcher:
     """Point-in-time searcher over an InvertedIndex (``search/IndexSearcher.kt``)."""
 
-    def __init__(self, index: InvertedIndex, k1: float = 1.2, b: float = 0.75, dtype=np.float32):
+    def __init__(
+        self,
+        index: InvertedIndex,
+        k1: float = 1.2,
+        b: float = 0.75,
+        dtype=np.float32,
+        live_filter: DataFrame | None = None,
+    ):
         self.index = index
         self.k1 = k1
         self.b = b
         self.dtype = dtype
+        # deleted docIDs anti-joined on every result (liveDocs bitset analog,
+        # codecs/lucene90/Lucene90LiveDocsFormat.kt); stats intentionally
+        # still include deleted docs until merge, like Lucene
+        self.live_filter = live_filter
+        self._stats_cache: dict[str, TermStats | None] = {}
         s = index.stats
         self.avgdl = bm25.avg_field_length(s.sum_total_term_freq, s.doc_count, dtype)
         # per-norm-byte cache is term-independent (BM25Similarity.kt:161-165)
@@ -112,43 +124,72 @@ class IndexSearcher:
 
         self.cache = one / (k1_ * ((one - b_) + b_ * LENGTH_TABLE.astype(dtype) / self.avgdl))
 
+    def _live(self, df: DataFrame) -> DataFrame:
+        if self.live_filter is not None:
+            return df.join(self.live_filter, "doc_id", "left_anti")
+        return df
+
     # ------------------------------------------------------------------ stats
     def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
-        if not terms:
-            return {}
-        rows = (
-            self.index.term_dict.filter(F.col("term").isin(list(set(terms))))
-            .select("term", "df", "ttf")
-            .collect()
-        )
-        return {r["term"]: TermStats(int(r["df"]), int(r["ttf"])) for r in rows}
+        """Per-term (df, ttf). One driver-side lookup per search — terms are
+        prefetched for the whole query tree by ``execute`` (the Spark analog
+        of createWeight resolving TermStates once, IndexSearcher.kt:912-919)."""
+        want = set(terms)
+        missing = want - set(self._stats_cache)
+        if missing:
+            rows = (
+                self.index.term_dict.filter(F.col("term").isin(list(missing)))
+                .select("term", "df", "ttf")
+                .collect()
+            )
+            for r in rows:
+                self._stats_cache[r["term"]] = TermStats(int(r["df"]), int(r["ttf"]))
+            for t in missing:
+                self._stats_cache.setdefault(t, None)
+        return {t: s for t, s in ((t, self._stats_cache.get(t)) for t in want) if s is not None}
 
     def _weight(self, term_df: int, boost: float):
         dt = self.dtype
         return dt(dt(boost) * bm25.idf(term_df, self.index.stats.doc_count, dt))
 
     # --------------------------------------------------------------- scoring
-    def _scored_terms_df(self, boosts: dict[str, float], stats=None) -> DataFrame:
-        """(term, doc_id, tf, score) for every posting of the given terms."""
+    def _scored_terms_df(
+        self, boosts: dict[str, float], stats=None, postings_rows: DataFrame | None = None
+    ) -> DataFrame:
+        """(term, doc_id, tf, score) for every posting of the given terms.
+
+        ``postings_rows`` restricts decoding to a block subset (the WAND
+        pruned path); default scans all blocks of the terms."""
         if stats is None:
             stats = self.term_stats(list(boosts))
-        weights = {t: float(self._weight(st.df, boosts[t])) for t, st in stats.items()}
+        weights = {t: float(self._weight(st.df, boosts[t])) for t, st in stats.items() if t in boosts}
         if not weights:
             return self._empty_scored()
         cache = self.cache
         dt = self.dtype
-        rows = self.index.postings.filter(F.col("term").isin(list(weights)))
+        base = (
+            postings_rows
+            if postings_rows is not None
+            else self.index.postings.filter(F.col("term").isin(list(weights)))
+        )
+        rows = base.select("term", "doc_ids_enc", "freqs_enc", "norms_enc")
 
         def gen(batches):
+            from lucene_kmp_spark.util.packing import delta_decode, varint_decode
+
             for pdf in batches:
                 outs = {"term": [], "doc_id": [], "tf": [], "score": []}
-                for i in range(len(pdf)):
-                    row = pdf.iloc[i]
-                    doc_ids, tfs, norms = _decode_block(row)
-                    w = dt(weights[row["term"]])
+                for term, de, fe, ne in zip(
+                    pdf["term"].values, pdf["doc_ids_enc"].values,
+                    pdf["freqs_enc"].values, pdf["norms_enc"].values,
+                ):
+                    doc_ids = delta_decode(bytes(de))
+                    tfs = varint_decode(bytes(fe))
+                    norms = np.frombuffer(bytes(ne), dtype=np.uint8)
+                    w = dt(weights[term])
                     ni = cache[norms.astype(np.int64)]
                     sc = w - w / (dt(1) + tfs.astype(dt) * ni)
-                    outs["term"].append(np.repeat(row["term"], len(doc_ids)))
+                    outs["term"].append(np.repeat(term, len(doc_ids)))
                     outs["doc_id"].append(doc_ids)
                     outs["tf"].append(tfs)
                     outs["score"].append(sc.astype(np.float64))
@@ -171,23 +212,35 @@ class IndexSearcher:
         """(term, doc_id, tf, norm, positions) — the POSITIONS postings view."""
         from lucene_kmp_spark.util.packing import varint_decode
 
-        rows = self.index.postings.filter(F.col("term").isin(list(set(terms))))
+        rows = self.index.postings.filter(F.col("term").isin(list(set(terms)))).select(
+            "term", "doc_ids_enc", "freqs_enc", "norms_enc", "positions_enc"
+        )
 
         def gen(batches):
+            from lucene_kmp_spark.util.packing import delta_decode
+
             for pdf in batches:
                 recs = {"term": [], "doc_id": [], "tf": [], "norm": [], "positions": []}
-                for i in range(len(pdf)):
-                    row = pdf.iloc[i]
-                    doc_ids, tfs, norms = _decode_block(row)
-                    deltas = varint_decode(bytes(row["positions_enc"]))
-                    starts = np.cumsum(tfs) - tfs
-                    for j in range(len(doc_ids)):
-                        d = deltas[starts[j] : starts[j] + tfs[j]]
-                        recs["term"].append(row["term"])
-                        recs["doc_id"].append(int(doc_ids[j]))
-                        recs["tf"].append(int(tfs[j]))
-                        recs["norm"].append(int(norms[j]))
-                        recs["positions"].append(np.cumsum(d).astype(np.int32).tolist())
+                for term, de, fe, ne, pe in zip(
+                    pdf["term"].values, pdf["doc_ids_enc"].values, pdf["freqs_enc"].values,
+                    pdf["norms_enc"].values, pdf["positions_enc"].values,
+                ):
+                    doc_ids = delta_decode(bytes(de))
+                    tfs = varint_decode(bytes(fe))
+                    norms = np.frombuffer(bytes(ne), dtype=np.uint8)
+                    deltas = varint_decode(bytes(pe))
+                    # per-doc position lists: global cumsum, re-based per doc
+                    cs = np.cumsum(deltas)
+                    ends = np.cumsum(tfs)
+                    starts = ends - tfs
+                    before = cs[starts] - deltas[starts]
+                    pos_all = cs - np.repeat(before, tfs)
+                    splits = np.split(pos_all.astype(np.int32), ends[:-1])
+                    recs["term"].extend([term] * len(doc_ids))
+                    recs["doc_id"].extend(doc_ids.tolist())
+                    recs["tf"].extend(tfs.tolist())
+                    recs["norm"].extend(norms.tolist())
+                    recs["positions"].extend([s.tolist() for s in splits])
                 yield pd.DataFrame(recs)
 
         return rows.mapInPandas(gen, schema=_POS_SCHEMA)
@@ -242,7 +295,8 @@ class IndexSearcher:
     def execute(self, q: Query) -> DataFrame:
         """Full match set with scores: DataFrame(doc_id long, score double)."""
         q = rewrite_query(q)
-        return self._exec(q)
+        self.term_stats(list(_collect_terms(q)))  # one stats lookup per search
+        return self._live(self._exec(q))
 
     def _exec(self, q: Query) -> DataFrame:
         if isinstance(q, TermQuery):
@@ -371,25 +425,32 @@ class IndexSearcher:
         w = dt(dt(q.boost) * dt(idf_sum))
         cache = self.cache
 
-        pos = self._positions_df(list(set(terms)))
+        # decode each term's blocks once (postings filter pushes the term
+        # predicate into the scan), join rarest-first on doc_id
+        uniq = list(dict.fromkeys(terms))
+        order = sorted(uniq, key=lambda t: stats[t].df)
+        per_term = {}
+        for t in order:
+            cols = ["doc_id", F.col("positions").alias(f"_pos_{uniq.index(t)}")]
+            if t == order[0]:
+                cols.append("norm")
+            per_term[t] = self._positions_df([t]).select(*cols)
         joined = None
-        for i, t in enumerate(terms):
-            p = pos.filter(F.col("term") == t).select(
-                "doc_id",
-                F.col("positions").alias(f"p{i}"),
-                *( [F.col("norm").alias("norm")] if i == 0 else [] ),
-            )
-            joined = p if joined is None else joined.join(p, "doc_id")
+        for t in order:
+            joined = per_term[t] if joined is None else joined.join(per_term[t], "doc_id")
 
         n = len(terms)
         slop = q.slop
+        pos_cols = [f"_pos_{uniq.index(t)}" for t in terms]
 
         def gen(batches):
             for pdf in batches:
                 out_doc, out_score = [], []
-                for r in range(len(pdf)):
-                    row = pdf.iloc[r]
-                    plists = [np.asarray(row[f"p{i}"], dtype=np.int64) for i in range(n)]
+                col_vals = [pdf[c].values for c in pos_cols]
+                for doc_id, norm, *plists_raw in zip(
+                    pdf["doc_id"].values, pdf["norm"].values, *col_vals
+                ):
+                    plists = [np.asarray(p, dtype=np.int64) for p in plists_raw]
                     if slop == 0:
                         base0 = plists[0]
                         ok = np.ones(len(base0), dtype=bool)
@@ -399,9 +460,9 @@ class IndexSearcher:
                     else:
                         freq = _sloppy_freq(plists, slop)
                     if freq > 0:
-                        ni = cache[int(row["norm"]) & 0xFF]
+                        ni = cache[int(norm) & 0xFF]
                         sc = w - w / (dt(1) + dt(freq) * ni)
-                        out_doc.append(int(row["doc_id"]))
+                        out_doc.append(int(doc_id))
                         out_score.append(float(sc))
                 yield pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
                                     "score": pd.Series(out_score, dtype="float64")})
@@ -448,11 +509,34 @@ class IndexSearcher:
         return 1 << 60
 
     # ----------------------------------------------------------------- top-k
-    def top_k(self, q: Query, k: int = 10, hydrate: bool = False) -> DataFrame:
+    def _wand_boosts(self, q: Query) -> dict[str, float] | None:
+        """Terms+boosts if q is WAND-prunable: a TermQuery, or a SHOULD-only
+        BooleanQuery of TermQueries with minimumShouldMatch <= 1
+        (BooleanScorerSupplier.kt:472-481 trigger conditions)."""
+        q = rewrite_query(q)
+        if isinstance(q, TermQuery):
+            return {q.term: q.boost}
+        if isinstance(q, BooleanQuery) and q.minimum_should_match <= 1 and q.boost == 1.0:
+            if all(c.occur == Occur.SHOULD and isinstance(c.query, TermQuery) for c in q.clauses):
+                out: dict[str, float] = {}
+                for c in q.clauses:
+                    # duplicate SHOULD terms merge by summing boosts (BooleanQuery.kt:290-438)
+                    out[c.query.term] = out.get(c.query.term, 0.0) + c.query.boost
+                return out
+        return None
+
+    def top_k(self, q: Query, k: int = 10, hydrate: bool = False, prune: bool = False) -> DataFrame:
         """TopScoreDocCollector analog: score desc, docID asc on ties
         (HitQueue.kt:56-62) — Spark's TakeOrderedAndProject does the
-        per-partition heaps + merge."""
-        scored = self.execute(q)
+        per-partition heaps + merge. ``prune=True`` uses block-max WAND
+        window pruning for prunable disjunctions (exact; see wand.py)."""
+        boosts = self._wand_boosts(q) if prune else None
+        if boosts is not None:
+            from lucene_kmp_spark.search.wand import topk_disjunction_pruned
+
+            scored = self._live(topk_disjunction_pruned(self, boosts, k))
+        else:
+            scored = self.execute(q)
         if self.dtype == np.float32:
             scored = scored.select("doc_id", F.col("score").cast("float").alias("score"))
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -472,14 +556,34 @@ class IndexSearcher:
         return scored.filter(cond).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def count(self, q: Query) -> int:
-        """count(query) fast path (IndexSearcher.kt:282-306)."""
+        """count(query) fast path (IndexSearcher.kt:282-306): term count ==
+        df only when there are no deletes, exactly like the reference."""
         q = rewrite_query(q)
-        if isinstance(q, TermQuery):
-            st = self.term_stats([q.term])
-            return st[q.term].df if q.term in st else 0
-        if isinstance(q, MatchAllDocsQuery):
-            return self.index.stats.max_doc
-        return self._doc_set(q).count()
+        if self.live_filter is None:
+            if isinstance(q, TermQuery):
+                st = self.term_stats([q.term])
+                return st[q.term].df if q.term in st else 0
+            if isinstance(q, MatchAllDocsQuery):
+                return self.index.stats.max_doc
+        return self._live(self._doc_set(q)).count()
+
+
+def _collect_terms(q: Query) -> set[str]:
+    """All index terms referenced by a query tree (for one-shot stats prefetch)."""
+    out: set[str] = set()
+    if isinstance(q, TermQuery):
+        out.add(q.term)
+    elif isinstance(q, (PhraseQuery, SynonymQuery)):
+        out.update(q.terms)
+    elif isinstance(q, BooleanQuery):
+        for c in q.clauses:
+            out |= _collect_terms(c.query)
+    elif isinstance(q, DisjunctionMaxQuery):
+        for sub in q.queries:
+            out |= _collect_terms(sub)
+    elif isinstance(q, ConstantScoreQuery):
+        out |= _collect_terms(q.query)
+    return out
 
 
 def _wildcard_to_regex(pattern: str) -> str:

@@ -196,6 +196,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multiterm_range"] = _docset(lambda: TermRangeQuery("scan", "table", True, True))
     q["multiterm_in_set"] = _docset(lambda: TermInSetQuery(("merge", "window", "zzz")))
 
+    def q_fuzzy(spark, sf_dir):
+        from lucene_kmp_spark.search.query import FuzzyQuery
+
+        s = _searcher64(spark, sf_dir)
+        # classic levenshtein (no transpositions) so the SQL oracle matches;
+        # Lucene's default is Damerau (FuzzyQuery.kt:159-162) — deviation noted
+        return s.execute(FuzzyQuery("merge", max_edits=1)).select("doc_id").distinct()
+
+    q["multiterm_fuzzy"] = q_fuzzy
+
+    def q_dismax(spark, sf_dir):
+        from lucene_kmp_spark.search.query import DisjunctionMaxQuery, TermQuery as TQ
+
+        s = _searcher64(spark, sf_dir)
+        return _ranked_topk(
+            s.execute(DisjunctionMaxQuery((TQ("merge"), TQ("join")), tie_breaker=0.3))
+        )
+
+    q["bm25_dismax"] = q_dismax
+
     # ---- index statistics ----
     def q_term_dict(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
@@ -264,6 +284,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash16(_docs(spark, sf_dir))
 
     q["dedup_simhash"] = q_simhash
+
+    def q_shingle_minhash(spark, sf_dir):
+        return dedup.shingle_minhash_signatures(_docs(spark, sf_dir), n=3, salts=("s0", "s1"))
+
+    q["dedup_shingle3_minhash"] = q_shingle_minhash
+
+    def q_embed_neardup(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.cosine_near_dup_pairs(emb, threshold=0.4).select(
+            "id_a", "id_b", _q4(F.col("cosine")).alias("cosine")
+        )
+
+    q["dedup_embedding_cosine"] = q_embed_neardup
 
     def q_jaccard(spark, sf_dir):
         return (
@@ -450,6 +483,25 @@ total AS (
         _PRELUDE + "SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'window', 'zzz')"
     )
 
+    o["multiterm_fuzzy"] = (
+        _PRELUDE + "SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'merge') <= 1"
+    )
+
+    o["bm25_dismax"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + ","
+        + _sc_cte("sc1", "join")
+        + """,
+total AS (
+  SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s FROM (
+    SELECT * FROM sc0 UNION ALL SELECT * FROM sc1
+  ) GROUP BY doc_id
+)"""
+        + _rank_tail("total")
+    )
+
     # ---- stats ----
     o["term_dict_top20"] = (
         _PRELUDE
@@ -506,6 +558,31 @@ tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
 h AS (SELECT doc_id, tf, CAST('0x' || substr(md5(term), 1, 4) AS BIGINT) AS h16 FROM tf),
 bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
 SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits
+"""
+    o["dedup_shingle3_minhash"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) >= 3
+         THEN list_transform(range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         ELSE [trim(array_to_string(ts, ' '))] END)) AS g
+  FROM t
+)
+SELECT doc_id,
+       min(md5('s0|' || g)) AS sig0,
+       min(md5('s1|' || g)) AS sig1
+FROM sh GROUP BY doc_id
+"""
+    # unnest-zip + SUM in DOUBLE (duckdb's list_dot_product drifts in float32)
+    o["dedup_embedding_cosine"] = """
+WITH pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+d AS (SELECT id_a, id_b, sum(x*y) AS dot, sum(x*x) AS na, sum(y*y) AS nb FROM pr GROUP BY 1, 2),
+p AS (SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS c FROM d)
+SELECT id_a, id_b, floor(c * 10000) / 10000 AS cosine FROM p WHERE c >= 0.4
 """
     o["dedup_jaccard_pairs"] = """
 WITH toks AS (

@@ -314,9 +314,19 @@ class InvertedIndex:
             except Exception:
                 pass
 
-    def write(self, path: str):
+    def write(self, path: str, term_sorted: bool = True):
+        """Persist to parquet. ``term_sorted`` range-partitions + sorts the
+        postings by (term, block_id) so a TermQuery's ``term = 'x'`` predicate
+        prunes whole files/row-groups via parquet min/max stats — the
+        blocktree term-dictionary lookup (``codecs/lucene90/blocktree``)
+        becomes storage-level pruning instead of a scan."""
         self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
-        self.postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+        postings = self.postings
+        if term_sorted:
+            postings = postings.repartitionByRange("term", "block_id").sortWithinPartitions(
+                "term", "block_id"
+            )
+        postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
         self.term_dict.write.mode("overwrite").parquet(os.path.join(path, "term_dict"))
         manifest = {
             "field": self.field_name,

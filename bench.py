@@ -98,6 +98,10 @@ def run_once(
         else:
             corpus = transcripts_for_sf(spark, sf_dir)
         n_turns = corpus.count()  # materializes the generator (cheap, columnar)
+        # size shuffle partitions to the data (≈6k turns/partition), capped at
+        # 2x cores — at 100 TB the same rule is input_bytes/128MB
+        parts = max(8, min(2 * cores, n_turns // 6000))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
         t0 = time.perf_counter()
         docs = assign_doc_ids(corpus)

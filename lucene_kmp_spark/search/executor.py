@@ -609,24 +609,24 @@ def _range_pred(q: TermRangeQuery):
     return pred
 
 
-def _sloppy_freq(plists: list[np.ndarray], slop: int) -> int:
-    """Simplified sloppy matching: count alignments whose total displacement
-    from the exact phrase shape is <= slop (SloppyPhraseMatcher.kt semantics,
-    simplified: weight 1 per match instead of 1/(1+distance))."""
-    base0 = plists[0]
-    freq = 0
-    for p in base0.tolist():
-        # greedy: for each subsequent term pick the closest position to expected
-        disp = 0
-        ok = True
-        for i in range(1, len(plists)):
-            expected = p + i
-            diffs = np.abs(plists[i] - expected)
-            j = int(diffs.argmin())
-            disp += int(diffs[j])
-            if disp > slop:
-                ok = False
-                break
-        if ok:
-            freq += 1
-    return freq
+def _sloppy_freq(plists: list[np.ndarray], slop: int) -> float:
+    """Sloppy phrase freq: plane-sweep over offset-adjusted positions.
+
+    Term i's positions are adjusted by -i (its phrase offset); a match is a
+    window [min, max] over one adjusted position per term with
+    ``max - min <= slop``, weighted ``1/(1 + matchLength)``
+    (SloppyPhraseMatcher.kt:17-33 semantics; repeats simplified — each sweep
+    step advances the minimum iterator, Lucene's pq algorithm)."""
+    adj = [np.asarray(p, dtype=np.int64) - i for i, p in enumerate(plists)]
+    idx = [0] * len(adj)
+    freq = 0.0
+    while True:
+        cur = [a[i] for a, i in zip(adj, idx)]
+        start = min(cur)
+        end = max(cur)
+        if end - start <= slop:
+            freq += 1.0 / (1 + (end - start))
+        k = cur.index(start)
+        idx[k] += 1
+        if idx[k] >= len(adj[k]):
+            return freq

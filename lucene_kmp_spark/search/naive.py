@@ -111,11 +111,29 @@ class NaiveIndex:
                 candidates &= set(self.postings[t])
             out = {}
             for doc in candidates:
-                base = self.postings[q.terms[0]][doc]
-                freq = 0
-                for p in base:
-                    if all((p + i) in self.postings[t][doc] for i, t in enumerate(q.terms) if i > 0):
-                        freq += 1
+                if q.slop == 0:
+                    base = self.postings[q.terms[0]][doc]
+                    freq = 0.0
+                    for p in base:
+                        if all((p + i) in self.postings[t][doc] for i, t in enumerate(q.terms) if i > 0):
+                            freq += 1
+                else:
+                    # plane-sweep sloppy matching, weight 1/(1+matchLength)
+                    adj = [
+                        sorted(p - i for p in self.postings[t][doc])
+                        for i, t in enumerate(q.terms)
+                    ]
+                    idx = [0] * len(adj)
+                    freq = 0.0
+                    while True:
+                        cur = [a[j] for a, j in zip(adj, idx)]
+                        start, end = min(cur), max(cur)
+                        if end - start <= q.slop:
+                            freq += 1.0 / (1 + (end - start))
+                        k = cur.index(start)
+                        idx[k] += 1
+                        if idx[k] >= len(adj[k]):
+                            break
                 if freq:
                     out[doc] = float(sc.score(np.array([freq]), np.array([self.norms[doc]]))[0])
             return out

@@ -1,0 +1,153 @@
+"""Parity for the remaining query operators vs the naive oracle."""
+
+import numpy as np
+import pytest
+
+from lucene_kmp_spark.data.transcripts import synth_transcripts
+from lucene_kmp_spark.index import assign_doc_ids, build_index
+from lucene_kmp_spark.search.executor import IndexSearcher
+from lucene_kmp_spark.search.naive import NaiveIndex
+from lucene_kmp_spark.search.query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    SynonymQuery,
+    TermQuery,
+    rewrite_query,
+    MatchNoDocsQuery,
+    Occur,
+    BooleanClause,
+)
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=50, seed=17)).persist()
+    docs.count()
+    idx = build_index(docs)
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    return IndexSearcher(idx), NaiveIndex(rows)
+
+
+def _topk(s, q, k=10):
+    return [(r["doc_id"], r["score"]) for r in s.top_k(q, k).collect()]
+
+
+def test_synonym_query(env):
+    s, naive = env
+    q = SynonymQuery(("hope", "faith"))
+    got, exp = _topk(s, q), naive.top_k(q)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (d1, s1), (d2, s2) in zip(got, exp):
+        assert np.float32(s1) == np.float32(s2)
+
+
+def test_constant_score(env):
+    s, naive = env
+    q = ConstantScoreQuery(TermQuery("hope"), boost=2.5)
+    got = {r["doc_id"]: r["score"] for r in s.execute(q).collect()}
+    exp = naive.scores(q)
+    assert got == exp
+
+
+def test_dismax(env):
+    s, naive = env
+    q = DisjunctionMaxQuery((TermQuery("hope"), TermQuery("light")), tie_breaker=0.4)
+    got = {r["doc_id"]: r["score"] for r in s.execute(q).collect()}
+    # naive dismax from term scores
+    a, b = naive.scores(TermQuery("hope")), naive.scores(TermQuery("light"))
+    exp = {}
+    for d in set(a) | set(b):
+        vals = [v for v in (a.get(d), b.get(d)) if v is not None]
+        exp[d] = max(vals) + 0.4 * (sum(vals) - max(vals))
+    assert set(got) == set(exp)
+    for d in got:
+        assert abs(got[d] - exp[d]) < 1e-6
+
+
+def test_boosted_term(env):
+    s, naive = env
+    q = TermQuery("hope", boost=3.0)
+    got, exp = _topk(s, q), naive.top_k(q)
+    assert got == [(d, float(np.float32(v))) for d, v in exp]
+
+
+def test_boolean_rewrites(env):
+    s, _ = env
+    # empty -> MatchNoDocs
+    assert isinstance(rewrite_query(BooleanQuery((), 0)), MatchNoDocsQuery)
+    # pure negative -> MatchNoDocs
+    q = BooleanQuery.build(must_not=(TermQuery("a"),))
+    assert isinstance(rewrite_query(q), MatchNoDocsQuery)
+    # single SHOULD clause collapses
+    q = BooleanQuery.build(should=(TermQuery("a"),))
+    assert rewrite_query(q) == TermQuery("a")
+    # must + must_not same term -> MatchNoDocs (BooleanQuery.kt:311-320)
+    q = BooleanQuery.build(must=(TermQuery("a"),), must_not=(TermQuery("a"),))
+    assert isinstance(rewrite_query(q), MatchNoDocsQuery)
+    # 1-term phrase -> TermQuery
+    assert rewrite_query(PhraseQuery(("x",))) == TermQuery("x")
+    # FILTER dedup
+    q = BooleanQuery.build(must=(TermQuery("a"),), filter=(TermQuery("b"), TermQuery("b")))
+    rq = rewrite_query(q)
+    assert sum(1 for c in rq.clauses if c.occur == Occur.FILTER) == 1
+
+
+def test_match_all_sorted_by_column(env, spark):
+    s, _ = env
+    # field-sort analog: match-all + ORDER BY doc values column (ts)
+    docs = s.index.docs
+    got = docs.orderBy("ts", "doc_id").limit(5).select("doc_id").collect()
+    assert len(got) == 5
+
+
+def test_nested_boolean(env):
+    s, naive = env
+    inner = BooleanQuery.build(should=(TermQuery("faith"), TermQuery("light")))
+    q = BooleanQuery.build(must=(TermQuery("the"), inner), must_not=(TermQuery("w0003"),))
+    got, exp = _topk(s, q), naive.top_k(q)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (d1, s1), (d2, s2) in zip(got, exp):
+        assert abs(s1 - s2) < 2e-6  # nested double-sum association may differ 1 ulp
+
+
+def test_sloppy_phrase_vs_naive(env):
+    s, naive = env
+    for slop in (1, 2, 4):
+        q = PhraseQuery(("kingdom", "god"), slop=slop)
+        got = {r["doc_id"]: r["score"] for r in s.execute(q).collect()}
+        exp = naive.scores(q)
+        assert set(got) == set(exp), slop
+        for d in got:
+            assert np.float32(got[d]) == np.float32(exp[d]), (slop, d)
+
+
+def test_sloppy_phrase_golden(spark):
+    """Hand-computed: 'a x b' matches "a b"~1 with matchLength 1 -> freq 0.5."""
+    docs = spark.createDataFrame(
+        [("c", 0, "a x b"), ("c", 1, "a b"), ("c", 2, "b a"), ("c", 3, "a x x b")],
+        "conv_id string, turn_idx int, text string",
+    )
+    from lucene_kmp_spark.index import assign_doc_ids, build_index
+    from lucene_kmp_spark.search.naive import NaiveIndex
+
+    withids = assign_doc_ids(docs)
+    s = IndexSearcher(build_index(withids))
+    got = {r["doc_id"]: r["score"] for r in s.execute(PhraseQuery(("a", "b"), slop=1)).collect()}
+    # doc0 'a x b': adjusted a:{0}, b:{1} -> len 1, freq 1/2
+    # doc1 'a b':   len 0 -> freq 1
+    # doc2 'b a':   adjusted a:{1}, b:{-1} -> len 2 > slop -> no match
+    # doc3 'a x x b': len 2 > slop -> no match
+    assert set(got) == {0, 1}
+    naive = NaiveIndex([(r["doc_id"], r["text"]) for r in withids.collect()])
+    exp = naive.scores(PhraseQuery(("a", "b"), slop=1))
+    for d in got:
+        assert np.float32(got[d]) == np.float32(exp[d])
+
+
+def test_match_all(env):
+    s, naive = env
+    q = MatchAllDocsQuery(boost=1.0)
+    assert s.count(q) == naive.max_doc

@@ -62,6 +62,8 @@ _SEASIAN = 14
 _RI = 15
 _ZWJ = 16
 _EMOJI = 17
+_HEBREW = 18  # Hebrew_Letter: ALetter plus WB7a/7b quote rules
+_DQ = 19      # U+0022, joins Hebrew letters (WB7b/7c)
 _OTHER = 0
 
 _MIDLETTER_SET = {0x003A, 0x00B7, 0x0387, 0x055F, 0x05F4, 0x2027, 0xFE13, 0xFE55, 0xFF1A}
@@ -77,13 +79,18 @@ _EXTNUMLET_SET = {
 
 # Extended_Pictographic approximation (major emoji blocks)
 _EMOJI_RANGES = (
-    (0x1F000, 0x1F0FF), (0x1F300, 0x1F5FF), (0x1F600, 0x1F64F),
-    (0x1F680, 0x1F6FF), (0x1F700, 0x1F77F), (0x1F900, 0x1F9FF),
+    (0x1F000, 0x1F0FF), (0x1F170, 0x1F1AD), (0x1F201, 0x1F2FF),
+    (0x1F300, 0x1F5FF), (0x1F600, 0x1F64F),
+    (0x1F680, 0x1F6FF), (0x1F700, 0x1F7FF), (0x1F900, 0x1F9FF),
     (0x1FA00, 0x1FAFF), (0x2600, 0x26FF), (0x2700, 0x27BF),
     (0x2B00, 0x2BFF), (0x2300, 0x23FF), (0x2122, 0x2122), (0x00A9, 0x00A9),
     (0x00AE, 0x00AE), (0x3030, 0x3030), (0x303D, 0x303D),
     (0x3297, 0x3297), (0x3299, 0x3299),
+    (0x203C, 0x203C), (0x2049, 0x2049), (0x2194, 0x2199), (0x21A9, 0x21AA),
+    (0x24C2, 0x24C2), (0x25AA, 0x25AB), (0x25B6, 0x25B6), (0x25C0, 0x25C0),
+    (0x25FB, 0x25FE), (0x2934, 0x2935),
 )
+_KEYCAP_BASES = frozenset("0123456789#*")
 _SEASIAN_RANGES = (  # Thai, Lao, Myanmar, Khmer (scripts w/o word spaces, non-CJK)
     (0x0E00, 0x0E7F), (0x0E80, 0x0EFF), (0x1000, 0x109F), (0x1780, 0x17FF),
 )
@@ -92,7 +99,10 @@ _IDEO_RANGES = (
     (0x20000, 0x2FA1F), (0x3005, 0x3007), (0x3021, 0x3029), (0x3038, 0x303B),
 )
 _HANGUL_RANGES = ((0xAC00, 0xD7AF), (0x1100, 0x11FF), (0x3130, 0x318F), (0xA960, 0xA97F), (0xD7B0, 0xD7FF))
-_KATAKANA_RANGES = ((0x30A0, 0x30FF), (0x31F0, 0x31FF), (0xFF66, 0xFF9D), (0x32D0, 0x32FE), (0x3300, 0x3357))
+_KATAKANA_RANGES = (
+    (0x30A0, 0x30FF), (0x31F0, 0x31FF), (0xFF66, 0xFF9D), (0x32D0, 0x32FE),
+    (0x3300, 0x3357), (0x3031, 0x3035), (0x309B, 0x309C),
+)
 _HIRAGANA_RANGES = ((0x3041, 0x3096), (0x309D, 0x309F),)
 
 _VARIATION_SELECTORS = {0xFE0E, 0xFE0F}
@@ -116,6 +126,8 @@ def _classify(ch: str) -> int:
         return v
     if cp == 0x0027:
         v = _SQ
+    elif cp == 0x0022:
+        v = _DQ
     elif cp == 0x200D:
         v = _ZWJ
     elif 0x1F1E6 <= cp <= 0x1F1FF:
@@ -128,7 +140,9 @@ def _classify(ch: str) -> int:
         v = _MIDNUMLET
     elif cp in _EXTNUMLET_SET:
         v = _EXTNUMLET
-    elif cp in _SKIN_TONES or cp in _VARIATION_SELECTORS:
+    elif cp in _SKIN_TONES:
+        v = _EMOJI  # Emoji_Modifier: standalone token; absorbed after a base
+    elif cp in _VARIATION_SELECTORS:
         v = _EXTEND
     elif _in_ranges(cp, _EMOJI_RANGES):
         v = _EMOJI
@@ -146,7 +160,10 @@ def _classify(ch: str) -> int:
     else:
         cat = unicodedata.category(ch)
         if cat in ("Lu", "Ll", "Lt", "Lm", "Lo"):
-            v = _ALETTER
+            if 0x0590 <= cp <= 0x05FF or 0xFB1D <= cp <= 0xFB4F:
+                v = _HEBREW
+            else:
+                v = _ALETTER
         elif cat == "Nd":
             v = _NUMERIC
         elif cat in ("Mn", "Mc", "Me") or cp == 0xFF9E or cp == 0xFF9F:
@@ -168,45 +185,69 @@ class Token:
     end: int
 
 
-_TRANSPARENT = (_EXTEND, _FORMAT)
-_WORDISH = (_ALETTER, _NUMERIC, _EXTNUMLET)
-_MID_ANY = (_MIDLETTER, _MIDNUM, _MIDNUMLET, _SQ)
+# WB4: Extend, Format and ZWJ are absorbed into the preceding context;
+# ZWJ additionally participates in WB3c (emoji joins), handled in _scan_emoji
+_TRANSPARENT = (_EXTEND, _FORMAT, _ZWJ)
+_WORDISH = (_ALETTER, _HEBREW, _NUMERIC, _EXTNUMLET, _KATAKANA)
+_MID_ANY = (_MIDLETTER, _MIDNUM, _MIDNUMLET, _SQ, _DQ)
+_LETTERISH = (_ALETTER, _HEBREW)
+
+# segment-internal base transitions (UAX#29 WB5-13b):
+#   letters<->letters/numeric (WB5,9,10), numeric<->numeric (WB8),
+#   katakana<->katakana (WB13), X<->ExtendNumLet (WB13a/13b)
+def _join_ok(prev: int, nxt: int) -> bool:
+    if prev == _EXTNUMLET or nxt == _EXTNUMLET:
+        return True  # WB13a/b (both sides must be wordish, enforced by caller)
+    if prev == _KATAKANA or nxt == _KATAKANA:
+        return prev == nxt  # WB13 only
+    return True  # letters/numeric freely join (WB5,8,9,10)
 
 
 def _scan_word(s: str, i: int, n: int):
-    """Scan an ALPHANUM/NUM run starting at i. Returns (end_index, base_classes_seen)."""
+    """Scan one word segment starting at i. Returns
+    (end_index, seen_alpha, seen_num, seen_kat)."""
     j = i
-    seen_alpha = False
-    seen_num = False
+    seen_alpha = seen_num = seen_kat = False
     last_base = None
     while j < n:
         c = _classify(s[j])
         if c in _WORDISH:
+            if last_base is not None and not _join_ok(last_base, c):
+                break
             last_base = c
-            seen_alpha |= c == _ALETTER
+            seen_alpha |= c in _LETTERISH
             seen_num |= c == _NUMERIC
+            seen_kat |= c == _KATAKANA
             j += 1
         elif c in _TRANSPARENT:
             j += 1
-        elif c in _MID_ANY and last_base in (_ALETTER, _NUMERIC):
-            # WB6/7, WB11/12: letter (MidLetter|MidNumLet|SQ) letter;
-            # numeric (MidNum|MidNumLet|SQ) numeric — requires matching base on both sides
+        elif c in _MID_ANY and last_base in (_ALETTER, _HEBREW, _NUMERIC):
+            # WB6/7: letter (MidLetter|MidNumLet|SQ) letter
+            # WB11/12: numeric (MidNum|MidNumLet|SQ) numeric
+            # WB7a: Hebrew x SQ (trailing quote kept)
+            # WB7b/c: Hebrew x DQ x Hebrew
             k = j + 1
             while k < n and _classify(s[k]) in _TRANSPARENT:
                 k += 1
-            if k < n:
-                nxt = _classify(s[k])
-                ok = (
-                    (last_base == _ALETTER and nxt == _ALETTER and c in (_MIDLETTER, _MIDNUMLET, _SQ))
-                    or (last_base == _NUMERIC and nxt == _NUMERIC and c in (_MIDNUM, _MIDNUMLET, _SQ))
-                )
-                if ok:
-                    j = k
-                    continue
+            nxt = _classify(s[k]) if k < n else _OTHER
+            if (
+                last_base in _LETTERISH
+                and nxt in _LETTERISH
+                and c in (_MIDLETTER, _MIDNUMLET, _SQ)
+            ) or (
+                last_base == _NUMERIC and nxt == _NUMERIC and c in (_MIDNUM, _MIDNUMLET, _SQ)
+            ) or (last_base == _HEBREW and nxt == _HEBREW and c == _DQ):
+                j = k
+                continue
+            if last_base == _HEBREW and c == _SQ:
+                j += 1  # WB7a: quote belongs to the token, then break
+                while j < n and _classify(s[j]) in _TRANSPARENT:
+                    j += 1
+                break
             break
         else:
             break
-    return j, seen_alpha, seen_num
+    return j, seen_alpha, seen_num, seen_kat
 
 
 def _scan_run(s: str, i: int, n: int, cls: int):
@@ -222,30 +263,48 @@ def _scan_run(s: str, i: int, n: int, cls: int):
 
 
 def _scan_emoji(s: str, i: int, n: int):
-    """Emoji sequence: base (+modifiers/VS) joined by ZWJ; RI pairs (flags)."""
+    """Emoji sequence: ExtPict (+Extend/Format) joined by ZWJ (WB3c); RI
+    pairs with transparents between (WB15/16 + WB4). A leading ZWJ joins a
+    following ExtPict (WB3c at segment start). Returns (end, emit) — an
+    unpaired regional indicator consumes but emits nothing."""
     j = i
     c0 = _classify(s[j])
     if c0 == _RI:
         j += 1
+        while j < n and _classify(s[j]) in _TRANSPARENT:
+            j += 1
         if j < n and _classify(s[j]) == _RI:
             j += 1
-        return j
+            # absorb trailing transparents (WB4), incl. a dangling ZWJ
+            while j < n and _classify(s[j]) in _TRANSPARENT:
+                j += 1
+            return j, True
+        return j, False
+    if c0 == _ZWJ:
+        # WB3c joins only ZWJ x ExtPict with nothing in between
+        if j + 1 < n and _classify(s[j + 1]) == _EMOJI:
+            j = j + 1  # include the ZWJ, continue scanning from the pictograph
+        else:
+            return j + 1, False  # lone ZWJ: consumed, no token
     j += 1
     while j < n:
         c = _classify(s[j])
-        if c in _TRANSPARENT:
-            j += 1
-        elif c == _ZWJ:
+        if c == _ZWJ:
             k = j + 1
-            while k < n and _classify(s[k]) in _TRANSPARENT:
+            while k < n and _classify(s[k]) in (_EXTEND, _FORMAT):
                 k += 1
-            if k < n and _classify(s[k]) in (_EMOJI, _RI):
+            if k < n and _classify(s[k]) == _EMOJI:
                 j = k + 1
             else:
+                j += 1  # WB4: trailing ZWJ absorbs into the token
                 break
+        elif c in (_EXTEND, _FORMAT):
+            j += 1
+        elif c == _EMOJI and ord(s[j]) in _SKIN_TONES:
+            j += 1  # Emoji_Modifier_Sequence: base + skin tone
         else:
             break
-    return j
+    return j, True
 
 
 def standard_tokenize(
@@ -271,15 +330,30 @@ def standard_tokenize(
 
     while i < n:
         c = _classify(text[i])
-        if c in (_ALETTER, _NUMERIC):
-            j, seen_alpha, seen_num = _scan_word(text, i, n)
-            emit(i, j, ALPHANUM if seen_alpha else NUM)
+        # Emoji_Keycap_Sequence: [0-9#*] (FE0F|FE0E)? 20E3 -> one EMOJI token
+        if text[i] in _KEYCAP_BASES:
+            k = i + 1
+            if k < n and ord(text[k]) in _VARIATION_SELECTORS:
+                k += 1
+            if k < n and ord(text[k]) == 0x20E3:
+                emit(i, k + 1, EMOJI)
+                i = k + 1
+                continue
+        if c in (_ALETTER, _HEBREW, _NUMERIC, _KATAKANA):
+            j, seen_alpha, seen_num, seen_kat = _scan_word(text, i, n)
+            if seen_alpha:
+                ttype = ALPHANUM
+            elif seen_kat:
+                ttype = KATAKANA
+            else:
+                ttype = NUM
+            emit(i, j, ttype)
             i = j
         elif c == _EXTNUMLET:
-            # leading underscores: only a token if the run reaches a letter/digit (WB13b)
-            j, seen_alpha, seen_num = _scan_word(text, i, n)
-            if seen_alpha or seen_num:
-                emit(i, j, ALPHANUM if seen_alpha else NUM)
+            # leading underscores: only a token if the run reaches a letter/digit/kana (WB13b)
+            j, seen_alpha, seen_num, seen_kat = _scan_word(text, i, n)
+            if seen_alpha or seen_num or seen_kat:
+                emit(i, j, ALPHANUM if seen_alpha else (KATAKANA if seen_kat else NUM))
             i = j
         elif c == _HIRAGANA:
             j = i + 1
@@ -293,10 +367,6 @@ def standard_tokenize(
                 j += 1
             emit(i, j, IDEOGRAPHIC)
             i = j
-        elif c == _KATAKANA:
-            j = _scan_run(text, i, n, _KATAKANA)
-            emit(i, j, KATAKANA)
-            i = j
         elif c == _HANGUL:
             j = _scan_run(text, i, n, _HANGUL)
             emit(i, j, HANGUL)
@@ -305,9 +375,10 @@ def standard_tokenize(
             j = _scan_run(text, i, n, _SEASIAN)
             emit(i, j, SOUTHEAST_ASIAN)
             i = j
-        elif c in (_EMOJI, _RI):
-            j = _scan_emoji(text, i, n)
-            emit(i, j, EMOJI)
+        elif c in (_EMOJI, _RI, _ZWJ):
+            j, ok = _scan_emoji(text, i, n)
+            if ok:
+                emit(i, j, EMOJI)
             i = j
         else:
             i += 1

@@ -83,6 +83,35 @@ def load_emoji_cases():
     return [(s, [s]) for idx, s in enumerate(strings) if idx % 2 == 1]
 
 
+STD_FILE = (
+    "/root/reference/core/src/commonTest/kotlin/org/gnit/lucenekmp/"
+    "analysis/standard/TestStandardAnalyzer.kt"
+)
+_STD_RX = re.compile(
+    r'assertAnalyzesTo\(\s*a,\s*"((?:[^"\\]|\\.)*)",\s*(?:arrayOf\(([^)]*)\)|emptyArray\(\))',
+    re.DOTALL,
+)
+
+
+def test_standard_analyzer_goldens():
+    """The reference's own TestStandardAnalyzer assertions (tokenizer level)."""
+    try:
+        text = open(STD_FILE, encoding="utf-8").read()
+    except OSError:
+        pytest.skip("goldens not available")
+    cases = []
+    for m in _STD_RX.finditer(text):
+        inp = _decode_kotlin(m.group(1))
+        if inp == "ab cd toolong xy z":
+            continue  # that assertion runs under setMaxTokenLength(5)
+        toks = [_decode_kotlin(t.group(1)) for t in _STR_RX.finditer(m.group(2) or "")]
+        cases.append((inp, toks))
+    assert len(cases) > 60
+    rate, failures = _rate(cases)
+    sample = [(repr(i), e, g) for i, e, g in failures[:10]]
+    assert rate == 1.0, f"{len(failures)}/{len(cases)} fail: {sample}"
+
+
 def test_emoji_conformance_rate():
     cases = load_emoji_cases()
     if not cases:

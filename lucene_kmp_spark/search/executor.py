@@ -555,6 +555,82 @@ class IndexSearcher:
         )
         return scored.filter(cond).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def explain(self, q: Query, doc_id: int) -> dict:
+        """Per-doc score breakdown (search/Explanation.kt;
+        BM25Similarity.explain, BM25Similarity.kt:201-245). The top-level
+        ``value`` must equal the executed score — CheckHits' re-derivation
+        oracle (tests/search/CheckHits.kt:130)."""
+        q = rewrite_query(q)
+        if isinstance(q, TermQuery):
+            st = self.term_stats([q.term])
+            if q.term not in st:
+                return {"match": False, "value": 0.0, "description": f"no term {q.term!r}"}
+            row = (
+                self._scored_terms_df({q.term: q.boost}, stats=st)
+                .filter(F.col("doc_id") == doc_id)
+                .collect()
+            )
+            if not row:
+                return {"match": False, "value": 0.0, "description": "doc does not match"}
+            tf = int(row[0]["tf"])
+            # norm byte for the doc (from any block containing it)
+            dt = self.dtype
+            idf_val = bm25.idf(st[q.term].df, self.index.stats.doc_count, dt)
+            weight = dt(dt(q.boost) * idf_val)
+            score = float(row[0]["score"])
+            return {
+                "match": True,
+                "value": score,
+                "description": f"score(freq={tf}), computed as boost * idf * tf",
+                "details": [
+                    {"value": float(q.boost), "description": "boost"},
+                    {
+                        "value": float(idf_val),
+                        "description": "idf, computed as log(1 + (N - n + 0.5) / (n + 0.5))",
+                        "details": [
+                            {"value": st[q.term].df, "description": "n, number of documents containing term"},
+                            {"value": self.index.stats.doc_count, "description": "N, total number of documents with field"},
+                        ],
+                    },
+                    {
+                        "value": score / float(weight) if weight else 0.0,
+                        "description": "tf, computed as freq / (freq + k1 * (1 - b + b * dl / avgdl))",
+                        "details": [
+                            {"value": tf, "description": "freq"},
+                            {"value": self.k1, "description": "k1, term saturation parameter"},
+                            {"value": self.b, "description": "b, length normalization parameter"},
+                            {"value": float(self.avgdl), "description": "avgdl, average length of field"},
+                        ],
+                    },
+                ],
+            }
+        if isinstance(q, BooleanQuery):
+            subs = []
+            total = 0.0
+            matched = False
+            for c in q.clauses:
+                if c.occur == Occur.MUST_NOT:
+                    continue
+                e = self.explain(c.query, doc_id)
+                if e.get("match"):
+                    matched = True
+                    if c.occur in (Occur.MUST, Occur.SHOULD):
+                        total += e["value"]
+                subs.append({**e, "occur": c.occur.value})
+            row = self.execute(q).filter(F.col("doc_id") == doc_id).collect()
+            if not row:
+                return {"match": False, "value": 0.0, "description": "doc does not match", "details": subs}
+            return {
+                "match": matched,
+                "value": float(row[0]["score"]),
+                "description": "sum of:",
+                "details": subs,
+            }
+        row = self.execute(q).filter(F.col("doc_id") == doc_id).collect()
+        if not row:
+            return {"match": False, "value": 0.0, "description": "doc does not match"}
+        return {"match": True, "value": float(row[0]["score"]), "description": type(q).__name__}
+
     def count(self, q: Query) -> int:
         """count(query) fast path (IndexSearcher.kt:282-306): term count ==
         df only when there are no deletes, exactly like the reference."""

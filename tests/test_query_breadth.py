@@ -147,6 +147,25 @@ def test_sloppy_phrase_golden(spark):
         assert np.float32(got[d]) == np.float32(exp[d])
 
 
+def test_explain_rederives_scores(env):
+    """CheckHits pattern (CheckHits.kt:130): explain().value == returned score
+    for every top-k hit."""
+    s, _ = env
+    for q in (TermQuery("hope"), BooleanQuery.build(must=(TermQuery("the"),), should=(TermQuery("hope"),))):
+        for r in s.top_k(q, 5).collect():
+            e = s.explain(q, r["doc_id"])
+            assert e["match"]
+            assert np.float32(e["value"]) == np.float32(r["score"]), (r, e)
+
+
+def test_explain_non_matching_doc(env):
+    s, naive = env
+    q = TermQuery("hope")
+    non_match = max(naive.norms) + 10**6  # doc id that doesn't exist
+    e = s.explain(q, non_match)
+    assert not e["match"] and e["value"] == 0.0
+
+
 def test_match_all(env):
     s, naive = env
     q = MatchAllDocsQuery(boost=1.0)

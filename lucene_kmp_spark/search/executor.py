@@ -45,14 +45,18 @@ from lucene_kmp_spark.search.query import (
     ColumnFilterQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FeatureQuery,
+    FieldExistsQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanNearQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -262,6 +266,8 @@ class IndexSearcher:
             return self._docs_for_term_filter(_range_pred(q))
         if isinstance(q, ColumnFilterQuery):
             return self.index.docs.filter(q.sql_predicate).select("doc_id")
+        if isinstance(q, FieldExistsQuery):
+            return self.index.docs.filter(F.col(q.column).isNotNull()).select("doc_id")
         if isinstance(q, MatchAllDocsQuery):
             return self.index.docs.select("doc_id")
         if isinstance(q, MatchNoDocsQuery):
@@ -322,7 +328,167 @@ class IndexSearcher:
             return self._exec_dismax(q)
         if isinstance(q, ColumnFilterQuery):
             return self._doc_set(q).withColumn("score", F.lit(0.0))
+        if isinstance(q, FieldExistsQuery):
+            return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
+        if isinstance(q, FeatureQuery):
+            return self._exec_feature(q)
+        if isinstance(q, MultiPhraseQuery):
+            return self._exec_multi_phrase(q)
+        if isinstance(q, SpanNearQuery):
+            return self._exec_span_near(q)
         raise NotImplementedError(type(q).__name__)
+
+    def _exec_feature(self, q: FeatureQuery) -> DataFrame:
+        """FeatureField score functions (document/FeatureField.kt) as pure
+        column expressions — stays in whole-stage codegen, no Python."""
+        s = F.col(q.column).cast("double")
+        if q.function == "log":
+            expr = F.log(F.lit(float(q.scale)) + s)
+        elif q.function == "saturation":
+            expr = s / (s + F.lit(float(q.pivot)))
+        elif q.function == "sigmoid":
+            p = F.pow(s, F.lit(float(q.exp)))
+            expr = p / (p + F.pow(F.lit(float(q.pivot)), F.lit(float(q.exp))))
+        else:
+            raise ValueError(f"unknown feature function {q.function!r}")
+        return (
+            self.index.docs.filter(F.col(q.column).isNotNull() & (s > 0))
+            .select("doc_id", (F.lit(float(q.boost)) * expr).alias("score"))
+        )
+
+    def _exec_multi_phrase(self, q: MultiPhraseQuery) -> DataFrame:
+        """MultiPhraseQuery.kt:31 — per position, ANY of the slot's terms may
+        match; position sets of a slot are the union over its alternatives.
+        idf = sum over all alternative terms (createWeight gathers every
+        term's TermStates)."""
+        all_terms = [t for slot in q.slots for t in slot]
+        stats = self.term_stats(all_terms)
+        live_slots = [tuple(t for t in slot if t in stats) for slot in q.slots]
+        if any(not slot for slot in live_slots):
+            return self._exec(MatchNoDocsQuery())
+        dt = self.dtype
+        idf_sum = float(
+            sum(
+                float(bm25.idf(stats[t].df, self.index.stats.doc_count, dt))
+                for t in dict.fromkeys(t for slot in live_slots for t in slot)
+            )
+        )
+        w = dt(dt(q.boost) * dt(idf_sum))
+        cache = self.cache
+
+        # one positions view per slot: union alternatives, merge per doc
+        order = sorted(
+            range(len(live_slots)), key=lambda i: sum(stats[t].df for t in live_slots[i])
+        )
+        joined = None
+        for rank, i in enumerate(order):
+            slot_df = (
+                self._positions_df(list(live_slots[i]))
+                .groupBy("doc_id")
+                .agg(
+                    F.array_sort(F.flatten(F.collect_list("positions"))).alias(f"_pos_{i}"),
+                    F.max("norm").alias(f"_norm_{i}"),
+                )
+            )
+            cols = ["doc_id", f"_pos_{i}"] + ([f"_norm_{i}"] if rank == 0 else [])
+            slot_df = slot_df.select(*cols)
+            joined = slot_df if joined is None else joined.join(slot_df, "doc_id")
+        norm_col = f"_norm_{order[0]}"
+
+        n = len(live_slots)
+        slop = q.slop
+        pos_cols = [f"_pos_{i}" for i in range(n)]
+
+        def gen(batches):
+            for pdf in batches:
+                out_doc, out_score = [], []
+                col_vals = [pdf[c].values for c in pos_cols]
+                for doc_id, norm, *plists_raw in zip(
+                    pdf["doc_id"].values, pdf[norm_col].values, *col_vals
+                ):
+                    plists = [np.asarray(p, dtype=np.int64) for p in plists_raw]
+                    if slop == 0:
+                        base0 = plists[0]
+                        ok = np.ones(len(base0), dtype=bool)
+                        for i in range(1, n):
+                            ok &= np.isin(base0 + i, plists[i])
+                        freq = float(ok.sum())
+                    else:
+                        freq = _sloppy_freq(plists, slop)
+                    if freq > 0:
+                        ni = cache[int(norm) & 0xFF]
+                        sc = w - w / (dt(1) + dt(freq) * ni)
+                        out_doc.append(int(doc_id))
+                        out_score.append(float(sc))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_doc, dtype="int64"),
+                        "score": pd.Series(out_score, dtype="float64"),
+                    }
+                )
+
+        return joined.mapInPandas(gen, schema="doc_id long, score double")
+
+    def _exec_span_near(self, q: SpanNearQuery) -> DataFrame:
+        """SpanNearQuery over term clauses (queries/spans/SpanNearQuery.kt,
+        NearSpansOrdered.kt / NearSpansUnordered.kt): per-doc matches with
+        total gap <= slop, optionally in order; per-match weight
+        1/(1 + matchWidth) summed into the sloppy freq (SpanScorer)."""
+        terms = list(q.terms)
+        stats = self.term_stats(terms)
+        if len(stats) < len(set(terms)):
+            return self._exec(MatchNoDocsQuery())
+        dt = self.dtype
+        idf_sum = float(
+            sum(
+                float(bm25.idf(stats[t].df, self.index.stats.doc_count, dt))
+                for t in dict.fromkeys(terms)
+            )
+        )
+        w = dt(dt(q.boost) * dt(idf_sum))
+        cache = self.cache
+
+        uniq = list(dict.fromkeys(terms))
+        order = sorted(uniq, key=lambda t: stats[t].df)
+        per_term = {}
+        for t in order:
+            cols = ["doc_id", F.col("positions").alias(f"_pos_{uniq.index(t)}")]
+            if t == order[0]:
+                cols.append("norm")
+            per_term[t] = self._positions_df([t]).select(*cols)
+        joined = None
+        for t in order:
+            joined = per_term[t] if joined is None else joined.join(per_term[t], "doc_id")
+
+        pos_cols = [f"_pos_{uniq.index(t)}" for t in terms]
+        slop, in_order = q.slop, q.in_order
+
+        def gen(batches):
+            for pdf in batches:
+                out_doc, out_score = [], []
+                col_vals = [pdf[c].values for c in pos_cols]
+                for doc_id, norm, *plists_raw in zip(
+                    pdf["doc_id"].values, pdf["norm"].values, *col_vals
+                ):
+                    plists = [np.asarray(p, dtype=np.int64) for p in plists_raw]
+                    freq = (
+                        _span_near_ordered_freq(plists, slop)
+                        if in_order
+                        else _span_near_unordered_freq(plists, slop)
+                    )
+                    if freq > 0:
+                        ni = cache[int(norm) & 0xFF]
+                        sc = w - w / (dt(1) + dt(freq) * ni)
+                        out_doc.append(int(doc_id))
+                        out_score.append(float(sc))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_doc, dtype="int64"),
+                        "score": pd.Series(out_score, dtype="float64"),
+                    }
+                )
+
+        return joined.mapInPandas(gen, schema="doc_id long, score double")
 
     def _exec_synonym(self, q: SynonymQuery) -> DataFrame:
         """SynonymQuery.kt:40 — blended stats: df = max over terms, freq summed."""
@@ -631,6 +797,36 @@ class IndexSearcher:
             return {"match": False, "value": 0.0, "description": "doc does not match"}
         return {"match": True, "value": float(row[0]["score"]), "description": type(q).__name__}
 
+    def search_sorted(self, q: Query, sort: list[tuple[str, bool]], k: int = 10) -> DataFrame:
+        """Sort-by-field top-k (TopFieldCollector.kt:21, SortField.kt:59-113):
+        match set (ScoreMode.COMPLETE_NO_SCORES) joined to the stored-field /
+        doc-value columns, ``ORDER BY field... , doc_id LIMIT k`` — Spark's
+        TakeOrderedAndProject is the distributed field collector. ``sort`` is
+        [(column, ascending)]; docID asc is the final tiebreak."""
+        matches = self._live(self._doc_set(rewrite_query(q)))
+        joined = matches.join(self.index.docs, "doc_id")
+        cols = [F.asc(c) if asc else F.desc(c) for c, asc in sort]
+        return joined.orderBy(*cols, F.asc("doc_id")).limit(k).select(
+            "doc_id", *[c for c, _ in sort]
+        )
+
+    def rescore(
+        self, first: Query, second: Query, window: int = 100, weight: float = 1.0, k: int = 10
+    ) -> DataFrame:
+        """QueryRescorer.kt: re-rank the top-``window`` first-pass hits;
+        combined = firstPassScore + weight * secondPassScore when the doc
+        matches the second query (the reference's default combine). The
+        second pass only scores the (tiny) window — joined broadcast-side."""
+        top = self.top_k(first, window).select("doc_id", F.col("score").alias("_s1"))
+        second_scores = self.execute(second).select("doc_id", F.col("score").alias("_s2"))
+        out = top.join(second_scores, "doc_id", "left").select(
+            "doc_id",
+            (F.col("_s1") + F.lit(float(weight)) * F.coalesce(F.col("_s2"), F.lit(0.0))).alias(
+                "score"
+            ),
+        )
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def count(self, q: Query) -> int:
         """count(query) fast path (IndexSearcher.kt:282-306): term count ==
         df only when there are no deletes, exactly like the reference."""
@@ -649,8 +845,10 @@ def _collect_terms(q: Query) -> set[str]:
     out: set[str] = set()
     if isinstance(q, TermQuery):
         out.add(q.term)
-    elif isinstance(q, (PhraseQuery, SynonymQuery)):
+    elif isinstance(q, (PhraseQuery, SynonymQuery, SpanNearQuery)):
         out.update(q.terms)
+    elif isinstance(q, MultiPhraseQuery):
+        out.update(t for slot in q.slots for t in slot)
     elif isinstance(q, BooleanQuery):
         for c in q.clauses:
             out |= _collect_terms(c.query)
@@ -705,4 +903,65 @@ def _sloppy_freq(plists: list[np.ndarray], slop: int) -> float:
         k = cur.index(start)
         idx[k] += 1
         if idx[k] >= len(adj[k]):
+            return freq
+
+
+def _span_near_ordered_freq(plists: list[np.ndarray], slop: int) -> float:
+    """Ordered near-spans over single-term clauses (NearSpansOrdered.kt):
+    non-overlapping occurrences in clause order; after finding a chain the
+    first span is shrunk forward to minimize width (the reference's
+    ``stretchToOrder``+shrink loop); width = lastStart - firstStart - (n-1);
+    match when width <= slop, weighted 1/(1+width)."""
+    n = len(plists)
+    if any(len(p) == 0 for p in plists):
+        return 0.0
+    a0 = plists[0]
+    i0 = 0
+    freq = 0.0
+    while i0 < len(a0):
+        prev = int(a0[i0])
+        picks_last = prev
+        ok = True
+        second = None
+        for i in range(1, n):
+            a = plists[i]
+            j = int(np.searchsorted(a, picks_last + 1))
+            if j >= len(a):
+                ok = False
+                break
+            picks_last = int(a[j])
+            if i == 1:
+                second = picks_last
+        if not ok:
+            break
+        # shrink the leading span as close to the chain as order allows
+        if n > 1:
+            j0 = int(np.searchsorted(a0, second)) - 1
+            start = int(a0[j0])
+        else:
+            j0, start = i0, prev
+        width = picks_last - start - (n - 1)
+        if width <= slop:
+            freq += 1.0 / (1 + width)
+        i0 = j0 + 1
+    return freq
+
+
+def _span_near_unordered_freq(plists: list[np.ndarray], slop: int) -> float:
+    """Unordered near-spans (NearSpansUnordered.kt plane-sweep): minimal
+    window over one occurrence per clause; width = max - min - (n-1)."""
+    n = len(plists)
+    if any(len(p) == 0 for p in plists):
+        return 0.0
+    idx = [0] * n
+    freq = 0.0
+    while True:
+        cur = [int(a[i]) for a, i in zip(plists, idx)]
+        start, end = min(cur), max(cur)
+        width = end - start - (n - 1)
+        if width <= slop:
+            freq += 1.0 / (1 + max(0, width))  # overlapping spans clamp to width 0
+        k = cur.index(start)
+        idx[k] += 1
+        if idx[k] >= len(plists[k]):
             return freq

@@ -23,8 +23,10 @@ from lucene_kmp_spark.search.query import (
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     Occur,
     PhraseQuery,
+    SpanNearQuery,
     PrefixQuery,
     Query,
     SynonymQuery,
@@ -33,6 +35,23 @@ from lucene_kmp_spark.search.query import (
     TermRangeQuery,
     WildcardQuery,
 )
+
+
+def _sweep_freq(lists: list[list[int]], slop: int, width_fn) -> float:
+    """Plane-sweep minimal windows over one position per list; each window's
+    ``width_fn(max - min)`` must be <= slop to count 1/(1+width)."""
+    idx = [0] * len(lists)
+    freq = 0.0
+    while True:
+        cur = [a[j] for a, j in zip(lists, idx)]
+        start, end = min(cur), max(cur)
+        width = width_fn(end - start)
+        if width <= slop:
+            freq += 1.0 / (1 + max(0, width))  # overlapping spans clamp to width 0
+        k = cur.index(start)
+        idx[k] += 1
+        if idx[k] >= len(lists[k]):
+            return freq
 
 
 class NaiveIndex:
@@ -137,6 +156,10 @@ class NaiveIndex:
                 if freq:
                     out[doc] = float(sc.score(np.array([freq]), np.array([self.norms[doc]]))[0])
             return out
+        if isinstance(q, MultiPhraseQuery):
+            return self._multi_phrase_scores(q)
+        if isinstance(q, SpanNearQuery):
+            return self._span_near_scores(q)
         if isinstance(q, BooleanQuery):
             return self._bool_scores(q)
         if isinstance(q, (PrefixQuery, WildcardQuery, TermRangeQuery, TermInSetQuery)):
@@ -148,6 +171,88 @@ class NaiveIndex:
         if isinstance(q, MatchNoDocsQuery):
             return {}
         raise NotImplementedError(type(q).__name__)
+
+    def _phrase_scorer(self, terms, boost):
+        dt = self.dtype
+        idf_sum = float(
+            sum(float(bm25.idf(self.df(t), self.doc_count, dt)) for t in dict.fromkeys(terms))
+        )
+        return bm25.BM25Scorer(
+            boost, idf_sum, bm25.avg_field_length(self.sum_ttf, self.doc_count, dt), dtype=dt
+        )
+
+    def _multi_phrase_scores(self, q: MultiPhraseQuery) -> dict[int, float]:
+        live_slots = [tuple(t for t in slot if self.df(t) > 0) for slot in q.slots]
+        if any(not s for s in live_slots):
+            return {}
+        sc = self._phrase_scorer([t for s in live_slots for t in s], q.boost)
+        # per-slot per-doc merged position sets
+        slot_pos: list[dict[int, list[int]]] = []
+        for slot in live_slots:
+            merged: dict[int, set[int]] = {}
+            for t in slot:
+                for doc, plist in self.postings[t].items():
+                    merged.setdefault(doc, set()).update(plist)
+            slot_pos.append({d: sorted(ps) for d, ps in merged.items()})
+        candidates = set(slot_pos[0])
+        for sp in slot_pos[1:]:
+            candidates &= set(sp)
+        out = {}
+        for doc in candidates:
+            plists = [sp[doc] for sp in slot_pos]
+            if q.slop == 0:
+                freq = float(
+                    sum(
+                        1
+                        for p in plists[0]
+                        if all((p + i) in set(plists[i]) for i in range(1, len(plists)))
+                    )
+                )
+            else:
+                adj = [sorted(p - i for p in pl) for i, pl in enumerate(plists)]
+                freq = _sweep_freq(adj, q.slop, lambda width: width)
+            if freq:
+                out[doc] = float(sc.score(np.array([freq]), np.array([self.norms[doc]]))[0])
+        return out
+
+    def _span_near_scores(self, q: SpanNearQuery) -> dict[int, float]:
+        import bisect
+
+        if any(self.df(t) == 0 for t in q.terms):
+            return {}
+        sc = self._phrase_scorer(list(q.terms), q.boost)
+        candidates = set(self.postings[q.terms[0]])
+        for t in q.terms[1:]:
+            candidates &= set(self.postings[t])
+        n = len(q.terms)
+        out = {}
+        for doc in candidates:
+            plists = [sorted(self.postings[t][doc]) for t in q.terms]
+            if q.in_order:
+                freq, i0 = 0.0, 0
+                a0 = plists[0]
+                while i0 < len(a0):
+                    prev, ok, second = a0[i0], True, None
+                    for i in range(1, n):
+                        j = bisect.bisect_right(plists[i], prev)
+                        if j >= len(plists[i]):
+                            ok = False
+                            break
+                        prev = plists[i][j]
+                        if i == 1:
+                            second = prev
+                    if not ok:
+                        break
+                    j0 = bisect.bisect_left(a0, second) - 1 if n > 1 else i0
+                    width = prev - a0[j0] - (n - 1)
+                    if width <= q.slop:
+                        freq += 1.0 / (1 + width)
+                    i0 = j0 + 1
+            else:
+                freq = _sweep_freq(plists, q.slop, lambda width: width - (n - 1))
+            if freq:
+                out[doc] = float(sc.score(np.array([freq]), np.array([self.norms[doc]]))[0])
+        return out
 
     def _multiterm_docs(self, q) -> set[int]:
         import re

@@ -120,6 +120,71 @@ class DisjunctionMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with term alternatives per position (search/MultiPhraseQuery.kt:31).
+
+    ``slots`` is one tuple of alternative terms per phrase position; a doc
+    matches when some choice of one term per slot occurs at consecutive
+    positions (within ``slop`` for sloppy matching). Scored like a phrase
+    whose idf is the sum over ALL alternative terms (MultiPhraseQuery
+    createWeight gathers every term's statistics)."""
+
+    slots: tuple[tuple[str, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+
+    def rewrite(self) -> Query:
+        if len(self.slots) == 1 and len(self.slots[0]) == 1:
+            return TermQuery(self.slots[0][0], boost=self.boost)
+        if all(len(s) == 1 for s in self.slots):
+            return PhraseQuery(tuple(s[0] for s in self.slots), slop=self.slop, boost=self.boost)
+        return self
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Position-constrained conjunction (queries/spans/SpanNearQuery.kt):
+    all terms occur with overall span length - #terms <= slop, optionally in
+    order (NearSpansOrdered.kt). Scored like a sloppy phrase: per-match
+    weight 1/(1 + matchLength), idf summed over clause terms.
+
+    Subset of the reference's span algebra (term clauses only — nested
+    span-or/span-not are out of minimum scope per SURVEY.md §2.3)."""
+
+    terms: tuple[str, ...]
+    slop: int = 0
+    in_order: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldExistsQuery(Query):
+    """Docs where a stored column has a value (search/FieldExistsQuery.kt:29).
+    Constant score = boost."""
+
+    column: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FeatureQuery(Query):
+    """Static ranking signal from a stored numeric column
+    (document/FeatureQuery.kt:24, FeatureField.kt score functions):
+
+    * ``log``:       boost * log(scale + S)
+    * ``saturation``: boost * S / (S + pivot)
+    * ``sigmoid``:   boost * S^exp / (S^exp + pivot^exp)
+    """
+
+    column: str
+    function: str = "saturation"  # log | saturation | sigmoid
+    pivot: float = 1.0
+    scale: float = 1.0
+    exp: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ColumnFilterQuery(Query):
     """Structured predicate on a stored column (role='user', ts ranges...).
 

@@ -306,11 +306,13 @@ class InvertedIndex:
     stats: IndexStats
     key_cols: tuple = ("doc_id",)
     extra: dict = field(default_factory=dict)
+    norms: DataFrame | None = None  # (doc_id, norm byte) — the .nvd analog (1 row/doc)
 
     def unpersist(self):
-        for df in (self.postings, self.term_dict):
+        for df in (self.postings, self.term_dict, self.norms):
             try:
-                df.unpersist()
+                if df is not None:
+                    df.unpersist()
             except Exception:
                 pass
 
@@ -328,6 +330,8 @@ class InvertedIndex:
             )
         postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
         self.term_dict.write.mode("overwrite").parquet(os.path.join(path, "term_dict"))
+        if self.norms is not None:
+            self.norms.write.mode("overwrite").parquet(os.path.join(path, "norms"))
         manifest = {
             "field": self.field_name,
             "key_cols": list(self.key_cols),
@@ -342,6 +346,7 @@ class InvertedIndex:
     def read(spark: SparkSession, path: str) -> "InvertedIndex":
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
+        norms_path = os.path.join(path, "norms")
         return InvertedIndex(
             spark=spark,
             field_name=manifest["field"],
@@ -350,6 +355,7 @@ class InvertedIndex:
             term_dict=spark.read.parquet(os.path.join(path, "term_dict")),
             stats=IndexStats(**manifest["stats"]),
             key_cols=tuple(manifest["key_cols"]),
+            norms=spark.read.parquet(norms_path) if os.path.isdir(norms_path) else None,
         )
 
 
@@ -400,8 +406,13 @@ def build_index(
         F.sum("ttf").alias("sum_ttf"),
         F.count("*").alias("num_terms"),
     ).collect()[0]
+    # standalone norms table (the .nvd analog, Lucene90NormsFormat): 1 byte/doc,
+    # needed by cross-field scorers (MultiNormsLeafSimScorer) that must see a
+    # doc's field length even for fields where the query term is absent.
+    # Materialized while tokens are cached so it never re-tokenizes.
+    norms = tokens.filter(F.col("is_first") == 1).select("doc_id", "norm").persist()
     # docs with >=1 indexed term: narrow count over the per-doc marker rows
-    doc_count = tokens.filter(F.col("is_first") == 1).count()
+    doc_count = norms.count()
 
     stats = IndexStats(
         max_doc=max_doc,
@@ -419,4 +430,5 @@ def build_index(
         postings=postings,
         term_dict=term_dict,
         stats=stats,
+        norms=norms,
     )

@@ -212,6 +212,37 @@ class IndexSearcher:
     def _empty_scored(self) -> DataFrame:
         return self.index.spark.createDataFrame([], schema=_SCORED_SCHEMA)
 
+    def term_freqs(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, tf) — the FREQS-level postings view (PostingsEnum
+        flags FREQS, index/PostingsEnum.kt:12-76); never decodes positions."""
+        rows = self.index.postings.filter(F.col("term").isin(list(set(terms)))).select(
+            "term", "doc_ids_enc", "freqs_enc"
+        )
+
+        def gen(batches):
+            from lucene_kmp_spark.util.packing import delta_decode, varint_decode
+
+            for pdf in batches:
+                outs = []
+                for term, de, fe in zip(
+                    pdf["term"].values, pdf["doc_ids_enc"].values, pdf["freqs_enc"].values
+                ):
+                    d = delta_decode(bytes(de))
+                    t = varint_decode(bytes(fe))
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": np.repeat(term, len(d)),
+                                "doc_id": d,
+                                "tf": t.astype(np.int32),
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return rows.mapInPandas(gen, schema="term string, doc_id long, tf int")
+
     def _positions_df(self, terms: list[str]) -> DataFrame:
         """(term, doc_id, tf, norm, positions) — the POSITIONS postings view."""
         from lucene_kmp_spark.util.packing import varint_decode

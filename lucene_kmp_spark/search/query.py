@@ -196,6 +196,34 @@ class ColumnFilterQuery(Query):
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery(Query):
+    """BM25F-style cross-field scoring (search/CombinedFieldQuery.kt:57 +
+    MultiNormsLeafSimScorer): the fields are treated as ONE synthetic field —
+    per doc, freq = Σ_f weight_f·tf_f and length = Σ_f weight_f·dl_f;
+    idf uses df = max over fields (merged pseudo term statistics), avgdl uses
+    the weighted sum of per-field sumTotalTermFreq. Executed by
+    ``search.multifield.MultiFieldSearcher``."""
+
+    terms: tuple[str, ...]
+    field_weights: tuple[tuple[str, float], ...]  # ((field, weight), ...)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """One term across fields with blended statistics
+    (search/BlendedTermQuery.kt:30): every per-field TermQuery is scored with
+    df/ttf lifted to the max across the fields, then combined with a
+    DisjunctionMax (tie_breaker=0.01, the reference's default rewrite).
+    Executed by ``search.multifield.MultiFieldSearcher``."""
+
+    term: str
+    fields: tuple[str, ...]
+    tie_breaker: float = 0.01
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     occur: Occur
     query: Query

@@ -722,16 +722,24 @@ class IndexSearcher:
                 return out
         return None
 
-    def top_k(self, q: Query, k: int = 10, hydrate: bool = False, prune: bool = False) -> DataFrame:
+    def top_k(
+        self, q: Query, k: int = 10, hydrate: bool = False, prune: bool | str = False
+    ) -> DataFrame:
         """TopScoreDocCollector analog: score desc, docID asc on ties
         (HitQueue.kt:56-62) — Spark's TakeOrderedAndProject does the
-        per-partition heaps + merge. ``prune=True`` uses block-max WAND
-        window pruning for prunable disjunctions (exact; see wand.py)."""
+        per-partition heaps + merge. ``prune`` picks the block-max strategy
+        for prunable disjunctions (both exact): ``True``/``"wand"`` =
+        window-aligned WAND (WANDScorer.kt), ``"maxscore"`` =
+        essential/non-essential MAXSCORE (MaxScoreBulkScorer.kt) — the
+        reference's BooleanScorerSupplier picks between the same two."""
         boosts = self._wand_boosts(q) if prune else None
         if boosts is not None:
-            from lucene_kmp_spark.search.wand import topk_disjunction_pruned
+            if prune == "maxscore":
+                from lucene_kmp_spark.search.wand import topk_disjunction_maxscore as _topk
+            else:
+                from lucene_kmp_spark.search.wand import topk_disjunction_pruned as _topk
 
-            scored = self._live(topk_disjunction_pruned(self, boosts, k))
+            scored = self._live(_topk(self, boosts, k))
         else:
             scored = self.execute(q)
         if self.dtype == np.float32:

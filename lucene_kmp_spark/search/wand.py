@@ -53,6 +53,86 @@ def _bmax_col(w_map_col, cache_arr):
     ) * F.lit(_MARGIN)
 
 
+def topk_disjunction_maxscore(searcher, boosts: dict[str, float], k: int = 10) -> DataFrame:
+    """Exact top-k via the MAXSCORE strategy (search/MaxScoreBulkScorer.kt:15-120):
+    terms are split into non-essential (the longest prefix, by ascending global
+    max score, whose bound sum stays below θ) and essential; every competitive
+    doc must contain at least one essential term, so candidates come only from
+    essential postings — non-essential postings are then only consulted for
+    those candidates (the "patch" pass, here a semi-join-restricted decode).
+
+    θ is seeded like the WAND path: decode each term's single best block,
+    score exactly, take the k-th partial sum (a sound achievable lower bound).
+    Block-level refinement inside essential terms: a block survives only if
+    its own bmax plus every other term's global max can still reach θ.
+    """
+    stats = searcher.term_stats(list(boosts))
+    live = {t: b for t, b in boosts.items() if t in stats}
+    if not live:
+        return searcher._empty_scored().select("doc_id", "score")
+
+    weights = {t: float(searcher._weight(stats[t].df, live[t])) for t in live}
+    cache_arr = F.array(*[F.lit(float(v)) for v in searcher.cache.astype(np.float64)])
+    w_map = F.create_map(*[x for t, w in weights.items() for x in (F.lit(t), F.lit(w))])
+
+    blocks = (
+        searcher.index.postings.filter(F.col("term").isin(list(live)))
+        .withColumn("bmax", _bmax_col(w_map[F.col("term")], cache_arr))
+        .persist()
+    )
+    try:
+        m_rows = blocks.groupBy("term").agg(F.max("bmax").alias("m")).collect()
+        m_t = {r["term"]: float(r["m"]) for r in m_rows}
+
+        w1 = Window.partitionBy("term").orderBy(F.desc("bmax"), F.asc("block_id"))
+        seed_blocks = blocks.withColumn("_rn", F.row_number().over(w1)).filter(F.col("_rn") == 1)
+        seed_scores = (
+            searcher._scored_terms_df(live, stats=stats, postings_rows=seed_blocks)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        if len(seed_scores) < k:
+            scored = searcher._scored_terms_df(live, stats=stats)
+            return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        theta = float(seed_scores[-1]["score"])
+
+        # essential / non-essential split (MaxScoreBulkScorer.kt:partitionScorers)
+        by_max = sorted(m_t, key=lambda t: (m_t[t], t))
+        acc, non_essential = 0.0, []
+        for t in by_max:
+            if acc + m_t[t] < theta:
+                acc += m_t[t]
+                non_essential.append(t)
+            else:
+                break
+        essential = [t for t in m_t if t not in set(non_essential)]
+        if not essential:  # θ unreachable by any doc — seeds are already exact
+            essential = by_max[-1:]
+            non_essential = [t for t in by_max[:-1]]
+
+        # block refinement: per-term residual bound Σ_all - m_term + bmax >= θ
+        sum_all = sum(m_t.values())
+        m_map = F.create_map(*[x for t, m in m_t.items() for x in (F.lit(t), F.lit(m))])
+        ess_blocks = blocks.filter(F.col("term").isin(essential)).filter(
+            F.col("bmax") + (F.lit(sum_all) - m_map[F.col("term")]) >= F.lit(theta)
+        )
+
+        candidates = (
+            searcher._scored_terms_df(live, stats=stats, postings_rows=ess_blocks)
+            .select("doc_id")
+            .distinct()
+        )
+        scored = searcher._scored_terms_df(live, stats=stats).join(
+            candidates, "doc_id", "left_semi"
+        )
+        return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    finally:
+        blocks.unpersist()
+
+
 def topk_disjunction_pruned(searcher, boosts: dict[str, float], k: int = 10) -> DataFrame:
     """Exact top-k for a pure disjunction of term queries, with block-max
     window pruning. Returns DataFrame(doc_id, score double) of ≥k best docs

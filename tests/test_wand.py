@@ -36,6 +36,19 @@ def test_pruned_equals_unpruned(searcher, idx, k):
     assert pruned == full
 
 
+@pytest.mark.parametrize("idx", range(len(CASES)))
+@pytest.mark.parametrize("k", [1, 10])
+def test_maxscore_equals_unpruned(searcher, idx, k):
+    """MaxScoreBulkScorer analog must also be exact (TestMaxScoreBulkScorer
+    pattern: pruned == naive)."""
+    q = CASES[idx]
+    pruned = [
+        (r["doc_id"], r["score"]) for r in searcher.top_k(q, k, prune="maxscore").collect()
+    ]
+    full = [(r["doc_id"], r["score"]) for r in searcher.top_k(q, k, prune=False).collect()]
+    assert pruned == full
+
+
 def test_wand_boost_detection(searcher):
     assert searcher._wand_boosts(TermQuery("x")) == {"x": 1.0}
     q = BooleanQuery.build(should=(TermQuery("a"), TermQuery("a"), TermQuery("b")))

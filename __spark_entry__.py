@@ -128,6 +128,24 @@ def _bm25_query(make_ast) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic second text field (for cross-field queries);
+    the same expression is reproduced verbatim in the DuckDB oracles."""
+    return _docs(spark, sf_dir).withColumn(
+        "text2",
+        F.expr("concat(lang, ' ', source, ' ', CASE WHEN n_chars % 2 = 0 THEN 'merge' ELSE 'join' END)"),
+    )
+
+
+def _mf_searcher64(spark: SparkSession, sf_dir: str):
+    from lucene_kmp_spark.search.multifield import MultiFieldSearcher, build_field_indexes
+
+    key = sf_dir + "::mf"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_field_indexes(_docs2(spark, sf_dir), ("text", "text2"))
+    return MultiFieldSearcher(_INDEX_CACHE[key], dtype=np.float64)
+
+
 # --------------------------------------------------------------------------
 # entry — flagship query
 # --------------------------------------------------------------------------
@@ -183,6 +201,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_phrase"] = _bm25_query(lambda: PhraseQuery(("order", "sort")))
     q["bm25_synonym"] = _bm25_query(lambda: SynonymQuery(("merge", "scan")))
 
+    def q_multi_phrase(spark, sf_dir):
+        from lucene_kmp_spark.search.query import MultiPhraseQuery
+
+        s = _searcher64(spark, sf_dir)
+        return _ranked_topk(s.execute(MultiPhraseQuery((("order", "merge"), ("sort", "join")))))
+
+    q["bm25_multi_phrase"] = q_multi_phrase
+
+    def q_span_ordered(spark, sf_dir):
+        from lucene_kmp_spark.search.query import SpanNearQuery
+
+        s = _searcher64(spark, sf_dir)
+        # slop=0 ordered 2-term spans == adjacent-pair counting (phrase-shaped
+        # oracle); the engine path is the real NearSpansOrdered analog
+        return _ranked_topk(s.execute(SpanNearQuery(("order", "sort"), slop=0, in_order=True)))
+
+    q["bm25_span_ordered"] = q_span_ordered
+
+    def q_maxscore(spark, sf_dir):
+        from lucene_kmp_spark.search.wand import topk_disjunction_maxscore
+
+        s = _searcher64(spark, sf_dir)
+        scored = topk_disjunction_maxscore(s, {"merge": 1.0, "join": 1.0, "scan": 1.0}, k=30)
+        return _ranked_topk(scored)
+
+    q["bm25_or_maxscore"] = q_maxscore
+
     # ---- multi-term expansion (constant score -> exact doc sets) ----
     def _docset(make_ast):
         def run(spark, sf_dir):
@@ -215,6 +260,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_dismax"] = q_dismax
+
+    # ---- stored-field / feature / sort / rescore operators ----
+    def q_feature(spark, sf_dir):
+        from lucene_kmp_spark.search.query import FeatureQuery
+
+        s = _searcher64(spark, sf_dir)
+        scored = s.execute(FeatureQuery("n_chars", function="saturation", pivot=200.0))
+        return scored.filter(F.col("doc_id") < 100).select("doc_id", _q4(F.col("score")).alias("score"))
+
+    q["feature_saturation"] = q_feature
+
+    def q_exists(spark, sf_dir):
+        from lucene_kmp_spark.search.query import FieldExistsQuery
+
+        s = _searcher64(spark, sf_dir)
+        return s.execute(FieldExistsQuery("lang")).select("doc_id")
+
+    q["field_exists"] = q_exists
+
+    def q_sorted(spark, sf_dir):
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+
+        s = _searcher64(spark, sf_dir)
+        return s.search_sorted(TQ("merge"), [("n_chars", False)], k=10)
+
+    q["sort_by_field"] = q_sorted
+
+    def q_rescore(spark, sf_dir):
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+
+        s = _searcher64(spark, sf_dir)
+        # window >= all matches so the float-sensitive window cut never bites;
+        # the rescore combine (first + 2*second) is what's under test
+        out = s.rescore(TQ("merge"), TQ("join"), window=10_000_000, weight=2.0, k=10)
+        w = Window.orderBy(F.desc(F.floor(F.col("score") * 10000)), F.asc("doc_id"))
+        return (
+            out.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("doc_id", "rank", _q4(F.col("score")).alias("score"))
+        )
+
+    q["rescore_combine"] = q_rescore
+
+    # ---- cross-field (per-field postings tables) ----
+    def q_combined(spark, sf_dir):
+        from lucene_kmp_spark.search.query import CombinedFieldQuery
+
+        s = _mf_searcher64(spark, sf_dir)
+        scored = s.execute(
+            CombinedFieldQuery(("merge",), field_weights=(("text", 1.0), ("text2", 2.0)))
+        )
+        return _ranked_topk(scored)
+
+    q["combined_field_bm25f"] = q_combined
+
+    def q_blended(spark, sf_dir):
+        from lucene_kmp_spark.search.query import BlendedTermQuery
+
+        s = _mf_searcher64(spark, sf_dir)
+        scored = s.execute(BlendedTermQuery("merge", fields=("text", "text2")))
+        return _ranked_topk(scored)
+
+    q["blended_term"] = q_blended
 
     # ---- index statistics ----
     def q_term_dict(spark, sf_dir):
@@ -360,6 +467,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _q_sql(e: str) -> str:
+    """SmallFloat decode(intToByte4(x)) quantization as a SQL CASE (matches
+    the engine's LENGTH_TABLE roundtrip; same shape as the prelude norm CTE)."""
+    return (
+        f"CASE WHEN {e} < 24 THEN {e} WHEN {e} - 24 < 8 THEN {e} "
+        f"ELSE 24 + ((({e} - 24) >> (length(printf('%b', {e} - 24)) - 4)) "
+        f"<< (length(printf('%b', {e} - 24)) - 4)) END"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -470,6 +587,138 @@ total AS (
 )"""
         + _rank_tail("total")
     )
+
+    o["bm25_multi_phrase"] = (
+        _PRELUDE
+        + """,
+mp AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, len(ts)),
+           i -> CASE WHEN ts[i] IN ('order', 'merge') AND ts[i+1] IN ('sort', 'join')
+                THEN 1 ELSE 0 END))::BIGINT AS freq
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+),
+idfs AS (
+  SELECT sum(ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5))) AS w
+  FROM (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN ('order', 'merge', 'sort', 'join') GROUP BY term) d, avgd a
+),
+total AS (
+  SELECT mp.doc_id,
+         idfs.w - idfs.w / (1 + mp.freq * (1.0 / (1.2 * (0.25 + 0.75 * norm.qdl / avgd.avgdl)))) AS s
+  FROM mp JOIN norm USING (doc_id) CROSS JOIN avgd CROSS JOIN idfs
+  WHERE mp.freq > 0
+)"""
+        + _rank_tail("total")
+    )
+
+    # ordered slop=0 2-term spans count exactly the adjacent pairs a phrase
+    # counts — reuse the phrase-shaped oracle
+    o["bm25_span_ordered"] = o["bm25_phrase"]
+
+    # MAXSCORE is an exact strategy for the same disjunction
+    o["bm25_or_maxscore"] = o["bm25_bool_or"]
+
+    o["feature_saturation"] = """
+SELECT doc_id, floor(n_chars / (n_chars + 200.0) * 10000) / 10000 AS score
+FROM documents WHERE doc_id < 100 AND n_chars IS NOT NULL AND n_chars > 0
+"""
+    o["field_exists"] = "SELECT doc_id FROM documents WHERE lang IS NOT NULL"
+
+    o["sort_by_field"] = (
+        _PRELUDE
+        + """
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge') m USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
+"""
+    )
+
+    o["rescore_combine"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + ","
+        + _sc_cte("sc1", "join")
+        + """,
+total AS (
+  SELECT sc0.doc_id, sc0.s + 2.0 * COALESCE(sc1.s, 0) AS s
+  FROM sc0 LEFT JOIN sc1 USING (doc_id)
+)"""
+        + _rank_tail("total")
+    )
+
+    # ---- cross-field (CombinedFieldQuery.kt merged pseudo-stats) ----
+    _T2_SPLIT = (
+        "string_split(concat(lang, ' ', source, ' ', "
+        "CASE WHEN n_chars % 2 = 0 THEN 'merge' ELSE 'join' END), ' ')"
+    )
+    o["combined_field_bm25f"] = f"""
+WITH tok1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf1 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok1 GROUP BY 1, 2),
+dl1 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok1 GROUP BY 1),
+tok2 AS (SELECT doc_id, unnest({_T2_SPLIT}) AS term FROM documents),
+tf2 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY 1, 2),
+dl2 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM dl1) AS dc1, (SELECT sum(dl) FROM dl1) AS s1,
+              (SELECT count(*) FROM dl2) AS dc2, (SELECT sum(dl) FROM dl2) AS s2),
+av AS (SELECT (floor(1.0 * s1)::BIGINT + floor(2.0 * s2)::BIGINT)::DOUBLE
+              / greatest(dc1, dc2) AS avgdl,
+              greatest(dc1, dc2)::BIGINT AS dc FROM st),
+q1 AS (SELECT doc_id, {_q_sql('dl')} AS qdl FROM dl1),
+q2 AS (SELECT doc_id, {_q_sql('dl')} AS qdl FROM dl2),
+cn AS (SELECT doc_id,
+              {_q_sql("CAST(floor(1.0 * COALESCE(q1.qdl, 0) + 2.0 * COALESCE(q2.qdl, 0) + 0.5) AS BIGINT)")} AS cdl
+       FROM q1 FULL JOIN q2 USING (doc_id)),
+dfm AS (SELECT greatest(
+          (SELECT count(*) FROM tf1 WHERE term = 'merge'),
+          (SELECT count(*) FROM tf2 WHERE term = 'merge'))::BIGINT AS df),
+idf AS (SELECT ln(1 + (av.dc - dfm.df + 0.5) / (dfm.df + 0.5)) AS w FROM dfm, av),
+wtf AS (SELECT doc_id, 1.0 * COALESCE(a.tf, 0) + 2.0 * COALESCE(b.tf, 0) AS wtf
+        FROM (SELECT doc_id, tf FROM tf1 WHERE term = 'merge') a
+        FULL JOIN (SELECT doc_id, tf FROM tf2 WHERE term = 'merge') b USING (doc_id)),
+total AS (
+  SELECT wtf.doc_id,
+         idf.w - idf.w / (1 + wtf.wtf * (1.0 / (1.2 * (0.25 + 0.75 * cn.cdl / av.avgdl)))) AS s
+  FROM wtf JOIN cn USING (doc_id) CROSS JOIN av CROSS JOIN idf
+  WHERE wtf.wtf > 0
+)""" + _rank_tail("total")
+
+    o["blended_term"] = f"""
+WITH tok1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf1 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok1 GROUP BY 1, 2),
+dl1 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok1 GROUP BY 1),
+tok2 AS (SELECT doc_id, unnest({_T2_SPLIT}) AS term FROM documents),
+tf2 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY 1, 2),
+dl2 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY 1),
+st1 AS (SELECT count(*)::BIGINT AS dc, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl1),
+st2 AS (SELECT count(*)::BIGINT AS dc, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl2),
+dfb AS (SELECT greatest(
+          (SELECT count(*) FROM tf1 WHERE term = 'merge'),
+          (SELECT count(*) FROM tf2 WHERE term = 'merge'))::BIGINT AS df),
+q1 AS (SELECT doc_id, {_q_sql('dl')} AS qdl FROM dl1),
+q2 AS (SELECT doc_id, {_q_sql('dl')} AS qdl FROM dl2),
+sc1 AS (
+  SELECT tf1.doc_id,
+         w.w - w.w / (1 + tf1.tf * (1.0 / (1.2 * (0.25 + 0.75 * q1.qdl / st1.avgdl)))) AS s
+  FROM tf1 JOIN q1 USING (doc_id) CROSS JOIN st1
+  CROSS JOIN (SELECT ln(1 + (st1.dc - least(dfb.df, st1.dc) + 0.5)
+                         / (least(dfb.df, st1.dc) + 0.5)) AS w FROM dfb, st1) w
+  WHERE tf1.term = 'merge'
+),
+sc2 AS (
+  SELECT tf2.doc_id,
+         w.w - w.w / (1 + tf2.tf * (1.0 / (1.2 * (0.25 + 0.75 * q2.qdl / st2.avgdl)))) AS s
+  FROM tf2 JOIN q2 USING (doc_id) CROSS JOIN st2
+  CROSS JOIN (SELECT ln(1 + (st2.dc - least(dfb.df, st2.dc) + 0.5)
+                         / (least(dfb.df, st2.dc) + 0.5)) AS w FROM dfb, st2) w
+  WHERE tf2.term = 'merge'
+),
+total AS (
+  SELECT doc_id, max(s) + 0.01 * (sum(s) - max(s)) AS s FROM (
+    SELECT * FROM sc1 UNION ALL SELECT * FROM sc2
+  ) GROUP BY doc_id
+)""" + _rank_tail("total")
 
     # ---- multiterm doc sets ----
     o["multiterm_prefix"] = _PRELUDE + "SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'sc%'"

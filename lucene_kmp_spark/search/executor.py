@@ -281,20 +281,22 @@ class IndexSearcher:
         return rows.mapInPandas(gen, schema=_POS_SCHEMA)
 
     # ------------------------------------------------------------ match sets
-    def _doc_set(self, q: Query) -> DataFrame:
-        """Distinct doc_ids matching q (ScoreMode.NO_SCORES path)."""
+    def _doc_set(self, q: Query, dedup: bool = True) -> DataFrame:
+        """doc_ids matching q (ScoreMode.NO_SCORES path). ``dedup=False``
+        skips the distinct() shuffle — safe whenever the result feeds a
+        semi/anti join, which dedups implicitly."""
         if isinstance(q, TermQuery):
-            return self._docs_for_term_filter(F.col("term") == q.term)
+            return self._docs_for_term_filter(F.col("term") == q.term, dedup)
         if isinstance(q, TermInSetQuery):
-            return self._docs_for_term_filter(F.col("term").isin(list(q.terms)))
+            return self._docs_for_term_filter(F.col("term").isin(list(q.terms)), dedup)
         if isinstance(q, PrefixQuery):
-            return self._docs_for_term_filter(F.col("term").startswith(q.prefix))
+            return self._docs_for_term_filter(F.col("term").startswith(q.prefix), dedup)
         if isinstance(q, WildcardQuery):
-            return self._docs_for_term_filter(F.col("term").rlike(_wildcard_to_regex(q.pattern)))
+            return self._docs_for_term_filter(F.col("term").rlike(_wildcard_to_regex(q.pattern)), dedup)
         if isinstance(q, RegexpQuery):
-            return self._docs_for_term_filter(F.col("term").rlike("^(?:" + q.regexp + ")$"))
+            return self._docs_for_term_filter(F.col("term").rlike("^(?:" + q.regexp + ")$"), dedup)
         if isinstance(q, TermRangeQuery):
-            return self._docs_for_term_filter(_range_pred(q))
+            return self._docs_for_term_filter(_range_pred(q), dedup)
         if isinstance(q, ColumnFilterQuery):
             return self.index.docs.filter(q.sql_predicate).select("doc_id")
         if isinstance(q, FieldExistsQuery):
@@ -308,7 +310,7 @@ class IndexSearcher:
         # general fallback: scored execution, keep doc ids
         return self.execute(q).select("doc_id")
 
-    def _docs_for_term_filter(self, pred) -> DataFrame:
+    def _docs_for_term_filter(self, pred, dedup: bool = True) -> DataFrame:
         """Decode doc_ids only for postings whose term matches a predicate.
 
         The term predicate is pushed into the Parquet scan of the postings
@@ -326,7 +328,8 @@ class IndexSearcher:
                 arrs = [delta_decode(bytes(b)) for b in pdf["doc_ids_enc"].values]
                 yield pd.DataFrame({"doc_id": np.concatenate(arrs)})
 
-        return rows.mapInPandas(gen, schema="doc_id long").distinct()
+        out = rows.mapInPandas(gen, schema="doc_id long")
+        return out.distinct() if dedup else out
 
     # ------------------------------------------------------------- execution
     def execute(self, q: Query) -> DataFrame:
@@ -548,20 +551,46 @@ class IndexSearcher:
         must_nots = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
         msm = q.minimum_should_match
 
+        def _batchable(qs):
+            # distinct bare TermQuerys can share ONE postings scan + decode
+            # pass instead of one stage per clause (the per-clause scores and
+            # match counts are recovered from the combined rows)
+            return (
+                len(qs) >= 2
+                and all(type(x) is TermQuery for x in qs)
+                and len({x.term for x in qs}) == len(qs)
+            )
+
         base = None
         if musts:
-            # conjunction ordered by cost ascending (ConjunctionDISI.kt:29-32)
-            ordered = sorted(musts, key=self._cost_estimate)
-            base = self._exec(ordered[0]).withColumnRenamed("score", "s0")
-            for i, m in enumerate(ordered[1:], start=1):
-                nxt = self._exec(m).withColumnRenamed("score", f"s{i}")
-                base = base.join(nxt, "doc_id")
-            score_expr = sum(F.col(f"s{i}") for i in range(len(ordered)))
-            base = base.select("doc_id", score_expr.alias("score"))
+            if _batchable(musts):
+                scored = self._scored_terms_df({m.term: m.boost for m in musts})
+                base = (
+                    scored.groupBy("doc_id")
+                    .agg(F.sum("score").alias("score"), F.count("*").alias("_m_cnt"))
+                    .filter(F.col("_m_cnt") == len(musts))
+                    .select("doc_id", "score")
+                )
+            else:
+                # conjunction ordered by cost ascending (ConjunctionDISI.kt:29-32)
+                ordered = sorted(musts, key=self._cost_estimate)
+                base = self._exec(ordered[0]).withColumnRenamed("score", "s0")
+                for i, m in enumerate(ordered[1:], start=1):
+                    nxt = self._exec(m).withColumnRenamed("score", f"s{i}")
+                    base = base.join(nxt, "doc_id")
+                score_expr = sum(F.col(f"s{i}") for i in range(len(ordered)))
+                base = base.select("doc_id", score_expr.alias("score"))
 
         if shoulds:
-            sdf = None
-            for s in shoulds:
+            term_qs = [s for s in shoulds if type(s) is TermQuery]
+            if _batchable(term_qs):
+                sdf = self._scored_terms_df({t.term: t.boost for t in term_qs}).select(
+                    "doc_id", "score"
+                )
+                rest = [s for s in shoulds if type(s) is not TermQuery]
+            else:
+                sdf, rest = None, list(shoulds)
+            for s in rest:
                 part = self._exec(s)
                 sdf = part if sdf is None else sdf.unionByName(part)
             sagg = sdf.groupBy("doc_id").agg(
@@ -588,9 +617,9 @@ class IndexSearcher:
                 return self._exec(MatchNoDocsQuery())
 
         for f_q in filters:
-            base = base.join(self._doc_set(f_q), "doc_id", "left_semi")
+            base = base.join(self._doc_set(f_q, dedup=False), "doc_id", "left_semi")
         for n_q in must_nots:
-            base = base.join(self._doc_set(n_q), "doc_id", "left_anti")
+            base = base.join(self._doc_set(n_q, dedup=False), "doc_id", "left_anti")
         if q.boost != 1.0:
             base = base.select("doc_id", (F.col("score") * F.lit(float(q.boost))).alias("score"))
         return base

@@ -7,7 +7,7 @@ parser over the same surface syntax:
 
     query    := clause+                        # default operator OR
     clause   := [+|-|NOT] [field ':'] atom [^boost]
-    atom     := '(' query ')' | '"' phrase '"' [~slop] | range | termish
+    atom     := '(' query ')' | '"' phrase '"' [~slop] | '/' regexp '/' | range | termish
     termish  := word [~edits] | prefix* | wild?card
     range    := '[' a TO b ']' | '{' a TO b '}'
     AND/&&, OR/||ĕ infix operators bind adjacent clauses
@@ -40,6 +40,7 @@ _TOKEN_RX = re.compile(
         (?P<and>AND\b|&&) | (?P<or>OR\b|\|\|) | (?P<not>NOT\b|!) |
         (?P<plus>\+) | (?P<minus>-) |
         (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?) |
+        (?P<regex>/(?P<regex_body>[^/]*)/) |
         (?P<lbracket>[\[\{])\s*(?P<lo>[^\s\]]+)\s+TO\s+(?P<hi>[^\s\]]+)\s*(?P<rbracket>[\]\}]) |
         (?P<word>[^\s()"^]+)
     )""",
@@ -84,6 +85,9 @@ class QueryParser:
             else:
                 if m.group("phrase") is not None:
                     out.append(("phrase", (m.group("phrase_body"), int(m.group("slop") or 0)), boost))
+                    continue
+                if m.group("regex") is not None:
+                    out.append(("regex", m.group("regex_body"), boost))
                     continue
                 if m.group("lbracket"):
                     out.append(
@@ -166,6 +170,10 @@ class QueryParser:
             if len(terms) == 1:
                 return TermQuery(terms[0]), toks
             return PhraseQuery(tuple(terms), slop=slop), toks
+        if kind == "regex":
+            from lucene_kmp_spark.search.query import RegexpQuery
+
+            return RegexpQuery(val), toks
         if kind == "range":
             lo, hi, inc_lo, inc_hi = val
             lo = None if lo == "*" else _norm_term(lo)

@@ -90,3 +90,14 @@ def test_empty():
 
 def test_multi_token_word_becomes_phrase():
     assert parse("full-text") == PhraseQuery(("full", "text"))
+
+
+def test_regexp_syntax():
+    from lucene_kmp_spark.queryparser import parse
+    from lucene_kmp_spark.search.query import RegexpQuery, BooleanQuery
+
+    q = parse("/sc.n/")
+    assert q == RegexpQuery("sc.n")
+    q = parse("merge /jo.n/")
+    assert isinstance(q, BooleanQuery)
+    assert any(isinstance(c.query, RegexpQuery) for c in q.clauses)

@@ -110,11 +110,18 @@ class IndexSearcher:
         b: float = 0.75,
         dtype=np.float32,
         live_filter: DataFrame | None = None,
+        similarity=None,
     ):
+        from lucene_kmp_spark.search.similarities import BM25Similarity
+
         self.index = index
         self.k1 = k1
         self.b = b
         self.dtype = dtype
+        # pluggable scoring model (Similarity.kt UDF surface); the default
+        # BM25Similarity reproduces the float32 bit-parity kernel exactly
+        self.similarity = similarity if similarity is not None else BM25Similarity(k1, b)
+        self._is_bm25 = isinstance(self.similarity, BM25Similarity)
         # deleted docIDs anti-joined on every result (liveDocs bitset analog,
         # codecs/lucene90/Lucene90LiveDocsFormat.kt); stats intentionally
         # still include deleted docs until merge, like Lucene
@@ -156,6 +163,18 @@ class IndexSearcher:
         dt = self.dtype
         return dt(dt(boost) * bm25.idf(term_df, self.index.stats.doc_count, dt))
 
+    def _make_scorer(self, boost: float, stats_list: list["TermStats"]):
+        """createWeight: bind global + term statistics into a vectorized
+        scoring kernel (IndexSearcher.kt:773; Similarity.kt scorer())."""
+        s = self.index.stats
+        return self.similarity.scorer(
+            boost,
+            [(st.df, st.ttf) for st in stats_list],
+            s.doc_count,
+            s.sum_total_term_freq,
+            dtype=self.dtype,
+        )
+
     # --------------------------------------------------------------- scoring
     def _scored_terms_df(
         self, boosts: dict[str, float], stats=None, postings_rows: DataFrame | None = None
@@ -166,15 +185,15 @@ class IndexSearcher:
         pruned path); default scans all blocks of the terms."""
         if stats is None:
             stats = self.term_stats(list(boosts))
-        weights = {t: float(self._weight(st.df, boosts[t])) for t, st in stats.items() if t in boosts}
-        if not weights:
+        scorers = {
+            t: self._make_scorer(boosts[t], [st]) for t, st in stats.items() if t in boosts
+        }
+        if not scorers:
             return self._empty_scored()
-        cache = self.cache
-        dt = self.dtype
         base = (
             postings_rows
             if postings_rows is not None
-            else self.index.postings.filter(F.col("term").isin(list(weights)))
+            else self.index.postings.filter(F.col("term").isin(list(scorers)))
         )
         rows = base.select("term", "doc_ids_enc", "freqs_enc", "norms_enc")
 
@@ -190,9 +209,7 @@ class IndexSearcher:
                     doc_ids = delta_decode(bytes(de))
                     tfs = varint_decode(bytes(fe))
                     norms = np.frombuffer(bytes(ne), dtype=np.uint8)
-                    w = dt(weights[term])
-                    ni = cache[norms.astype(np.int64)]
-                    sc = w - w / (dt(1) + tfs.astype(dt) * ni)
+                    sc = scorers[term].score(tfs, norms)
                     outs["term"].append(np.repeat(term, len(doc_ids)))
                     outs["doc_id"].append(doc_ids)
                     outs["tf"].append(tfs)
@@ -400,15 +417,10 @@ class IndexSearcher:
         live_slots = [tuple(t for t in slot if t in stats) for slot in q.slots]
         if any(not slot for slot in live_slots):
             return self._exec(MatchNoDocsQuery())
-        dt = self.dtype
-        idf_sum = float(
-            sum(
-                float(bm25.idf(stats[t].df, self.index.stats.doc_count, dt))
-                for t in dict.fromkeys(t for slot in live_slots for t in slot)
-            )
+        scorer = self._make_scorer(
+            q.boost,
+            [stats[t] for t in dict.fromkeys(t for slot in live_slots for t in slot)],
         )
-        w = dt(dt(q.boost) * dt(idf_sum))
-        cache = self.cache
 
         # one positions view per slot: union alternatives, merge per doc
         order = sorted(
@@ -435,7 +447,7 @@ class IndexSearcher:
 
         def gen(batches):
             for pdf in batches:
-                out_doc, out_score = [], []
+                out_doc, out_freq, out_norm = [], [], []
                 col_vals = [pdf[c].values for c in pos_cols]
                 for doc_id, norm, *plists_raw in zip(
                     pdf["doc_id"].values, pdf[norm_col].values, *col_vals
@@ -450,14 +462,14 @@ class IndexSearcher:
                     else:
                         freq = _sloppy_freq(plists, slop)
                     if freq > 0:
-                        ni = cache[int(norm) & 0xFF]
-                        sc = w - w / (dt(1) + dt(freq) * ni)
                         out_doc.append(int(doc_id))
-                        out_score.append(float(sc))
+                        out_freq.append(freq)
+                        out_norm.append(int(norm))
+                sc = scorer.score(np.array(out_freq), np.array(out_norm, dtype=np.int64))
                 yield pd.DataFrame(
                     {
                         "doc_id": pd.Series(out_doc, dtype="int64"),
-                        "score": pd.Series(out_score, dtype="float64"),
+                        "score": sc.astype(np.float64),
                     }
                 )
 
@@ -472,15 +484,7 @@ class IndexSearcher:
         stats = self.term_stats(terms)
         if len(stats) < len(set(terms)):
             return self._exec(MatchNoDocsQuery())
-        dt = self.dtype
-        idf_sum = float(
-            sum(
-                float(bm25.idf(stats[t].df, self.index.stats.doc_count, dt))
-                for t in dict.fromkeys(terms)
-            )
-        )
-        w = dt(dt(q.boost) * dt(idf_sum))
-        cache = self.cache
+        scorer = self._make_scorer(q.boost, [stats[t] for t in dict.fromkeys(terms)])
 
         uniq = list(dict.fromkeys(terms))
         order = sorted(uniq, key=lambda t: stats[t].df)
@@ -499,7 +503,7 @@ class IndexSearcher:
 
         def gen(batches):
             for pdf in batches:
-                out_doc, out_score = [], []
+                out_doc, out_freq, out_norm = [], [], []
                 col_vals = [pdf[c].values for c in pos_cols]
                 for doc_id, norm, *plists_raw in zip(
                     pdf["doc_id"].values, pdf["norm"].values, *col_vals
@@ -511,14 +515,14 @@ class IndexSearcher:
                         else _span_near_unordered_freq(plists, slop)
                     )
                     if freq > 0:
-                        ni = cache[int(norm) & 0xFF]
-                        sc = w - w / (dt(1) + dt(freq) * ni)
                         out_doc.append(int(doc_id))
-                        out_score.append(float(sc))
+                        out_freq.append(freq)
+                        out_norm.append(int(norm))
+                sc = scorer.score(np.array(out_freq), np.array(out_norm, dtype=np.int64))
                 yield pd.DataFrame(
                     {
                         "doc_id": pd.Series(out_doc, dtype="int64"),
-                        "score": pd.Series(out_score, dtype="float64"),
+                        "score": sc.astype(np.float64),
                     }
                 )
 
@@ -530,16 +534,14 @@ class IndexSearcher:
         if not stats:
             return self._exec(MatchNoDocsQuery())
         blended_df = max(st.df for st in stats.values())
-        w = float(self._weight(blended_df, q.boost))
-        dt = self.dtype
-        cache = self.cache
+        blended_ttf = sum(st.ttf for st in stats.values())
+        scorer = self._make_scorer(q.boost, [TermStats(blended_df, blended_ttf)])
         pos = self._positions_df(list(q.terms)).select("doc_id", "tf", "norm")
         agg = pos.groupBy("doc_id").agg(F.sum("tf").alias("tf"), F.max("norm").alias("norm"))
 
         def gen(batches):
             for pdf in batches:
-                ni = cache[pdf["norm"].values.astype(np.int64)]
-                sc = dt(w) - dt(w) / (dt(1) + pdf["tf"].values.astype(dt) * ni)
+                sc = scorer.score(pdf["tf"].values, pdf["norm"].values)
                 yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "score": sc.astype(np.float64)})
 
         return agg.mapInPandas(gen, schema="doc_id long, score double")
@@ -645,11 +647,9 @@ class IndexSearcher:
         stats = self.term_stats(terms)
         if len(stats) < len(set(terms)):
             return self._exec(MatchNoDocsQuery())
-        # phrase idf = sum of per-term idfs accumulated in double (BM25Similarity.kt:134-147)
-        dt = self.dtype
-        idf_sum = float(sum(float(bm25.idf(stats[t].df, self.index.stats.doc_count, dt)) for t in terms))
-        w = dt(dt(q.boost) * dt(idf_sum))
-        cache = self.cache
+        # phrase weight from ALL terms' stats — idf-like weights sum across
+        # terms (BM25Similarity.kt:134-147 / idfExplain over TermStatistics[])
+        scorer = self._make_scorer(q.boost, [stats[t] for t in terms])
 
         # decode each term's blocks once (postings filter pushes the term
         # predicate into the scan), join rarest-first on doc_id
@@ -671,7 +671,7 @@ class IndexSearcher:
 
         def gen(batches):
             for pdf in batches:
-                out_doc, out_score = [], []
+                out_doc, out_freq, out_norm = [], [], []
                 col_vals = [pdf[c].values for c in pos_cols]
                 for doc_id, norm, *plists_raw in zip(
                     pdf["doc_id"].values, pdf["norm"].values, *col_vals
@@ -682,16 +682,16 @@ class IndexSearcher:
                         ok = np.ones(len(base0), dtype=bool)
                         for i in range(1, n):
                             ok &= np.isin(base0 + i, plists[i])
-                        freq = int(ok.sum())
+                        freq = float(ok.sum())
                     else:
                         freq = _sloppy_freq(plists, slop)
                     if freq > 0:
-                        ni = cache[int(norm) & 0xFF]
-                        sc = w - w / (dt(1) + dt(freq) * ni)
                         out_doc.append(int(doc_id))
-                        out_score.append(float(sc))
+                        out_freq.append(freq)
+                        out_norm.append(int(norm))
+                sc = scorer.score(np.array(out_freq), np.array(out_norm, dtype=np.int64))
                 yield pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
-                                    "score": pd.Series(out_score, dtype="float64")})
+                                    "score": sc.astype(np.float64)})
 
         return joined.mapInPandas(gen, schema="doc_id long, score double")
 
@@ -761,7 +761,9 @@ class IndexSearcher:
         window-aligned WAND (WANDScorer.kt), ``"maxscore"`` =
         essential/non-essential MAXSCORE (MaxScoreBulkScorer.kt) — the
         reference's BooleanScorerSupplier picks between the same two."""
-        boosts = self._wand_boosts(q) if prune else None
+        # block-max bounds are derived from the BM25 impact formula; other
+        # similarities fall back to the exact unpruned plan
+        boosts = self._wand_boosts(q) if (prune and self._is_bm25) else None
         if boosts is not None:
             if prune == "maxscore":
                 from lucene_kmp_spark.search.wand import topk_disjunction_maxscore as _topk
@@ -795,7 +797,7 @@ class IndexSearcher:
         ``value`` must equal the executed score — CheckHits' re-derivation
         oracle (tests/search/CheckHits.kt:130)."""
         q = rewrite_query(q)
-        if isinstance(q, TermQuery):
+        if isinstance(q, TermQuery) and self._is_bm25:
             st = self.term_stats([q.term])
             if q.term not in st:
                 return {"match": False, "value": 0.0, "description": f"no term {q.term!r}"}

@@ -1,0 +1,143 @@
+"""Pluggable Similarity parity: engine scores under Classic / LM-Dirichlet /
+Boolean similarities vs independently-computed formula values; BM25 default
+must stay bit-identical to the naive oracle after the scorer refactor."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_kmp_spark.analysis import analyze
+from lucene_kmp_spark.data.transcripts import synth_transcripts
+from lucene_kmp_spark.index import assign_doc_ids, build_index
+from lucene_kmp_spark.search.executor import IndexSearcher
+from lucene_kmp_spark.search.naive import NaiveIndex
+from lucene_kmp_spark.search.query import BooleanQuery, PhraseQuery, TermQuery
+from lucene_kmp_spark.search.similarities import (
+    BooleanSimilarity,
+    ClassicSimilarity,
+    LMDirichletSimilarity,
+)
+from lucene_kmp_spark.util.smallfloat import LENGTH_TABLE, int_to_byte4
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=40, seed=23)).persist()
+    docs.count()
+    idx = build_index(docs)
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    return idx, rows
+
+
+class CorpusStats:
+    """Independent tf/df/norm accounting from the raw rows."""
+
+    def __init__(self, rows):
+        self.tf = {}   # term -> doc -> count
+        self.norm = {}
+        total = 0
+        for doc, text in rows:
+            terms, _, _ = analyze(text)
+            if not terms:
+                continue
+            self.norm[doc] = int_to_byte4(len(terms))
+            total += len(terms)
+            for t in terms:
+                self.tf.setdefault(t, {}).setdefault(doc, 0)
+                self.tf[t][doc] += 1
+        self.doc_count = len(self.norm)
+        self.sum_ttf = total
+
+    def df(self, t):
+        return len(self.tf.get(t, {}))
+
+    def ttf(self, t):
+        return sum(self.tf.get(t, {}).values())
+
+
+def _scores(idx, q, sim):
+    s = IndexSearcher(idx, similarity=sim)
+    return {r["doc_id"]: r["score"] for r in s.execute(q).collect()}
+
+
+def test_bm25_default_still_bit_identical(env):
+    idx, rows = env
+    s = IndexSearcher(idx)
+    naive = NaiveIndex(rows)
+    for q in (
+        TermQuery("hope"),
+        PhraseQuery(("kingdom", "of")),
+        BooleanQuery.build(should=(TermQuery("hope"), TermQuery("light"))),
+    ):
+        got = [(r["doc_id"], r["score"]) for r in s.top_k(q, 10).collect()]
+        exp = [(d, float(np.float32(v))) for d, v in naive.top_k(q, 10)]
+        assert got == exp, q
+
+
+def test_classic_similarity(env):
+    idx, rows = env
+    st = CorpusStats(rows)
+    t = "hope"
+    got = _scores(idx, TermQuery(t), ClassicSimilarity())
+    idf = np.float32(math.log((st.doc_count + 1) / (st.df(t) + 1.0)) + 1.0)
+    qw = np.float32(1.0) * idf
+    table = (1.0 / np.sqrt(LENGTH_TABLE.astype(np.float64))).astype(np.float32)
+    table[0] = np.float32(1) / table[255]
+    assert set(got) == set(st.tf[t])
+    for d, tf in st.tf[t].items():
+        exp = np.float32(np.float32(math.sqrt(tf)) * qw) * table[st.norm[d]]
+        assert np.float32(got[d]) == exp, d
+
+
+def test_lm_dirichlet_similarity(env):
+    idx, rows = env
+    st = CorpusStats(rows)
+    t = "hope"
+    mu = 2000.0
+    got = _scores(idx, TermQuery(t), LMDirichletSimilarity(mu=mu))
+    p = (st.ttf(t) + 1.0) / (st.sum_ttf + 1.0)
+    # engine emits only matching postings; docs whose clipped score is 0 still match
+    assert set(got) == set(st.tf[t])
+    for d, tf in st.tf[t].items():
+        dl = float(LENGTH_TABLE[st.norm[d]])
+        exp = max(0.0, math.log(1 + tf / (mu * p)) + math.log(mu / (dl + mu)))
+        assert abs(got[d] - np.float32(exp)) < 1e-6, d
+
+
+def test_boolean_similarity(env):
+    idx, rows = env
+    st = CorpusStats(rows)
+    got = _scores(idx, TermQuery("hope", boost=2.5), BooleanSimilarity())
+    assert set(got) == set(st.tf["hope"])
+    assert all(v == 2.5 for v in got.values())
+
+
+def test_classic_phrase_idf_sums(env):
+    idx, rows = env
+    st = CorpusStats(rows)
+    q = PhraseQuery(("kingdom", "of"))
+    got = _scores(idx, q, ClassicSimilarity())
+    idf_sum = sum(
+        float(np.float32(math.log((st.doc_count + 1) / (st.df(t) + 1.0)) + 1.0))
+        for t in ("kingdom", "of")
+    )
+    table = (1.0 / np.sqrt(LENGTH_TABLE.astype(np.float64))).astype(np.float32)
+    table[0] = np.float32(1) / table[255]
+    for d, sc in list(got.items())[:20]:
+        # phrase freq from the raw positions
+        terms, pos, _ = analyze(dict(rows)[d])
+        pk = [p for t2, p in zip(terms, pos) if t2 == "kingdom"]
+        po = {p for t2, p in zip(terms, pos) if t2 == "of"}
+        freq = sum(1 for p in pk if p + 1 in po)
+        exp = np.float32(np.float32(math.sqrt(freq)) * np.float32(idf_sum)) * table[st.norm[d]]
+        assert np.float32(sc) == exp, d
+
+
+def test_wand_prune_falls_back_for_non_bm25(env):
+    idx, _ = env
+    s = IndexSearcher(idx, similarity=ClassicSimilarity())
+    q = BooleanQuery.build(should=(TermQuery("hope"), TermQuery("light")))
+    pruned = [(r["doc_id"], r["score"]) for r in s.top_k(q, 10, prune=True).collect()]
+    full = [(r["doc_id"], r["score"]) for r in s.top_k(q, 10).collect()]
+    assert pruned == full

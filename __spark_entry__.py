@@ -323,6 +323,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["blended_term"] = q_blended
 
+    # ---- pluggable similarities (float64 kernels, SQL-twin oracles) ----
+    def q_classic(spark, sf_dir):
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+        from lucene_kmp_spark.search.similarities import ClassicSimilarity
+
+        s = IndexSearcher(_index_for(spark, sf_dir), dtype=np.float64, similarity=ClassicSimilarity())
+        return _ranked_topk(s.execute(TQ("merge")))
+
+    q["classic_tfidf_term"] = q_classic
+
+    def q_lmd(spark, sf_dir):
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+        from lucene_kmp_spark.search.similarities import LMDirichletSimilarity
+
+        s = IndexSearcher(
+            _index_for(spark, sf_dir), dtype=np.float64, similarity=LMDirichletSimilarity()
+        )
+        return _ranked_topk(s.execute(TQ("merge")))
+
+    q["lm_dirichlet_term"] = q_lmd
+
     # ---- index statistics ----
     def q_term_dict(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
@@ -747,6 +770,45 @@ total AS (
   SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s FROM (
     SELECT * FROM sc0 UNION ALL SELECT * FROM sc1
   ) GROUP BY doc_id
+)"""
+        + _rank_tail("total")
+    )
+
+    # ---- similarities ----
+    # Classic TF-IDF (ClassicSimilarity.kt): sqrt(tf) * (ln((N+1)/(df+1))+1) / sqrt(qdl)
+    o["classic_tfidf_term"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT tf.doc_id,
+         sqrt(tf.tf) * idf.w / sqrt(norm.qdl) AS s
+  FROM tf
+  JOIN norm USING (doc_id)
+  CROSS JOIN (
+    SELECT ln((a.n_docs + 1) / (d.df + 1.0)) + 1.0 AS w
+    FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'merge') d, avgd a
+  ) idf
+  WHERE tf.term = 'merge'
+)"""
+        + _rank_tail("total")
+    )
+
+    # LM Dirichlet (LMDirichletSimilarity.kt:50-61, mu=2000):
+    # max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl+mu))), p = (ttf+1)/(sumTTF+1)
+    o["lm_dirichlet_term"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT tf.doc_id,
+         greatest(0.0,
+           ln(1 + tf.tf / (2000.0 * pw.p)) + ln(2000.0 / (norm.qdl + 2000.0))) AS s
+  FROM tf
+  JOIN norm USING (doc_id)
+  CROSS JOIN (
+    SELECT (t.ttf + 1.0) / (n.sum_ttf + 1.0) AS p
+    FROM (SELECT sum(tf)::BIGINT AS ttf FROM tf WHERE term = 'merge') t, nstats n
+  ) pw
+  WHERE tf.term = 'merge'
 )"""
         + _rank_tail("total")
     )

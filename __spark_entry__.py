@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lucene_kmp_spark.pipeline import dedup, similarity, textstats
     from lucene_kmp_spark.search.query import (
         BooleanQuery,
+        ColumnFilterQuery,
         PhraseQuery,
         PrefixQuery,
         SynonymQuery,
@@ -322,6 +323,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ranked_topk(scored)
 
     q["blended_term"] = q_blended
+
+    # ---- structured predicate + BM25 (Catalyst pushdown path) ----
+    q["bm25_structured_filter"] = _bm25_query(
+        lambda: BooleanQuery.build(
+            must=(TermQuery("merge"),),
+            filter=(ColumnFilterQuery("lang = 'en' AND n_chars >= 150"),),
+        )
+    )
 
     # ---- pluggable similarities (float64 kernels, SQL-twin oracles) ----
     def q_classic(spark, sf_dir):
@@ -770,6 +779,19 @@ total AS (
   SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s FROM (
     SELECT * FROM sc0 UNION ALL SELECT * FROM sc1
   ) GROUP BY doc_id
+)"""
+        + _rank_tail("total")
+    )
+
+    o["bm25_structured_filter"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """,
+total AS (
+  SELECT sc0.doc_id, sc0.s
+  FROM sc0 JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en' AND d.n_chars >= 150
 )"""
         + _rank_tail("total")
     )

@@ -100,6 +100,46 @@ class TermStats:
     ttf: int
 
 
+class FilterCache:
+    """LRU cache of FILTER/MUST_NOT doc-sets (search/LRUQueryCache.kt:79).
+
+    Keys are the (hashable, frozen) Query dataclasses; values are persisted
+    doc_id DataFrames — the Spark analog of Lucene's cached per-segment
+    DocIdSets. Evicted entries are unpersisted."""
+
+    def __init__(self, max_entries: int = 32):
+        from collections import OrderedDict
+
+        self.max_entries = max_entries
+        self._entries: "OrderedDict" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_compute(self, key, compute):
+        if key in self._entries:
+            self.hits += 1
+            self._entries.move_to_end(key)
+            return self._entries[key]
+        self.misses += 1
+        df = compute().persist()
+        self._entries[key] = df
+        if len(self._entries) > self.max_entries:
+            _old_key, old_df = self._entries.popitem(last=False)
+            try:
+                old_df.unpersist()
+            except Exception:
+                pass
+        return df
+
+    def clear(self):
+        for df in self._entries.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._entries.clear()
+
+
 class IndexSearcher:
     """Point-in-time searcher over an InvertedIndex (``search/IndexSearcher.kt``)."""
 
@@ -111,8 +151,11 @@ class IndexSearcher:
         dtype=np.float32,
         live_filter: DataFrame | None = None,
         similarity=None,
+        filter_cache: "FilterCache | None" = None,
     ):
         from lucene_kmp_spark.search.similarities import BM25Similarity
+
+        self.filter_cache = filter_cache
 
         self.index = index
         self.k1 = k1
@@ -618,10 +661,15 @@ class IndexSearcher:
             else:
                 return self._exec(MatchNoDocsQuery())
 
+        def _join_set(q2):
+            if self.filter_cache is not None:
+                return self.filter_cache.get_or_compute(q2, lambda: self._doc_set(q2, dedup=False))
+            return self._doc_set(q2, dedup=False)
+
         for f_q in filters:
-            base = base.join(self._doc_set(f_q, dedup=False), "doc_id", "left_semi")
+            base = base.join(_join_set(f_q), "doc_id", "left_semi")
         for n_q in must_nots:
-            base = base.join(self._doc_set(n_q, dedup=False), "doc_id", "left_anti")
+            base = base.join(_join_set(n_q), "doc_id", "left_anti")
         if q.boost != 1.0:
             base = base.select("doc_id", (F.col("score") * F.lit(float(q.boost))).alias("score"))
         return base

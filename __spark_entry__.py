@@ -246,9 +246,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from lucene_kmp_spark.search.query import FuzzyQuery
 
         s = _searcher64(spark, sf_dir)
-        # classic levenshtein (no transpositions) so the SQL oracle matches;
-        # Lucene's default is Damerau (FuzzyQuery.kt:159-162) — deviation noted
-        return s.execute(FuzzyQuery("merge", max_edits=1)).select("doc_id").distinct()
+        # classic levenshtein here so the SQL oracle (duckdb levenshtein)
+        # matches; the engine's default transpositions=True (Damerau/OSA, the
+        # reference default) is covered by tests/test_query_breadth.py
+        return (
+            s.execute(FuzzyQuery("merge", max_edits=1, transpositions=False))
+            .select("doc_id")
+            .distinct()
+        )
 
     q["multiterm_fuzzy"] = q_fuzzy
 

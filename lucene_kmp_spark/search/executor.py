@@ -745,22 +745,32 @@ class IndexSearcher:
 
     def _exec_fuzzy(self, q: FuzzyQuery) -> DataFrame:
         """FuzzyQuery.kt:38,159-162: expand to the top-``max_expansions`` terms
-        within ``max_edits``, then score as a boosted disjunction.
+        within ``max_edits`` (Damerau/OSA when ``transpositions``, the
+        reference default), then score as a boosted disjunction.
 
-        Expansion runs JVM-side (``levenshtein`` + length pruning pushed into
-        the term_dict scan); only the top-50 term list is collected."""
+        Expansion prefilters JVM-side (length window + ``levenshtein`` pushed
+        into the term_dict scan — a transposition costs ≤2 plain edits, so
+        ``lev <= 2*max_edits`` is a sound superset for the OSA check); only
+        the surviving candidate list is collected."""
         t = q.term
         cand = (
             self.index.term_dict.filter(F.length("term").between(len(t) - q.max_edits, len(t) + q.max_edits))
         )
         if q.prefix_length > 0:
             cand = cand.filter(F.col("term").startswith(t[: q.prefix_length]))
+        lev_cap = (2 * q.max_edits) if q.transpositions else q.max_edits
         cand = (
             cand.withColumn("_dist", F.levenshtein(F.col("term"), F.lit(t)))
-            .filter(F.col("_dist") <= q.max_edits)
+            .filter(F.col("_dist") <= lev_cap)
             .select("term", "_dist", "df")
             .collect()
         )
+        if q.transpositions:
+            cand = [
+                {"term": r["term"], "_dist": d, "df": r["df"]}
+                for r in cand
+                if (d := _osa_distance(r["term"], t, q.max_edits)) <= q.max_edits
+            ]
         if not cand:
             return self._exec(MatchNoDocsQuery())
         scored = []
@@ -976,6 +986,34 @@ def _collect_terms(q: Query) -> set[str]:
     elif isinstance(q, ConstantScoreQuery):
         out |= _collect_terms(q.query)
     return out
+
+
+def _osa_distance(a: str, b: str, cap: int) -> int:
+    """Optimal-string-alignment (Damerau with non-overlapping transpositions)
+    edit distance, the semantics of the reference's transposition-enabled
+    Levenshtein automata (util/automaton/Lev{1,2}TParametricDescription.kt).
+    Returns cap+1 early when a row's minimum exceeds ``cap``."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        if min(cur) > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
 
 
 def _wildcard_to_regex(pattern: str) -> str:

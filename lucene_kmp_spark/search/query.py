@@ -68,6 +68,7 @@ class FuzzyQuery(Query):
     max_edits: int = 2           # FuzzyQuery.kt:159-162 defaults
     prefix_length: int = 0
     max_expansions: int = 50
+    transpositions: bool = True  # Damerau (OSA) distance, the reference default
     boost: float = 1.0
 
 

@@ -170,3 +170,31 @@ def test_match_all(env):
     s, naive = env
     q = MatchAllDocsQuery(boost=1.0)
     assert s.count(q) == naive.max_doc
+
+
+def test_fuzzy_transpositions(spark):
+    """Damerau/OSA (reference default): 'sprak'~1 matches 'spark'; classic
+    levenshtein needs 2 edits for a transposition and must NOT match."""
+    from lucene_kmp_spark.search.query import FuzzyQuery
+    from lucene_kmp_spark.search.executor import _osa_distance
+
+    assert _osa_distance("spark", "sprak", 1) == 1
+    assert _osa_distance("spark", "sprak", 0) == 1  # cap+1 early exit
+    assert _osa_distance("ab", "ba", 2) == 1
+    assert _osa_distance("abc", "ca", 3) == 3  # OSA (no edit-after-transpose)
+    assert _osa_distance("kitten", "sitting", 3) == 3
+
+    docs = spark.createDataFrame(
+        [("c", 0, "spark rules"), ("c", 1, "sprak rules"), ("c", 2, "spork rules")],
+        "conv_id string, turn_idx int, text string",
+    )
+    from lucene_kmp_spark.index import assign_doc_ids, build_index
+
+    s = IndexSearcher(build_index(assign_doc_ids(docs)))
+    with_t = {r["doc_id"] for r in s.execute(FuzzyQuery("spark", max_edits=1)).collect()}
+    without = {
+        r["doc_id"]
+        for r in s.execute(FuzzyQuery("spark", max_edits=1, transpositions=False)).collect()
+    }
+    assert with_t == {0, 1, 2}  # spark, sprak (transposition), spork (sub)
+    assert without == {0, 2}

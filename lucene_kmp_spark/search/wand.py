@@ -86,10 +86,15 @@ def topk_disjunction_maxscore(searcher, boosts: dict[str, float], k: int = 10) -
 
         w1 = Window.partitionBy("term").orderBy(F.desc("bmax"), F.asc("block_id"))
         seed_blocks = blocks.withColumn("_rn", F.row_number().over(w1)).filter(F.col("_rn") == 1)
+        # θ must come from LIVE docs only: a deleted top doc would inflate θ
+        # and over-prune live hits (the collector never sees deleted docs,
+        # so its min-competitive score never reflects them)
         seed_scores = (
-            searcher._scored_terms_df(live, stats=stats, postings_rows=seed_blocks)
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
+            searcher._live(
+                searcher._scored_terms_df(live, stats=stats, postings_rows=seed_blocks)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()
@@ -156,13 +161,16 @@ def topk_disjunction_pruned(searcher, boosts: dict[str, float], k: int = 10) -> 
         m_rows = blocks.groupBy("term").agg(F.max("bmax").alias("m")).collect()
         m_t = {r["term"]: float(r["m"]) for r in m_rows}
 
-        # --- pass 1: θ from the best block of each term (exact partial sums)
+        # --- pass 1: θ from the best block of each term (exact partial sums,
+        # LIVE docs only — a deleted top doc would inflate θ and over-prune)
         w1 = Window.partitionBy("term").orderBy(F.desc("bmax"), F.asc("block_id"))
         seed_blocks = blocks.withColumn("_rn", F.row_number().over(w1)).filter(F.col("_rn") == 1)
         seed_scores = (
-            searcher._scored_terms_df(live, stats=stats, postings_rows=seed_blocks)
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
+            searcher._live(
+                searcher._scored_terms_df(live, stats=stats, postings_rows=seed_blocks)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()

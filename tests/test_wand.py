@@ -57,3 +57,36 @@ def test_wand_boost_detection(searcher):
     assert searcher._wand_boosts(q2) is None
     q3 = BooleanQuery.build(should=(TermQuery("a"), TermQuery("b")), minimum_should_match=2)
     assert searcher._wand_boosts(q3) is None
+
+
+def test_pruned_respects_deletes(spark):
+    """θ-seeding must ignore deleted docs: with every high scorer deleted,
+    pruned top-k must still equal unpruned top-k over live docs.
+
+    The corpus spans two 8,192-doc pruning windows: window 0 holds low-score
+    live docs (long docs, tf=1), window 1 holds high-score docs (short docs,
+    big tf) that are ALL deleted. A θ seeded from the deleted docs exceeds
+    window 0's upper bound and would prune every live hit."""
+    rows = []
+    for i in range(9000):
+        if i < 8192:
+            # low score: common term (df=8192/9000 => tiny idf), long doc
+            text = "common " + "filler " * 30
+        else:
+            # high score: rare term (df=808 => big idf), tf=5, short doc
+            text = "rare rare rare rare rare"
+        rows.append(("c", i, text.strip()))
+    docs = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    from lucene_kmp_spark.index import assign_doc_ids, build_index
+
+    # conv_id constant + turn_idx ascending => doc_id == turn_idx
+    withids = assign_doc_ids(docs).persist()
+    idx = build_index(withids)
+    deleted = spark.createDataFrame([(int(d),) for d in range(8192, 9000)], "doc_id long")
+    s = IndexSearcher(idx, live_filter=deleted)
+    for strategy in ("wand", "maxscore"):
+        q = BooleanQuery.build(should=(TermQuery("rare"), TermQuery("common")))
+        pruned = [(r["doc_id"], r["score"]) for r in s.top_k(q, 5, prune=strategy).collect()]
+        full = [(r["doc_id"], r["score"]) for r in s.top_k(q, 5, prune=False).collect()]
+        assert pruned == full, strategy
+        assert len(pruned) == 5 and all(d < 8192 for d, _ in pruned)

@@ -20,6 +20,7 @@ from lucene_kmp_spark.search.query import (
     BooleanQuery,
     ColumnFilterQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
@@ -162,6 +163,15 @@ class NaiveIndex:
             return self._span_near_scores(q)
         if isinstance(q, BooleanQuery):
             return self._bool_scores(q)
+        if isinstance(q, DisjunctionMaxQuery):
+            subs = [self.scores(s) for s in q.queries]
+            out: dict[int, float] = {}
+            for d in set().union(*(m.keys() for m in subs)) if subs else set():
+                vals = [m[d] for m in subs if d in m]
+                out[d] = (max(vals) + q.tie_breaker * (sum(vals) - max(vals))) * (
+                    q.boost if q.boost != 1.0 else 1.0
+                )
+            return out
         if isinstance(q, (PrefixQuery, WildcardQuery, TermRangeQuery, TermInSetQuery)):
             return {d: float(q.boost) for d in self._multiterm_docs(q)}
         if isinstance(q, ConstantScoreQuery):

@@ -45,6 +45,25 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class NGramPhraseQuery(Query):
+    """Phrase over n-gram analyzed terms (search/NGramPhraseQuery.kt:27).
+
+    In the reference this is a PhraseQuery subclass whose rewrite drops
+    redundant overlapping grams purely to reduce the number of posting
+    iterators — match set and scores are defined to be those of the full
+    phrase. Our rewrite delegates to the full PhraseQuery: the IO-reduction
+    role of the gram-dropping optimization is already played by the single
+    term-pruned positions scan (executor._pivoted_positions)."""
+
+    n: int
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+    def rewrite(self) -> Query:
+        return PhraseQuery(self.terms, slop=0, boost=self.boost)
+
+
+@dataclass(frozen=True)
 class PrefixQuery(Query):
     prefix: str
     boost: float = 1.0

@@ -198,3 +198,10 @@ def test_fuzzy_transpositions(spark):
     }
     assert with_t == {0, 1, 2}  # spark, sprak (transposition), spork (sub)
     assert without == {0, 2}
+
+
+def test_ngram_phrase_rewrite(env):
+    from lucene_kmp_spark.search.query import NGramPhraseQuery, rewrite_query
+
+    q = NGramPhraseQuery(2, ("ki", "in", "ng"))
+    assert rewrite_query(q) == PhraseQuery(("ki", "in", "ng"), slop=0)

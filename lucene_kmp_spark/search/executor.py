@@ -896,6 +896,52 @@ class IndexSearcher:
                     },
                 ],
             }
+        if isinstance(q, PhraseQuery) and self._is_bm25:
+            terms = list(q.terms)
+            stats = self.term_stats(terms)
+            if len(stats) < len(set(terms)):
+                return {"match": False, "value": 0.0, "description": "phrase term missing from index"}
+            row = self._exec_phrase(q).filter(F.col("doc_id") == doc_id).collect()
+            if not row:
+                return {"match": False, "value": 0.0, "description": "doc does not match phrase"}
+            # re-derive the phrase freq from this doc's positions
+            uniq = list(dict.fromkeys(terms))
+            pos_rows = (
+                self._positions_df(uniq).filter(F.col("doc_id") == doc_id).collect()
+            )
+            by_term = {r["term"]: np.asarray(r["positions"], dtype=np.int64) for r in pos_rows}
+            plists = [by_term[t] for t in terms]
+            if q.slop == 0:
+                base0 = plists[0]
+                ok = np.ones(len(base0), dtype=bool)
+                for i in range(1, len(terms)):
+                    ok &= np.isin(base0 + i, plists[i])
+                freq = float(ok.sum())
+            else:
+                freq = _sloppy_freq(plists, q.slop)
+            dt = self.dtype
+            idf_details = [
+                {
+                    "value": float(bm25.idf(stats[t].df, self.index.stats.doc_count, dt)),
+                    "description": f"idf(term={t!r}, n={stats[t].df})",
+                }
+                for t in dict.fromkeys(terms)
+            ]
+            return {
+                "match": True,
+                "value": float(row[0]["score"]),
+                "description": f"weight(phrase {terms}), phraseFreq={freq}",
+                "details": [
+                    {"value": float(q.boost), "description": "boost"},
+                    {
+                        "value": float(sum(d["value"] for d in idf_details)),
+                        "description": "idf, sum of per-term idfs:",
+                        "details": idf_details,
+                    },
+                    {"value": freq, "description": "phraseFreq (slop-weighted)" if q.slop else "phraseFreq"},
+                    {"value": float(self.avgdl), "description": "avgdl, average length of field"},
+                ],
+            }
         if isinstance(q, BooleanQuery):
             subs = []
             total = 0.0

@@ -151,11 +151,18 @@ def test_explain_rederives_scores(env):
     """CheckHits pattern (CheckHits.kt:130): explain().value == returned score
     for every top-k hit."""
     s, _ = env
-    for q in (TermQuery("hope"), BooleanQuery.build(must=(TermQuery("the"),), should=(TermQuery("hope"),))):
+    for q in (
+        TermQuery("hope"),
+        BooleanQuery.build(must=(TermQuery("the"),), should=(TermQuery("hope"),)),
+        PhraseQuery(("kingdom", "of")),
+        PhraseQuery(("kingdom", "god"), slop=3),
+    ):
         for r in s.top_k(q, 5).collect():
             e = s.explain(q, r["doc_id"])
             assert e["match"]
             assert np.float32(e["value"]) == np.float32(r["score"]), (r, e)
+            if isinstance(q, PhraseQuery):
+                assert "phraseFreq" in e["description"]
 
 
 def test_explain_non_matching_doc(env):

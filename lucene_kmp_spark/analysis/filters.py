@@ -1,0 +1,80 @@
+"""Composable analyzer factories — the custom-Analyzer surface demo.
+
+The reference ships these as TokenFilters in ``analysis/common``
+(ShingleFilter, NGramTokenFilter, EdgeNGramTokenFilter); here each factory
+returns a picklable ``(text) -> (terms, positions, length)`` callable that
+plugs into ``build_index(analyzer=...)`` / ``tokenize_to_tokens(analyzer=…)``
+and runs inside the same Arrow tokenize UDF as the default chain.
+"""
+
+from __future__ import annotations
+
+from lucene_kmp_spark.analysis import analyze
+
+
+def standard_analyzer(stop_words: tuple[str, ...] = ()):
+    """The default StandardAnalyzer chain, as an explicit factory."""
+    stop = frozenset(stop_words) if stop_words else None
+
+    def run(text: str):
+        return analyze(text, stop_set=stop)
+
+    return run
+
+
+def shingle_analyzer(n: int = 2, sep: str = " ", keep_unigrams: bool = False):
+    """Word shingles over the standard token stream (ShingleFilter analog:
+    ``analysis/common`` shingle package). Shingle position = position of its
+    first token; with ``keep_unigrams`` the unigram stream is interleaved
+    (outputUnigrams=true, the reference default)."""
+
+    def run(text: str):
+        terms, positions, _length = analyze(text)
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for i, (t, p) in enumerate(zip(terms, positions)):
+            if keep_unigrams:
+                out_t.append(t)
+                out_p.append(p)
+            if i + n <= len(terms):
+                out_t.append(sep.join(terms[i : i + n]))
+                out_p.append(p)
+        return out_t, out_p, len(out_t)
+
+    return run
+
+
+def ngram_analyzer(min_n: int = 2, max_n: int = 3):
+    """Per-token character n-grams (NGramTokenFilter analog). Every gram
+    keeps its source token's position (posIncr=0 for the extra grams —
+    overlap semantics)."""
+
+    def run(text: str):
+        terms, positions, _length = analyze(text)
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            for n in range(min_n, max_n + 1):
+                for i in range(0, max(0, len(t) - n + 1)):
+                    out_t.append(t[i : i + n])
+                    out_p.append(p)
+        return out_t, out_p, len(out_t)
+
+    return run
+
+
+def edge_ngram_analyzer(min_n: int = 1, max_n: int = 5):
+    """Leading-edge grams per token (EdgeNGramTokenFilter analog) — the
+    classic search-as-you-type indexing scheme."""
+
+    def run(text: str):
+        terms, positions, _length = analyze(text)
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            for n in range(min_n, min(max_n, len(t)) + 1):
+                out_t.append(t[:n])
+                out_p.append(p)
+        return out_t, out_p, len(out_t)
+
+    return run

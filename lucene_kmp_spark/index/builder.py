@@ -90,9 +90,16 @@ def tokenize_to_tokens(
     docs: DataFrame,
     text_col: str = "text",
     stop_words: tuple[str, ...] = (),
+    analyzer=None,
 ) -> DataFrame:
-    """docs(doc_id, text, ...) -> one row per (doc, distinct term)."""
+    """docs(doc_id, text, ...) -> one row per (doc, distinct term).
+
+    ``analyzer`` is the pluggable-Analyzer surface (SURVEY.md §2.4 last row):
+    any picklable ``(text) -> (terms, positions, length)`` callable replaces
+    the StandardAnalyzer chain inside the same Arrow UDF; norms/positions
+    semantics are preserved whatever the token stream."""
     stop_set = frozenset(stop_words) if stop_words else None
+    custom = analyzer
 
     def gen(batches):
         for pdf in batches:
@@ -100,7 +107,10 @@ def tokenize_to_tokens(
             for doc_id, text in zip(pdf["doc_id"].values, pdf[text_col].values):
                 if text is None:
                     continue
-                terms, positions, _length = analyze(text, stop_set=stop_set)
+                if custom is not None:
+                    terms, positions, _length = custom(text)
+                else:
+                    terms, positions, _length = analyze(text, stop_set=stop_set)
                 if not terms:
                     continue
                 norm = int_to_byte4(len(terms))
@@ -367,6 +377,7 @@ def build_index(
     cache: bool = True,
     cache_tokens: bool = True,
     serve_partitions: int | None = None,
+    analyzer=None,
 ) -> InvertedIndex:
     """Build an InvertedIndex from a DataFrame that already has a ``doc_id``
     column (use ``assign_doc_ids`` first for keyed corpora).
@@ -383,7 +394,9 @@ def build_index(
     # arrays) is the largest intermediate, and caching it costs more in
     # memory pressure than the one extra (perfectly parallel) tokenize pass
     # the doc_count computation needs
-    tokens = tokenize_to_tokens(docs_with_ids, text_col=text_col, stop_words=stop_words)
+    tokens = tokenize_to_tokens(
+        docs_with_ids, text_col=text_col, stop_words=stop_words, analyzer=analyzer
+    )
     if cache_tokens:
         tokens = tokens.persist()
 

@@ -56,7 +56,11 @@ from lucene_kmp_spark.search.query import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -429,7 +433,11 @@ class IndexSearcher:
         if isinstance(q, MultiPhraseQuery):
             return self._exec_multi_phrase(q)
         if isinstance(q, SpanNearQuery):
-            return self._exec_span_near(q)
+            if all(isinstance(t, str) for t in q.terms):
+                return self._exec_span_near(q)  # term-clause fast path
+            return self._exec_span_generic(q)
+        if isinstance(q, (SpanTermQuery, SpanOrQuery, SpanNotQuery, SpanFirstQuery)):
+            return self._exec_span_generic(q)
         raise NotImplementedError(type(q).__name__)
 
     def _exec_feature(self, q: FeatureQuery) -> DataFrame:
@@ -678,10 +686,11 @@ class IndexSearcher:
             ((F.col("_mx") + F.lit(tb) * (F.col("_sm") - F.col("_mx"))) * F.lit(float(q.boost))).alias("score"),
         )
 
-    def _pivoted_positions(self, uniq_terms: list[str]) -> DataFrame:
-        """(doc_id, _pos_0.._pos_{n-1}, norm) for docs containing EVERY term:
-        one postings scan + one hash aggregate, replacing the per-term
-        scan-and-join cascade (n scans, n-1 shuffles → 1 scan, 1 shuffle)."""
+    def _pivoted_positions(self, uniq_terms: list[str], required: bool = True) -> DataFrame:
+        """(doc_id, _pos_0.._pos_{n-1}, norm) pivoted per doc: one postings
+        scan + one hash aggregate, replacing the per-term scan-and-join
+        cascade (n scans, n-1 shuffles → 1 scan, 1 shuffle). ``required``
+        keeps only docs containing EVERY term (conjunctive); otherwise any."""
         pos = self._positions_df(uniq_terms)
         aggs = [
             F.first(F.when(F.col("term") == t, F.col("positions")), ignorenulls=True).alias(
@@ -691,9 +700,54 @@ class IndexSearcher:
         ]
         aggs.append(F.max("norm").alias("norm"))
         out = pos.groupBy("doc_id").agg(*aggs)
-        for i in range(len(uniq_terms)):
-            out = out.filter(F.col(f"_pos_{i}").isNotNull())
+        if required:
+            for i in range(len(uniq_terms)):
+                out = out.filter(F.col(f"_pos_{i}").isNotNull())
         return out
+
+    def _exec_span_generic(self, q) -> DataFrame:
+        """Composable span algebra (queries/spans/*): evaluate the span tree
+        per candidate doc against its {term: positions} map; freq =
+        Σ 1/(1+width) over top-level spans (SpanScorer)."""
+        from lucene_kmp_spark.search.spans import span_freq, span_scoring_terms, span_terms
+
+        all_terms = sorted(span_terms(q))
+        stats = self.term_stats(all_terms)
+        scoring = [stats[t] for t in sorted(span_scoring_terms(q)) if t in stats]
+        if not scoring:
+            return self._exec(MatchNoDocsQuery())
+        scorer = self._make_scorer(q.boost, scoring)
+        joined = self._pivoted_positions(all_terms, required=False)
+        pos_cols = [f"_pos_{i}" for i in range(len(all_terms))]
+        terms_ref = list(all_terms)
+        qq = q
+
+        def gen(batches):
+            for pdf in batches:
+                out_doc, out_freq, out_norm = [], [], []
+                col_vals = [pdf[c].values for c in pos_cols]
+                for doc_id, norm, *plists in zip(
+                    pdf["doc_id"].values, pdf["norm"].values, *col_vals
+                ):
+                    pos_map = {
+                        t: np.asarray(p, dtype=np.int64)
+                        for t, p in zip(terms_ref, plists)
+                        if p is not None
+                    }
+                    freq = span_freq(qq, pos_map)
+                    if freq > 0:
+                        out_doc.append(int(doc_id))
+                        out_freq.append(freq)
+                        out_norm.append(int(norm))
+                sc = scorer.score(np.array(out_freq), np.array(out_norm, dtype=np.int64))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_doc, dtype="int64"),
+                        "score": sc.astype(np.float64),
+                    }
+                )
+
+        return joined.mapInPandas(gen, schema="doc_id long, score double")
 
     def _exec_phrase(self, q: PhraseQuery) -> DataFrame:
         """Exact/sloppy phrase: position-join + vectorized verification
@@ -1017,8 +1071,12 @@ def _collect_terms(q: Query) -> set[str]:
     out: set[str] = set()
     if isinstance(q, TermQuery):
         out.add(q.term)
-    elif isinstance(q, (PhraseQuery, SynonymQuery, SpanNearQuery)):
+    elif isinstance(q, (PhraseQuery, SynonymQuery)):
         out.update(q.terms)
+    elif isinstance(q, (SpanNearQuery, SpanTermQuery, SpanOrQuery, SpanNotQuery, SpanFirstQuery)):
+        from lucene_kmp_spark.search.spans import span_terms
+
+        out.update(span_terms(q))
     elif isinstance(q, MultiPhraseQuery):
         out.update(t for slot in q.slots for t in slot)
     elif isinstance(q, BooleanQuery):

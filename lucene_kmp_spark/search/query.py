@@ -164,16 +164,56 @@ class MultiPhraseQuery(Query):
 @dataclass(frozen=True)
 class SpanNearQuery(Query):
     """Position-constrained conjunction (queries/spans/SpanNearQuery.kt):
-    all terms occur with overall span length - #terms <= slop, optionally in
-    order (NearSpansOrdered.kt). Scored like a sloppy phrase: per-match
-    weight 1/(1 + matchLength), idf summed over clause terms.
+    all clauses occur with total gap <= slop, optionally in order
+    (NearSpansOrdered.kt). Scored like a sloppy phrase: per-match weight
+    1/(1 + matchWidth), idf summed over clause terms.
 
-    Subset of the reference's span algebra (term clauses only — nested
-    span-or/span-not are out of minimum scope per SURVEY.md §2.3)."""
+    ``terms`` entries are bare strings (term clauses — fast path) or nested
+    span queries (SpanTermQuery/SpanOrQuery/SpanNotQuery/SpanFirstQuery/
+    SpanNearQuery — the composable span algebra)."""
 
-    terms: tuple[str, ...]
+    terms: tuple  # str | span Query per entry
     slop: int = 0
     in_order: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(Query):
+    """Leaf span: every occurrence of the term is a (p, p+1) span
+    (queries/spans/SpanTermQuery.kt)."""
+
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """Union of sub-spans (queries/spans/SpanOrQuery.kt)."""
+
+    clauses: tuple["Query", ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """Include-spans that do not overlap any exclude-span, with optional
+    pre/post exclusion context (queries/spans/SpanNotQuery.kt)."""
+
+    include: "Query"
+    exclude: "Query"
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """Match-spans ending within the first ``end`` positions
+    (queries/spans/SpanFirstQuery.kt)."""
+
+    match: "Query"
+    end: int
     boost: float = 1.0
 
 

@@ -267,6 +267,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_dismax"] = q_dismax
 
+    # ---- span algebra doc sets ----
+    def q_span_or(spark, sf_dir):
+        from lucene_kmp_spark.search.query import SpanOrQuery, SpanTermQuery
+
+        s = _searcher64(spark, sf_dir)
+        q_ast = SpanOrQuery((SpanTermQuery("merge"), SpanTermQuery("window")))
+        return s.execute(q_ast).select("doc_id").distinct()
+
+    q["span_or_docset"] = q_span_or
+
+    def q_span_first(spark, sf_dir):
+        from lucene_kmp_spark.search.query import SpanFirstQuery, SpanTermQuery
+
+        s = _searcher64(spark, sf_dir)
+        return s.execute(SpanFirstQuery(SpanTermQuery("merge"), end=3)).select("doc_id").distinct()
+
+    q["span_first_docset"] = q_span_first
+
     # ---- stored-field / feature / sort / rescore operators ----
     def q_feature(spark, sf_dir):
         from lucene_kmp_spark.search.query import FeatureQuery
@@ -670,6 +688,16 @@ FROM documents d JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge') m U
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
 """
     )
+
+    o["span_or_docset"] = (
+        _PRELUDE + "SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'window')"
+    )
+    # SpanFirst(term, end=3): some occurrence at 0-based position <= 2,
+    # i.e. the FIRST occurrence is within the first 3 tokens
+    o["span_first_docset"] = """
+SELECT doc_id FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+WHERE list_position(ts, 'merge') BETWEEN 1 AND 3
+"""
 
     o["rescore_combine"] = (
         _PRELUDE

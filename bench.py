@@ -142,9 +142,49 @@ def run_once(
             out["queries"] = qtimes
             lat = sorted(qtimes.values())
             out["query_p95_sec"] = lat[max(0, int(round(0.95 * len(lat))) - 1)]
+            # training-data pipeline ops over the real sf tables (first-class
+            # per the task brief): measured on the same session
+            if sf_dir and os.path.isdir(sf_dir):
+                out["pipeline"] = _pipeline_suite(spark, sf_dir)
         return out
     finally:
         spark.stop()
+
+
+def _pipeline_suite(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from lucene_kmp_spark.pipeline import dedup, similarity, textstats
+
+    docs_pq = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs_pq.count()
+    times = {}
+
+    t = time.perf_counter()
+    dedup.minhash_signatures(docs_pq, salts=("s0", "s1", "s2", "s3")).count()
+    times["p_minhash_sig"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    dedup.simhash16(docs_pq).count()
+    times["p_simhash"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    dedup.exact_duplicate_groups(docs_pq).count()
+    times["p_exact_dedup"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    textstats.quality_score(docs_pq).count()
+    times["p_quality"] = round(time.perf_counter() - t, 3)
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(emb_path):
+        emb = spark.read.parquet(emb_path)
+        qvec = [float(v) for v in emb.limit(1).collect()[0]["embedding"]]
+        t = time.perf_counter()
+        similarity.cosine_topk(emb, qvec, k=10).collect()
+        times["p_ann_cosine_topk"] = round(time.perf_counter() - t, 3)
+    docs_pq.unpersist()
+    return times
 
 
 def _scaling_subprocess(cores: int, n_convs: int, repeats: int | None = None) -> dict:
@@ -206,6 +246,7 @@ def main():
             "turns_per_sec": main_run["turns_per_sec"],
             "query_p95_sec": main_run["query_p95_sec"],
         },
+        "pipeline": main_run.get("pipeline", {}),
     }
 
     if do_scaling:

@@ -484,6 +484,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_fingerprint"] = q_fingerprint
 
+    def q_lang_id(spark, sf_dir):
+        return textstats.lang_id(_docs(spark, sf_dir)).filter(F.col("doc_id") < 200)
+
+    q["text_lang_id"] = q_lang_id
+
+    def q_minhash_candidates(spark, sf_dir):
+        return dedup.minhash_candidates(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 2000),
+            salts=("s0", "s1", "s2", "s3"),
+            bands=4,
+        )
+
+    q["dedup_minhash_candidates"] = q_minhash_candidates
+
     # ---- similarity search ----
     def q_ann(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -997,6 +1011,59 @@ FROM m
 SELECT doc_id,
        md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ')) AS fingerprint
 FROM documents WHERE doc_id < 100
+"""
+
+    # marker-hit language guess; the engine's array_max over (hits, lang)
+    # structs breaks hit-ties toward the LARGER language code
+    o["text_lang_id"] = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+  FROM documents WHERE doc_id < 200
+),
+hits AS (
+  SELECT doc_id,
+    len(list_intersect(ts, ['the','and','of','is','with']))::INT AS h_en,
+    len(list_intersect(ts, ['der','und','die','ist','mit']))::INT AS h_de,
+    len(list_intersect(ts, ['el','la','de','es','con']))::INT AS h_es
+  FROM toks
+),
+best AS (
+  SELECT doc_id,
+    CASE
+      WHEN h_es >= h_en AND h_es >= h_de THEN struct_pack(h := h_es, l := 'es')
+      WHEN h_de > h_en THEN struct_pack(h := h_de, l := 'de')
+      ELSE struct_pack(h := h_en, l := 'en')
+    END AS b
+  FROM hits
+)
+SELECT doc_id,
+       CASE WHEN b.h > 0 THEN b.l ELSE 'und' END AS lang_guess,
+       b.h AS marker_hits
+FROM best
+"""
+
+    # LSH band-bucket candidate pairs: 4 salts, 4 bands of 1 row -> pairs
+    # sharing ANY minhash signature slot
+    o["dedup_minhash_candidates"] = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 2000
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('s0|' || term)) AS s0, min(md5('s1|' || term)) AS s1,
+         min(md5('s2|' || term)) AS s2, min(md5('s3|' || term)) AS s3
+  FROM tok GROUP BY doc_id
+),
+st AS (
+  SELECT doc_id, 0 AS band_idx, s0 AS v FROM sig
+  UNION ALL SELECT doc_id, 1, s1 FROM sig
+  UNION ALL SELECT doc_id, 2, s2 FROM sig
+  UNION ALL SELECT doc_id, 3, s3 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM st a JOIN st b
+  ON a.band_idx = b.band_idx AND a.v = b.v AND a.doc_id < b.doc_id
 """
 
     # ---- similarity ----

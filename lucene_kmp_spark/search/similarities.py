@@ -142,6 +142,85 @@ class LMDirichletSimilarity(Similarity):
         return _LMDirichletScorer(boost, self.mu, p, dtype)
 
 
+# ------------------------------------------------------- DFR (SimilarityBase)
+class _DFRScorer(SimScorer):
+    def __init__(self, boost, N, F_ttf, n_df, avgdl, after_effect, normalization, c, dtype):
+        self.dtype = dtype
+        self.boost, self.N, self.F, self.n = float(boost), int(N), int(F_ttf), int(n_df)
+        self.avgdl, self.ae, self.norm_kind, self.c = float(avgdl), after_effect, normalization, float(c)
+        self.weight = float(boost)
+
+    def score(self, freqs, norm_bytes):
+        ln2 = math.log(2.0)
+        dl = LENGTH_TABLE[np.asarray(norm_bytes).astype(np.int64) & 0xFF].astype(np.float64)
+        tf = np.asarray(freqs).astype(np.float64)
+        if self.norm_kind == "H1":  # NormalizationH1: tf * c * avgdl / dl
+            tfn = tf * self.c * self.avgdl / dl
+        else:  # NormalizationH2: tf * log2(1 + c * avgdl / dl)
+            tfn = tf * np.log1p(self.c * self.avgdl / dl) / ln2
+        # BasicModelIF: A = log2(1 + (N+1)/(F+0.5)) (BasicModelIF.kt:31-42)
+        A = math.log1p((self.N + 1.0) / (self.F + 0.5)) / ln2
+        if self.ae == "B":  # AfterEffectB.kt:31-35
+            ae1p = (self.F + 2.0) / (self.n + 1.0)
+        else:  # AfterEffectL: 1.0
+            ae1p = 1.0
+        sc = self.boost * (A * ae1p * (1.0 - 1.0 / (1.0 + tfn)))
+        return sc.astype(self.dtype)
+
+
+class DFRSimilarity(Similarity):
+    """Divergence-from-randomness (DFRSimilarity.kt; SimilarityBase double
+    pipeline): basic model I(F) (BasicModelIF.kt) with after effect L or B
+    and normalization H1/H2 (c=1 default)."""
+
+    name = "DFR"
+
+    def __init__(self, after_effect: str = "L", normalization: str = "H2", c: float = 1.0):
+        assert after_effect in ("L", "B") and normalization in ("H1", "H2")
+        self.after_effect, self.normalization, self.c = after_effect, normalization, c
+
+    def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
+        df = max(df for df, _ in term_stats)
+        ttf = sum(t for _, t in term_stats)
+        avgdl = sum_ttf / float(doc_count)  # SimilarityBase.kt:72 (double)
+        return _DFRScorer(
+            boost, doc_count, ttf, df, avgdl, self.after_effect, self.normalization, self.c, dtype
+        )
+
+
+# ------------------------------------------------------------ Axiomatic F2EXP
+class _F2EXPScorer(SimScorer):
+    def __init__(self, boost, N, n_df, avgdl, s, k, dtype):
+        self.dtype = dtype
+        self.boost, self.N, self.n = float(boost), int(N), int(n_df)
+        self.avgdl, self.s, self.k = float(avgdl), float(s), float(k)
+        self.weight = float(boost)
+
+    def score(self, freqs, norm_bytes):
+        dl = LENGTH_TABLE[np.asarray(norm_bytes).astype(np.int64) & 0xFF].astype(np.float64)
+        f = np.asarray(freqs).astype(np.float64)
+        tfln = f / (f + self.s + self.s * dl / self.avgdl)  # AxiomaticF2EXP.kt:52-58
+        idf = ((self.N + 1.0) / self.n) ** self.k           # :61-67
+        sc = self.boost * (tfln * idf)                      # tf=ln=1, gamma=0
+        return np.maximum(sc, 0.0).astype(self.dtype)
+
+
+class AxiomaticF2EXP(Similarity):
+    """Axiomatic F2EXP (AxiomaticF2EXP.kt; Axiomatic.kt:70-84): score =
+    boost · freq/(freq + s + s·dl/avgdl) · ((N+1)/df)^k, defaults s=0.25,
+    k=0.35 (Axiomatic.kt:51)."""
+
+    name = "AxiomaticF2EXP"
+
+    def __init__(self, s: float = 0.25, k: float = 0.35):
+        self.s, self.k = s, k
+
+    def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
+        df = max(df for df, _ in term_stats)
+        avgdl = sum_ttf / float(doc_count)
+        return _F2EXPScorer(boost, doc_count, df, avgdl, self.s, self.k, dtype)
+
+
 # ------------------------------------------------------------------ Boolean
 class _BooleanScorer(SimScorer):
     def __init__(self, boost: float, dtype):

@@ -141,3 +141,42 @@ def test_wand_prune_falls_back_for_non_bm25(env):
     pruned = [(r["doc_id"], r["score"]) for r in s.top_k(q, 10, prune=True).collect()]
     full = [(r["doc_id"], r["score"]) for r in s.top_k(q, 10).collect()]
     assert pruned == full
+
+
+def test_dfr_similarity(env):
+    import math as _m
+
+    from lucene_kmp_spark.search.similarities import DFRSimilarity
+
+    idx, rows = env
+    st = CorpusStats(rows)
+    t = "hope"
+    avgdl = st.sum_ttf / float(st.doc_count)
+    for ae in ("L", "B"):
+        for norm_kind in ("H1", "H2"):
+            got = _scores(idx, TermQuery(t), DFRSimilarity(after_effect=ae, normalization=norm_kind))
+            assert set(got) == set(st.tf[t]), (ae, norm_kind)
+            F = st.ttf(t)
+            n = st.df(t)
+            A = _m.log2(1 + (st.doc_count + 1.0) / (F + 0.5))
+            ae1p = (F + 2.0) / (n + 1.0) if ae == "B" else 1.0
+            for d, tf in list(st.tf[t].items())[:30]:
+                dl = float(LENGTH_TABLE[st.norm[d]])
+                tfn = tf * (avgdl / dl) if norm_kind == "H1" else tf * _m.log2(1 + avgdl / dl)
+                exp = A * ae1p * (1 - 1 / (1 + tfn))
+                assert abs(got[d] - np.float32(exp)) < 1e-6, (ae, norm_kind, d)
+
+
+def test_axiomatic_f2exp(env):
+    from lucene_kmp_spark.search.similarities import AxiomaticF2EXP
+
+    idx, rows = env
+    st = CorpusStats(rows)
+    t = "hope"
+    avgdl = st.sum_ttf / float(st.doc_count)
+    got = _scores(idx, TermQuery(t), AxiomaticF2EXP())
+    idf = ((st.doc_count + 1.0) / st.df(t)) ** 0.35
+    for d, tf in list(st.tf[t].items())[:30]:
+        dl = float(LENGTH_TABLE[st.norm[d]])
+        exp = (tf / (tf + 0.25 + 0.25 * dl / avgdl)) * idf
+        assert abs(got[d] - np.float32(exp)) < 1e-6, d

@@ -514,6 +514,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = q_ann
 
+    def q_ann_ivf(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        cents = similarity.ivf_train_centroids(emb, n_lists=8, iters=1)
+        # full probe (every list) through the assign path == brute force
+        assigned = emb.filter(F.col("vec_id") != 0).withColumn(
+            "_list", similarity.ivf_assign_col("embedding", cents)
+        )
+        probe = assigned.filter(F.col("_list").isin(list(range(len(cents)))))
+        scored = similarity.cosine_scores(probe, qvec).select(
+            "vec_id", F.col("cosine").alias("score")
+        )
+        w = Window.orderBy(F.desc(F.floor(F.col("score") * 10000)), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOPK)
+            .select("vec_id", _q4(F.col("score")).alias("score"), "rank")
+        )
+
+    q["ann_ivf_full_probe"] = q_ann_ivf
+
     # ---- events (window/sessionization over the structured table) ----
     def q_sessions(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1084,6 +1105,9 @@ SELECT vec_id, floor(s * 10000) / 10000 AS score,
        CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, vec_id ASC) AS INT) AS rank
 FROM scored QUALIFY rank <= 10
 """
+
+    # full-probe IVF is exactly brute force — same oracle
+    o["ann_ivf_full_probe"] = o["ann_cosine_topk"]
 
     # ---- events ----
     o["events_sessionize"] = """

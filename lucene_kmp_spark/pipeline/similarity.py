@@ -123,3 +123,78 @@ def lsh_bucketed_topk(
             qbits |= 1 << i
     probe = bucketed.filter(F.col("_bucket") == qbits)
     return cosine_topk(probe, query_vec, k, vec_col, id_col)
+
+
+# --------------------------------------------------------------------- IVF
+def ivf_train_centroids(
+    df: DataFrame,
+    n_lists: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer (the IVF scale path): seed centroids are
+    the vectors with the smallest xxhash64(id, seed) per hash-slot, refined by
+    ``iters`` Lloyd steps (assign = argmax cosine, update = mean — both plain
+    DataFrame aggregations, no RNG state, any-parallelism stable)."""
+    w = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_lists))
+        ).orderBy(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col(id_col))
+    )
+    seeds = (
+        df.withColumn("_rn", w)
+        .filter(F.col("_rn") == 1)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(v) for v in r[vec_col]] for r in seeds]
+    for _ in range(iters):
+        assigned = df.withColumn("_list", ivf_assign_col(vec_col, centroids))
+        dim = len(centroids[0])
+        means = assigned.groupBy("_list").agg(
+            *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}") for i in range(dim)]
+        ).collect()
+        new = {int(r["_list"]): [float(r[f"c{i}"]) for i in range(dim)] for r in means}
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def ivf_assign_col(vec_col: str, centroids: list[list[float]]):
+    """list id = argmax cosine over centroids, as a pure column expression."""
+    structs = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        cos = _dot(F.col(vec_col), arr) / (_norm(F.col(vec_col)) * _norm(arr))
+        structs.append(F.struct(cos.alias("cos"), F.lit(i).alias("idx")))
+    return F.array_max(F.array(*structs))["idx"]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: brute-force cosine only inside the ``n_probe`` lists whose
+    centroids are nearest the query. With ``n_probe == len(centroids)`` this
+    is exactly brute force. At scale the ``_list`` column is precomputed and
+    used as a partition key at write time, so a probe is a partition-pruned
+    scan of ~n_probe/n_lists of the data."""
+    import math
+
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+    sims = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(v * v for v in c)) or 1.0
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, c))
+        sims.append((dot / (qn * cn), i))
+    sims.sort(key=lambda x: (-x[0], x[1]))
+    probe_lists = [i for _s, i in sims[: max(1, n_probe)]]
+    assigned = df.withColumn("_list", ivf_assign_col(vec_col, centroids))
+    probe = assigned.filter(F.col("_list").isin(probe_lists))
+    return cosine_topk(probe, query_vec, k, vec_col, id_col)

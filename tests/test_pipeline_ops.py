@@ -125,3 +125,29 @@ def test_frame_sample_plan(spark):
     frames = multimodal.frame_sample_plan(media, every_ms=250)
     per = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 5 for r in per)  # 0,250,500,750,1000
+
+
+def test_ivf_topk(spark):
+    """IVF coarse-quantized ANN: full-probe == brute force exactly; partial
+    probe returns a subset ranked identically within its lists."""
+    from lucene_kmp_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(v) for v in emb.limit(1).collect()[0]["embedding"]]
+    cents = sim.ivf_train_centroids(emb, n_lists=8, iters=1)
+    assert len(cents) == 8
+
+    brute = [(r["vec_id"], round(r["cosine"], 6)) for r in sim.cosine_topk(emb, qvec, 10).collect()]
+    full_probe = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in sim.ivf_topk(emb, qvec, cents, 10, n_probe=8).collect()
+    ]
+    assert full_probe == brute
+
+    part = [r["vec_id"] for r in sim.ivf_topk(emb, qvec, cents, 10, n_probe=4).collect()]
+    # the query's own vector lives in a probed list -> top-1 must be found
+    assert part and part[0] == brute[0][0]
+    overlap = len(set(part) & {d for d, _ in brute})
+    # near-random synthetic embeddings: measured recall@10 is 6/10 at
+    # half-probe — assert a stable floor
+    assert overlap >= 5, f"recall@10 too low: {overlap}/10"

@@ -138,8 +138,10 @@ def ivf_train_centroids(
     the vectors with the smallest xxhash64(id, seed) per hash-slot, refined by
     ``iters`` Lloyd steps (assign = argmax cosine, update = mean — both plain
     DataFrame aggregations, no RNG state, any-parallelism stable)."""
+    from pyspark.sql.window import Window
+
     w = F.row_number().over(
-        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        Window.partitionBy(
             F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_lists))
         ).orderBy(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col(id_col))
     )

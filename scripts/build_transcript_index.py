@@ -28,6 +28,7 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--key-cols", default="conv_id,turn_idx")
     ap.add_argument("--merge", action="store_true", help="run tiered compaction after build")
+    ap.add_argument("--check", action="store_true", help="run CheckIndex invariants after build")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,6 +63,12 @@ def main() -> None:
     if args.merge:
         for merged in writer.maybe_merge():
             print(json.dumps({"merge": merged["id"], "n_docs": merged["n_docs"]}))
+
+    if args.check:
+        from lucene_kmp_spark.index.check import check_index
+
+        res = check_index(writer.reader().index)
+        print(json.dumps({"check_index": res}))
 
     m = writer.manifest()
     print(

@@ -212,3 +212,26 @@ def test_ngram_phrase_rewrite(env):
 
     q = NGramPhraseQuery(2, ("ki", "in", "ng"))
     assert rewrite_query(q) == PhraseQuery(("ki", "in", "ng"), slop=0)
+
+
+def test_term_range_non_bmp_byte_order(spark):
+    """SURVEY §1.5: term ranges must follow UTF-8 byte order (BytesRef
+    semantics). UTF-8 byte order == code-point order, so Spark UTF8String
+    comparison, python str, and the engine must all agree on non-BMP terms."""
+    docs = spark.createDataFrame(
+        [("c", 0, "alpha"), ("c", 1, "éclair"), ("c", 2, "中文"),
+         ("c", 3, "\U0001F600"), ("c", 4, "zebra")],
+        "conv_id string, turn_idx int, text string",
+    )
+    from lucene_kmp_spark.index import assign_doc_ids, build_index
+    from lucene_kmp_spark.search.query import TermRangeQuery
+
+    withids = assign_doc_ids(docs)
+    s = IndexSearcher(build_index(withids))
+    naive = NaiveIndex([(r["doc_id"], r["text"]) for r in withids.collect()])
+    # range spanning from BMP into astral plane
+    for lo, hi in ((None, "中文"), ("zebra", None), ("alpha", "\U0001F600")):
+        q = TermRangeQuery(lo, hi, True, True)
+        got = {r["doc_id"] for r in s.execute(q).collect()}
+        exp = set(naive.scores(q))
+        assert got == exp, (lo, hi)

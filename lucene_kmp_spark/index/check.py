@@ -40,7 +40,11 @@ def check_index(idx: InvertedIndex, raise_on_fail: bool = False) -> dict:
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("term").orderBy("block_id")
+    # per-term blocks must cover pairwise-disjoint docID ranges (the
+    # DocIdSetIterator monotonicity contract). Ordered by min_doc_id, NOT
+    # block_id: block_ids are only unique within one segment, and a composite
+    # (multi-segment) index legally repeats them across disjoint doc ranges.
+    w = Window.partitionBy("term").orderBy("min_doc_id", "block_id")
     overlap = (
         p.select("term", "block_id", "min_doc_id", "max_doc_id")
         .withColumn("_prev_max", F.lag("max_doc_id").over(w))

@@ -40,3 +40,17 @@ def test_corruption_detected(idx):
     assert res2["checks"]["term_dict"] > 0
     with pytest.raises(AssertionError):
         check_index(broken2, raise_on_fail=True)
+
+
+def test_composite_segmented_index_is_clean(spark, tmp_path):
+    """block_ids repeat across segments over disjoint doc ranges — the
+    composite reader's index must still verify clean (regression: ordering
+    check previously sorted by block_id and reported false overlaps)."""
+    from lucene_kmp_spark.data.transcripts import synth_transcripts
+    from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+
+    w = SegmentedIndexWriter(spark, str(tmp_path / "comp_idx"))
+    for b in range(2):
+        w.add_batch(synth_transcripts(spark, n_convs=8, seed=50 + b), batch_key=f"c{b}")
+    res = check_index(w.reader().index, raise_on_fail=True)
+    assert res["clean"]

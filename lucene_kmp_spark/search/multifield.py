@@ -166,6 +166,39 @@ class MultiFieldSearcher:
         # multi-term combined query sums per-term scores (SHOULD semantics)
         return per_term.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
+    def search_all_fields(
+        self,
+        query_string: str,
+        k: int = 10,
+        boosts: dict[str, float] | None = None,
+        tie_breaker: float = 0.0,
+    ) -> DataFrame:
+        """MultiFieldQueryParser surface (queryparser/MultiFieldQueryParser.kt:
+        replicate a parsed query across fields with per-field boosts). The
+        parsed AST runs against every field's index; per-doc field scores
+        combine with DisjunctionMax(tie_breaker) — the dismax variant of the
+        classic per-clause expansion."""
+        from lucene_kmp_spark.queryparser import parse
+
+        q = parse(query_string)
+        boosts = boosts or {}
+        parts = []
+        for f, s in self.searchers.items():
+            b = float(boosts.get(f, 1.0))
+            scored = s.execute(q).select(
+                "doc_id", (F.col("score") * F.lit(b)).alias("score")
+            )
+            parts.append(scored)
+        u = reduce(lambda a, b2: a.unionByName(b2), parts)
+        agg = u.groupBy("doc_id").agg(F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+        tb = float(tie_breaker)
+        scored = agg.select(
+            "doc_id", (F.col("_mx") + F.lit(tb) * (F.col("_sm") - F.col("_mx"))).alias("score")
+        )
+        if self.dtype == np.float32:
+            scored = scored.select("doc_id", F.col("score").cast("float").alias("score"))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def _exec_blended(self, q: BlendedTermQuery) -> DataFrame:
         live: dict[str, TermStats] = {}
         for f in q.fields:

@@ -174,3 +174,26 @@ def test_combined_topk_orders(env):
     rows = s.top_k(q, 5).collect()
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_search_all_fields(env):
+    """MultiFieldQueryParser pattern: parsed query across title+body with
+    boosts, dismax-combined per doc."""
+    s, rows = env
+    got = s.search_all_fields("spark index", k=10, boosts={"title": 2.0}, tie_breaker=0.1)
+    hits = [(r["doc_id"], r["score"]) for r in got.collect()]
+    assert hits
+    # oracle: per-field execute + manual dismax
+    from lucene_kmp_spark.queryparser import parse
+
+    q = parse("spark index")
+    per_field = {}
+    for f, sub in s.searchers.items():
+        b = 2.0 if f == "title" else 1.0
+        per_field[f] = {r["doc_id"]: r["score"] * b for r in sub.execute(q).collect()}
+    exp = {}
+    for d in set().union(*(m.keys() for m in per_field.values())):
+        vals = [m[d] for m in per_field.values() if d in m]
+        exp[d] = max(vals) + 0.1 * (sum(vals) - max(vals))
+    ranked = sorted(exp.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert [d for d, _ in hits] == [d for d, _ in ranked]

@@ -49,7 +49,7 @@ from pyspark.sql.types import (
 )
 
 from lucene_kmp_spark.analysis import analyze
-from lucene_kmp_spark.util.packing import delta_encode, varint_encode
+from lucene_kmp_spark.util.packing import block_encode, delta_block_encode, varint_encode
 from lucene_kmp_spark.util.smallfloat import int_to_byte4
 
 BLOCK_SIZE = 128          # docs per posting block (ForUtil.kt:121)
@@ -182,8 +182,8 @@ def _encode_group(rows, term, bucket, doc_ids, tfs, norms, pos_lists):
         rows["max_doc_id"].append(int(d[-1]))
         rows["max_tf"].append(int(t_.max()))
         rows["tf_sum"].append(int(t_.sum()))
-        rows["doc_ids_enc"].append(delta_encode(d))
-        rows["freqs_enc"].append(varint_encode(t_))
+        rows["doc_ids_enc"].append(delta_block_encode(d))
+        rows["freqs_enc"].append(block_encode(t_))
         rows["norms_enc"].append(nm.astype(np.uint8).tobytes())
         rows["positions_enc"].append(varint_encode(np.array(flat, dtype=np.int64)))
         rows["impact_tfs"].append(it)

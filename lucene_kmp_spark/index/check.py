@@ -54,7 +54,7 @@ def check_index(idx: InvertedIndex, raise_on_fail: bool = False) -> dict:
     checks["block_ordering"] = overlap
 
     def verify(batches):
-        from lucene_kmp_spark.util.packing import delta_decode, varint_decode
+        from lucene_kmp_spark.util.packing import block_decode, delta_block_decode, varint_decode
 
         for pdf in batches:
             bad = 0
@@ -63,8 +63,8 @@ def check_index(idx: InvertedIndex, raise_on_fail: bool = False) -> dict:
                 pdf["max_tf"].values, pdf["tf_sum"].values,
                 pdf["doc_ids_enc"].values, pdf["freqs_enc"].values, pdf["norms_enc"].values,
             ):
-                d = delta_decode(bytes(de))
-                t = varint_decode(bytes(fe))
+                d = delta_block_decode(bytes(de))
+                t = block_decode(bytes(fe))
                 ok = (
                     len(d) == nd
                     and len(t) == nd

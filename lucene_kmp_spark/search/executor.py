@@ -90,10 +90,10 @@ _POS_SCHEMA = StructType(
 
 
 def _decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    from lucene_kmp_spark.util.packing import delta_decode, varint_decode
+    from lucene_kmp_spark.util.packing import block_decode, delta_block_decode, varint_decode
 
-    doc_ids = delta_decode(bytes(row["doc_ids_enc"]))
-    tfs = varint_decode(bytes(row["freqs_enc"]))
+    doc_ids = delta_block_decode(bytes(row["doc_ids_enc"]))
+    tfs = block_decode(bytes(row["freqs_enc"]))
     norms = np.frombuffer(bytes(row["norms_enc"]), dtype=np.uint8)
     return doc_ids, tfs, norms
 
@@ -245,7 +245,7 @@ class IndexSearcher:
         rows = base.select("term", "doc_ids_enc", "freqs_enc", "norms_enc")
 
         def gen(batches):
-            from lucene_kmp_spark.util.packing import delta_decode, varint_decode
+            from lucene_kmp_spark.util.packing import block_decode, delta_block_decode, varint_decode
 
             for pdf in batches:
                 outs = {"term": [], "doc_id": [], "tf": [], "score": []}
@@ -253,8 +253,8 @@ class IndexSearcher:
                     pdf["term"].values, pdf["doc_ids_enc"].values,
                     pdf["freqs_enc"].values, pdf["norms_enc"].values,
                 ):
-                    doc_ids = delta_decode(bytes(de))
-                    tfs = varint_decode(bytes(fe))
+                    doc_ids = delta_block_decode(bytes(de))
+                    tfs = block_decode(bytes(fe))
                     norms = np.frombuffer(bytes(ne), dtype=np.uint8)
                     sc = scorers[term].score(tfs, norms)
                     outs["term"].append(np.repeat(term, len(doc_ids)))
@@ -284,15 +284,15 @@ class IndexSearcher:
         )
 
         def gen(batches):
-            from lucene_kmp_spark.util.packing import delta_decode, varint_decode
+            from lucene_kmp_spark.util.packing import block_decode, delta_block_decode, varint_decode
 
             for pdf in batches:
                 outs = []
                 for term, de, fe in zip(
                     pdf["term"].values, pdf["doc_ids_enc"].values, pdf["freqs_enc"].values
                 ):
-                    d = delta_decode(bytes(de))
-                    t = varint_decode(bytes(fe))
+                    d = delta_block_decode(bytes(de))
+                    t = block_decode(bytes(fe))
                     outs.append(
                         pd.DataFrame(
                             {
@@ -316,7 +316,7 @@ class IndexSearcher:
         )
 
         def gen(batches):
-            from lucene_kmp_spark.util.packing import delta_decode
+            from lucene_kmp_spark.util.packing import block_decode, delta_block_decode
 
             for pdf in batches:
                 recs = {"term": [], "doc_id": [], "tf": [], "norm": [], "positions": []}
@@ -324,8 +324,8 @@ class IndexSearcher:
                     pdf["term"].values, pdf["doc_ids_enc"].values, pdf["freqs_enc"].values,
                     pdf["norms_enc"].values, pdf["positions_enc"].values,
                 ):
-                    doc_ids = delta_decode(bytes(de))
-                    tfs = varint_decode(bytes(fe))
+                    doc_ids = delta_block_decode(bytes(de))
+                    tfs = block_decode(bytes(fe))
                     norms = np.frombuffer(bytes(ne), dtype=np.uint8)
                     deltas = varint_decode(bytes(pe))
                     # per-doc position lists: global cumsum, re-based per doc
@@ -384,12 +384,12 @@ class IndexSearcher:
         rows = self.index.postings.filter(pred).select("doc_ids_enc")
 
         def gen(batches):
-            from lucene_kmp_spark.util.packing import delta_decode
+            from lucene_kmp_spark.util.packing import delta_block_decode
 
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                arrs = [delta_decode(bytes(b)) for b in pdf["doc_ids_enc"].values]
+                arrs = [delta_block_decode(bytes(b)) for b in pdf["doc_ids_enc"].values]
                 yield pd.DataFrame({"doc_id": np.concatenate(arrs)})
 
         out = rows.mapInPandas(gen, schema="doc_id long")

@@ -122,13 +122,13 @@ def test_block_layout(index):
 
 
 def _decoded_postings(df):
-    from lucene_kmp_spark.util.packing import delta_decode, varint_decode
+    from lucene_kmp_spark.util.packing import block_decode, delta_block_decode
     import numpy as np
 
     out = set()
     for r in df.select("term", "doc_ids_enc", "freqs_enc", "norms_enc").collect():
-        docs = delta_decode(bytes(r["doc_ids_enc"]))
-        tfs = varint_decode(bytes(r["freqs_enc"]))
+        docs = delta_block_decode(bytes(r["doc_ids_enc"]))
+        tfs = block_decode(bytes(r["freqs_enc"]))
         norms = np.frombuffer(bytes(r["norms_enc"]), dtype=np.uint8)
         for d, t, n in zip(docs.tolist(), tfs.tolist(), norms.tolist()):
             out.add((r["term"], d, t, n))

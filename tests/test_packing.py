@@ -40,3 +40,65 @@ def test_varint_roundtrip(vals):
 def test_delta_roundtrip(vals):
     a = np.array(sorted(vals), dtype=np.int64)
     assert (delta_decode(delta_encode(a)) == a).all()
+
+
+# ---------------------------------------------------- FOR / PFor block codecs
+from hypothesis import given, settings, strategies as st
+
+from lucene_kmp_spark.util.packing import (
+    block_decode,
+    block_encode,
+    delta_block_decode,
+    delta_block_encode,
+    for_encode,
+    pfor_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=128))
+@settings(max_examples=200, deadline=None)
+def test_block_codecs_roundtrip(vals):
+    import numpy as np
+
+    a = np.array(vals, dtype=np.int64)
+    for codec in ("varint", "for", "pfor", "auto"):
+        got = block_decode(block_encode(a, codec))
+        assert got.tolist() == vals, codec
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=128))
+@settings(max_examples=100, deadline=None)
+def test_delta_block_roundtrip(vals):
+    import numpy as np
+
+    sorted_unique = sorted(set(vals))
+    a = np.array(sorted_unique, dtype=np.int64)
+    got = delta_block_decode(delta_block_encode(a, "auto"))
+    assert got.tolist() == sorted_unique
+
+
+def test_pfor_patches_outliers():
+    """A block of small values + few huge outliers must pack at the small
+    width with patched exceptions (PForUtil.kt <=7 exceptions)."""
+    import numpy as np
+
+    vals = np.array([3] * 120 + [2**30] * 5, dtype=np.int64)
+    enc = pfor_encode(vals)
+    assert enc[0] == 2  # TAG_PFOR
+    assert enc[1] == 2  # width of value 3
+    assert enc[4] == 5  # 5 exceptions
+    assert block_decode(enc).tolist() == vals.tolist()
+    # pfor beats FOR here (FOR must use 31 bits everywhere)
+    assert len(enc) < len(for_encode(vals))
+
+
+def test_auto_picks_smallest():
+    import numpy as np
+
+    dense_small = np.arange(1, 129, dtype=np.int64)  # gaps of 1 -> FOR wins
+    few_outliers = np.array([1] * 125 + [10**6] * 3, dtype=np.int64)
+    for vals in (dense_small, few_outliers):
+        auto = block_encode(vals, "auto")
+        assert len(auto) == min(
+            len(block_encode(vals, c)) for c in ("varint", "for", "pfor")
+        )

@@ -49,7 +49,7 @@ from pyspark.sql.types import (
 )
 
 from lucene_kmp_spark.analysis import analyze
-from lucene_kmp_spark.util.packing import block_encode, delta_block_encode, varint_encode
+from lucene_kmp_spark.util.packing import block_encode, delta_block_encode
 from lucene_kmp_spark.util.smallfloat import int_to_byte4
 
 BLOCK_SIZE = 128          # docs per posting block (ForUtil.kt:121)
@@ -185,7 +185,7 @@ def _encode_group(rows, term, bucket, doc_ids, tfs, norms, pos_lists):
         rows["doc_ids_enc"].append(delta_block_encode(d))
         rows["freqs_enc"].append(block_encode(t_))
         rows["norms_enc"].append(nm.astype(np.uint8).tobytes())
-        rows["positions_enc"].append(varint_encode(np.array(flat, dtype=np.int64)))
+        rows["positions_enc"].append(block_encode(np.array(flat, dtype=np.int64), "vf"))
         rows["impact_tfs"].append(it)
         rows["impact_norms"].append(inorm)
 

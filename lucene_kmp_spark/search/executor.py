@@ -309,7 +309,7 @@ class IndexSearcher:
 
     def _positions_df(self, terms: list[str]) -> DataFrame:
         """(term, doc_id, tf, norm, positions) — the POSITIONS postings view."""
-        from lucene_kmp_spark.util.packing import varint_decode
+        from lucene_kmp_spark.util.packing import block_decode as _pos_decode
 
         rows = self.index.postings.filter(F.col("term").isin(list(set(terms)))).select(
             "term", "doc_ids_enc", "freqs_enc", "norms_enc", "positions_enc"
@@ -327,7 +327,7 @@ class IndexSearcher:
                     doc_ids = delta_block_decode(bytes(de))
                     tfs = block_decode(bytes(fe))
                     norms = np.frombuffer(bytes(ne), dtype=np.uint8)
-                    deltas = varint_decode(bytes(pe))
+                    deltas = _pos_decode(bytes(pe))
                     # per-doc position lists: global cumsum, re-based per doc
                     cs = np.cumsum(deltas)
                     ends = np.cumsum(tfs)

@@ -113,7 +113,12 @@ def tokenize_to_tokens(
                     terms, positions, _length = analyze(text, stop_set=stop_set)
                 if not terms:
                     continue
-                norm = int_to_byte4(len(terms))
+                # discountOverlaps=true norm semantics (Similarity.kt:134-144):
+                # count position-incrementing tokens only, i.e. distinct
+                # positions — identical to len(terms) for the standard chain,
+                # but overlap analyzers (ngram/shingle keep_unigrams, posIncr=0)
+                # must not inflate the field length
+                norm = int_to_byte4(len(set(positions)))
                 acc: dict[str, list[int]] = {}
                 for t, p in zip(terms, positions):
                     acc.setdefault(t, []).append(p)

@@ -65,6 +65,11 @@ def check_index(idx: InvertedIndex, raise_on_fail: bool = False) -> dict:
             ):
                 d = delta_block_decode(bytes(de))
                 t = block_decode(bytes(fe))
+                if len(d) == 0 or len(t) == 0:
+                    # the builder never writes a zero-doc block — count the
+                    # corruption instead of crashing on d[0]/t.max()
+                    bad += 1
+                    continue
                 ok = (
                     len(d) == nd
                     and len(t) == nd

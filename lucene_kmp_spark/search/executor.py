@@ -107,9 +107,11 @@ class TermStats:
 class FilterCache:
     """LRU cache of FILTER/MUST_NOT doc-sets (search/LRUQueryCache.kt:79).
 
-    Keys are the (hashable, frozen) Query dataclasses; values are persisted
-    doc_id DataFrames — the Spark analog of Lucene's cached per-segment
-    DocIdSets. Evicted entries are unpersisted."""
+    Keys are (index identity, frozen Query dataclass) tuples — the index
+    component mirrors Lucene caching per segment core reader, so one cache
+    instance may be shared across searchers over different indexes; values
+    are persisted doc_id DataFrames (the cached DocIdSet analog). Evicted
+    entries are unpersisted."""
 
     def __init__(self, max_entries: int = 32):
         from collections import OrderedDict
@@ -661,7 +663,13 @@ class IndexSearcher:
 
         def _join_set(q2):
             if self.filter_cache is not None:
-                return self.filter_cache.get_or_compute(q2, lambda: self._doc_set(q2, dedup=False))
+                # key includes the index identity so a cache shared across
+                # searchers can never serve doc_ids from another index, and
+                # entries die with the index object (LRUQueryCache keys per
+                # segment core reader, LRUQueryCache.kt:79)
+                return self.filter_cache.get_or_compute(
+                    (id(self.index), q2), lambda: self._doc_set(q2, dedup=False)
+                )
             return self._doc_set(q2, dedup=False)
 
         for f_q in filters:

@@ -7,11 +7,12 @@ cross-field query types with the reference's exact statistic-merging rules:
 
 * CombinedFieldQuery (``search/CombinedFieldQuery.kt:236-252,259-281`` +
   ``MultiNormsLeafSimScorer.kt:100-124``):
-  - pseudo term stats: df = max over fields, ttf = Σ floor(weight·ttf_f) (≥1)
+  - ONE pseudo term for the whole query: df = max over every (term, field)
+    stat pair, ttf = Σ floor(weight·ttf) (≥1; BM25 never reads ttf)
   - pseudo collection stats: docCount/maxDoc/sumDocFreq = max over fields,
     sumTotalTermFreq = Σ floor(weight·sumTTF_f)
-  - per-doc freq = Σ weight·tf_f (float accumulate,
-    ``CombinedFieldQuery.kt:368-395``)
+  - per-doc freq = Σ weight·tf over ALL terms and fields, one saturation with
+    the pseudo-term weight (``CombinedFieldQuery.kt:368-400``)
   - per-doc norm byte = SmallFloat.intToByte4(round(Σ weight·LENGTH_TABLE[norm_f]))
     — the weighted sum of *decoded* per-field lengths re-quantized through the
     same byte codec, so the scoring kernel still runs off the 256-entry cache
@@ -125,46 +126,51 @@ class MultiFieldSearcher:
         one, k1_, b_ = dt(1), dt(self.k1), dt(self.b)
         cache = one / (k1_ * ((one - b_) + b_ * LENGTH_TABLE.astype(dt) / avgdl))
 
-        # pseudo term statistics (CombinedFieldQuery.kt:236-252)
-        term_w: dict[str, float] = {}
-        for t in terms:
-            df_max = max((per_field[f][t].df for f, _ in fw if t in per_field[f]), default=0)
-            if df_max > 0:
-                term_w[t] = float(dt(dt(q.boost) * bm25.idf(df_max, doc_count, dt)))
-        if not term_w:
+        # ONE pseudo term over every (term, field) stat pair
+        # (CombinedFieldQuery.kt:236-252 CombinedFieldWeight init): docFreq =
+        # max over ALL term-field stats; ttf = Σ floor(weight·ttf) is also
+        # accumulated there but BM25 never reads it, so it is not materialized
+        df_pseudo = 0
+        for f, _w in fw:
+            for t in terms:
+                st = per_field[f].get(t)
+                if st is not None and st.df > 0:
+                    df_pseudo = max(df_pseudo, st.df)
+        if df_pseudo == 0:
             return self._empty()
+        w_pseudo = dt(dt(q.boost) * bm25.idf(df_pseudo, doc_count, dt))
 
         parts = []
         for f, w in fw:
-            present = [t for t in term_w if t in per_field[f]]
+            present = [t for t in terms if t in per_field[f]]
             if present:
                 parts.append(
                     self.searchers[f]
                     .term_freqs(present)
                     .select(
-                        "term", "doc_id", (F.col("tf").cast("double") * F.lit(w)).alias("wtf")
+                        "doc_id", (F.col("tf").cast("double") * F.lit(w)).alias("wtf")
                     )
                 )
+        # per-doc freq = Σ weight·tf over ALL terms and fields, then a single
+        # saturation with the pseudo-term weight (CombinedFieldScorer.freq,
+        # CombinedFieldQuery.kt:384-400)
         tfu = (
             reduce(lambda a, b2: a.unionByName(b2), parts)
-            .groupBy("term", "doc_id")
+            .groupBy("doc_id")
             .agg(F.sum("wtf").alias("wtf"))
         )
         joined = tfu.join(self.combined_norm_bytes(fw), "doc_id")
 
         def gen(batches):
             for pdf in batches:
-                w_arr = np.array([term_w[t] for t in pdf["term"].values], dtype=dt)
                 ni = cache[pdf["cnorm"].values.astype(np.int64) & 0xFF]
                 tf32 = pdf["wtf"].values.astype(dt)
-                sc = w_arr - w_arr / (dt(1) + tf32 * ni)
+                sc = w_pseudo - w_pseudo / (dt(1) + tf32 * ni)
                 yield pd.DataFrame(
                     {"doc_id": pdf["doc_id"].values, "score": sc.astype(np.float64)}
                 )
 
-        per_term = joined.mapInPandas(gen, schema="doc_id long, score double")
-        # multi-term combined query sums per-term scores (SHOULD semantics)
-        return per_term.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        return joined.mapInPandas(gen, schema="doc_id long, score double")
 
     def search_all_fields(
         self,

@@ -99,8 +99,12 @@ def for_encode(values: np.ndarray) -> bytes:
     if (v < 0).any():
         raise ValueError("for_encode requires non-negative values")
     u = v.astype(np.uint64)
-    w = _bit_len(int(u.max())) if u.size else 0
     n = u.size
+    if n > 0xFFFF:
+        # the 2-byte count field cannot represent it; silently encoding would
+        # truncate n mod 65536 and corrupt the cell
+        raise ValueError("block too large")
+    w = _bit_len(int(u.max())) if u.size else 0
     header = bytes([TAG_FOR, w, n & 0xFF, (n >> 8) & 0xFF])
     return header + _bitpack(u, w)
 
@@ -151,6 +155,11 @@ def block_encode(values: np.ndarray, codec: str = "auto") -> bytes:
         return for_encode(v)
     if codec == "pfor":
         return pfor_encode(v)
+    if v.size > 0xFFFF:
+        # FOR/PFor count fields are 2 bytes; oversized cells (e.g. positions
+        # cells whose sum(tf) over a 128-doc block exceeds 65535) take the
+        # length-prefix-free varint codec instead of corrupting the count
+        return bytes([TAG_VARINT]) + varint_encode(v)
     if codec == "vf":
         # cheap two-way choice for long vectors (positions): PFor's patched
         # search costs ~30x more CPU for ~2% extra saving there

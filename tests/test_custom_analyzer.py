@@ -71,3 +71,15 @@ def test_prefix_query_on_shingles(docs):
     s = IndexSearcher(idx)
     hits = {r["doc_id"] for r in s.execute(PrefixQuery("merge ")).collect()}
     assert hits == {0, 1}
+
+
+def test_overlap_norms_discounted(docs):
+    """discountOverlaps=true (Similarity.kt:134-144): norms count only
+    position-incrementing tokens, so overlap analyzers (posIncr=0 grams)
+    must encode the source-token count, not the inflated gram count."""
+    from lucene_kmp_spark.util.smallfloat import int_to_byte4
+
+    idx = build_index(docs, analyzer=shingle_analyzer(2, keep_unigrams=True))
+    norms = {r["doc_id"]: r["norm"] for r in idx.norms.collect()}
+    # every fixture doc has 3 source tokens; keep_unigrams emits 5 tokens/doc
+    assert norms == {0: int_to_byte4(3), 1: int_to_byte4(3), 2: int_to_byte4(3)}

@@ -43,3 +43,23 @@ def test_lru_eviction(idx):
     s.execute(q).count()
     assert cache.misses == 4
     cache.clear()
+
+
+def test_shared_cache_is_index_scoped(idx, spark):
+    """ADVICE r1: a cache shared across searchers over DIFFERENT indexes must
+    key per index (LRUQueryCache keys per segment core reader) — the same
+    query on index B must miss, not reuse A's doc set."""
+    other = build_index(
+        assign_doc_ids(synth_transcripts(spark, n_convs=10, seed=99))
+    )
+    cache = FilterCache(max_entries=8)
+    s_a = IndexSearcher(idx, filter_cache=cache)
+    s_b = IndexSearcher(other, filter_cache=cache)
+    q = BooleanQuery.build(must=(TermQuery("the"),), filter=(TermQuery("hope"),))
+    a_rows = s_a.execute(q).count()
+    b_rows = s_b.execute(q).count()
+    assert cache.misses == 2  # one per index — no cross-index reuse
+    # and the cached sets really are different doc sets
+    assert s_b.execute(q).count() == b_rows and cache.hits >= 1
+    assert a_rows != b_rows or len(cache._entries) == 2
+    cache.clear()

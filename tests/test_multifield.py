@@ -77,22 +77,32 @@ class Oracle:
                 if d in self.norm[f]:
                     acc += np.float32(w) * LENGTH_TABLE[self.norm[f][d] & 0xFF]
             cnorm[d] = int_to_byte4(int(np.floor(np.float64(acc) + 0.5)))
+        # ONE pseudo term: df = max over every (term, field) stat pair
+        # (CombinedFieldQuery.kt:236-252); per-doc freq sums weighted tf over
+        # ALL terms and fields, one saturation (CombinedFieldScorer.freq)
+        df_pseudo = max(
+            (
+                sum(1 for c in self.fields[f].values() if t in c)
+                for t in dict.fromkeys(terms)
+                for f, _ in fw
+            ),
+            default=0,
+        )
+        if df_pseudo == 0:
+            return {}
+        w_p = dt(dt(boost) * bm25.idf(df_pseudo, doc_count, dt))
         out = {}
-        for t in dict.fromkeys(terms):
-            df_max = max(
-                (sum(1 for c in self.fields[f].values() if t in c) for f, _ in fw),
-                default=0,
+        for d in all_docs:
+            wtf = sum(
+                w * self.fields[f].get(d, {}).get(t, 0)
+                for t in dict.fromkeys(terms)
+                for f, w in fw
             )
-            if df_max == 0:
+            if wtf <= 0:
                 continue
-            w_t = dt(dt(boost) * bm25.idf(df_max, doc_count, dt))
-            for d in all_docs:
-                wtf = sum(w * self.fields[f].get(d, {}).get(t, 0) for f, w in fw)
-                if wtf <= 0:
-                    continue
-                ni = cache[cnorm[d]]
-                sc = w_t - w_t / (dt(1) + dt(wtf) * ni)
-                out[d] = out.get(d, 0.0) + float(sc)
+            ni = cache[cnorm[d]]
+            sc = w_p - w_p / (dt(1) + dt(wtf) * ni)
+            out[d] = float(sc)
         return out
 
     def blended(self, term, fields, tie_breaker=0.01, boost=1.0, dtype=np.float32):

@@ -102,3 +102,24 @@ def test_auto_picks_smallest():
         assert len(auto) == min(
             len(block_encode(vals, c)) for c in ("varint", "for", "pfor")
         )
+
+
+def test_oversized_block_guard():
+    """ADVICE r1 (high): for_encode used to truncate n mod 65536 silently —
+    a 70k-value positions cell decoded to 4,464 values. Now for_encode raises
+    and block_encode routes oversized cells to varint (length-prefix-free)."""
+    import numpy as np
+
+    import pytest
+
+    big = np.arange(70_000, dtype=np.int64)
+    with pytest.raises(ValueError):
+        for_encode(big)
+    with pytest.raises(ValueError):
+        pfor_encode(big)
+    for codec in ("vf", "auto"):
+        enc = block_encode(big, codec)
+        assert enc[0] == 0  # TAG_VARINT
+        got = block_decode(enc)
+        assert got.size == 70_000
+        assert (got == big).all()

@@ -200,6 +200,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda: BooleanQuery.build(must=(TermQuery("merge"),), filter=(TermQuery("join"),))
     )
     q["bm25_phrase"] = _bm25_query(lambda: PhraseQuery(("order", "sort")))
+
+    def q_phrase_sloppy(spark, sf_dir):
+        # the real SloppyPhraseMatcher port scores; the harness restricts to
+        # docs where each term occurs exactly once so the expected freq has
+        # the closed form 1/(1 + |span|) that DuckDB can compute (multi-
+        # occurrence + repeat paths are oracle-covered by
+        # bm25_phrase_sloppy_repeat and property-tested in tests/)
+        from lucene_kmp_spark.search.query import PhraseQuery as PQ
+
+        s = _searcher64(spark, sf_dir)
+        scored = s.execute(PQ(("scan", "filter"), slop=6))
+        tf1 = _docs(spark, sf_dir).filter(
+            (F.size(F.expr("filter(split(text, ' '), x -> x = 'scan')")) == 1)
+            & (F.size(F.expr("filter(split(text, ' '), x -> x = 'filter')")) == 1)
+        ).select("doc_id")
+        return _ranked_topk(scored.join(tf1, "doc_id"))
+
+    q["bm25_phrase_sloppy"] = q_phrase_sloppy
+
+    # duplicated-term sloppy phrase — the repeat-collision machinery
+    # (SloppyPhraseMatcher.kt:190-340); emits one match per consecutive
+    # occurrence pair, weight 1/(1+gap)
+    q["bm25_phrase_sloppy_repeat"] = _bm25_query(
+        lambda: PhraseQuery(("merge", "merge"), slop=4)
+    )
     q["bm25_synonym"] = _bm25_query(lambda: SynonymQuery(("merge", "scan")))
 
     def q_multi_phrase(spark, sf_dir):
@@ -535,24 +560,219 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_full_probe"] = q_ann_ivf
 
-    # ---- events (window/sessionization over the structured table) ----
-    def q_sessions(spark, sf_dir):
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        flagged = ev.withColumn("_prev", F.lag("ts").over(w)).withColumn(
-            "new_sess",
-            F.when(
-                F.col("_prev").isNull()
-                | (F.expr("timestampdiff(MICROSECOND, _prev, ts)") > 1_800_000_000),
-                1,
-            ).otherwise(0),
-        )
-        return flagged.groupBy("user_id").agg(
-            F.sum("new_sess").cast("long").alias("n_sessions"),
-            F.count("*").cast("long").alias("n_events"),
+    def q_ann_ivf_probe2(spark, sf_dir):
+        """Partial probe (n_probe=2 of 8) over a WRITE-TIME-assigned table:
+        ivf_write_assigned persists _list as a partition column and the probe
+        is a partition-pruned scan (scan bytes ~ 2/8 of the table). Centroids
+        are fixed data vectors (vec_id 1..8) so the oracle can reproduce the
+        assignment; ranking is restricted to the probed lists on both sides."""
+        import os
+        import tempfile
+
+        from lucene_kmp_spark.pipeline.similarity import (
+            ivf_topk,
+            ivf_write_assigned,
         )
 
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = emb.filter(F.col("vec_id").between(0, 8)).orderBy("vec_id").collect()
+        qvec = [float(v) for v in rows[0]["embedding"]]
+        cents = [[float(v) for v in r["embedding"]] for r in rows[1:]]
+        path = os.path.join(
+            tempfile.gettempdir(), "spark_graft_ivf_probe2_" + sf_dir.strip("/").replace("/", "_")
+        )
+        if not os.path.isdir(path):
+            ivf_write_assigned(emb.filter(F.col("vec_id") != 0), cents, path)
+        assigned = spark.read.parquet(path)
+        # k=50 pre-cut by raw cosine, final cut by the quantized rank — keeps
+        # the top-10 boundary independent of sub-quantization float noise
+        scored = ivf_topk(assigned, qvec, cents, k=50, n_probe=2).select(
+            "vec_id", F.col("cosine").alias("score")
+        )
+        w = Window.orderBy(F.desc(F.floor(F.col("score") * 10000)), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOPK)
+            .select("vec_id", _q4(F.col("score")).alias("score"), "rank")
+        )
+
+    q["ann_ivf_probe2"] = q_ann_ivf_probe2
+
+    # ---- events (window/sessionization over the structured table) ----
+    def q_sessions(spark, sf_dir):
+        from lucene_kmp_spark.pipeline.events import sessionize
+
+        return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
     q["events_sessionize"] = q_sessions
+
+    # ---- round-2 oracle-gap closers (operators previously pytest-only) ----
+    def q_regexp(spark, sf_dir):
+        from lucene_kmp_spark.search.query import RegexpQuery
+
+        s = _searcher64(spark, sf_dir)
+        return s.execute(RegexpQuery("me[a-z]*")).select("doc_id").distinct()
+
+    q["multiterm_regexp"] = q_regexp
+
+    def q_span_not(spark, sf_dir):
+        from lucene_kmp_spark.search.query import SpanNotQuery, SpanTermQuery
+
+        s = _searcher64(spark, sf_dir)
+        q_ast = SpanNotQuery(SpanTermQuery("merge"), SpanTermQuery("join"), pre=1, post=1)
+        return s.execute(q_ast).select("doc_id").distinct()
+
+    q["span_not_docset"] = q_span_not
+
+    def q_page2(spark, sf_dir):
+        # searchAfter pagination: page-1 cursor (raw float64 score + doc_id)
+        # feeds search_after; output re-ranked under the quantized protocol
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+
+        s = _searcher64(spark, sf_dir)
+        page1 = s.top_k(TQ("merge"), 10).collect()
+        last = page1[-1]
+        out = s.search_after(TQ("merge"), float(last["score"]), int(last["doc_id"]), k=10)
+        w = Window.orderBy(F.desc(F.floor(F.col("score") * 10000)), F.asc("doc_id"))
+        return (
+            out.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("doc_id", "rank", _q4(F.col("score")).alias("score"))
+        )
+
+    q["search_after_page2"] = q_page2
+
+    def q_matchall(spark, sf_dir):
+        from lucene_kmp_spark.search.query import MatchAllDocsQuery
+
+        s = _searcher64(spark, sf_dir)
+        return s.execute(MatchAllDocsQuery(boost=2.5)).select(
+            "doc_id", _q4(F.col("score")).alias("score")
+        )
+
+    q["matchall_boost"] = q_matchall
+
+    def q_ngram_phrase(spark, sf_dir):
+        # NGramPhraseQuery rewrite -> full PhraseQuery (NGramPhraseQuery.kt:27)
+        from lucene_kmp_spark.search.query import NGramPhraseQuery
+
+        s = _searcher64(spark, sf_dir)
+        return _ranked_topk(s.execute(NGramPhraseQuery(2, ("order", "sort"))))
+
+    q["bm25_ngram_phrase"] = q_ngram_phrase
+
+    def q_merged_segments(spark, sf_dir):
+        """build 3 segments -> force a full merge -> same BM25 answer as a
+        single index (merge correctness end-to-end, not just pytest)."""
+        import os
+        import shutil
+        import tempfile
+
+        from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+
+        root = os.path.join(
+            tempfile.gettempdir(), "spark_graft_seg_" + sf_dir.strip("/").replace("/", "_")
+        )
+        done = os.path.join(root, "_merged_ok")
+        if not os.path.exists(done):
+            shutil.rmtree(root, ignore_errors=True)
+            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+            base = _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id")
+            for i in range(3):
+                w.add_batch(base.filter(F.col("orig_id") % 3 == i), batch_key=f"b{i}")
+            w.merge(w.manifest()["segments"])
+            with open(done, "w") as fh:
+                fh.write("ok")
+        else:
+            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+        reader = w.reader()
+        s = reader.searcher(dtype=np.float64)
+        scored = s.execute(TermQuery("merge"))
+        ext = scored.join(reader.index.docs.select("doc_id", "orig_id"), "doc_id").select(
+            F.col("orig_id").alias("doc_id"), "score"
+        )
+        return _ranked_topk(ext)
+
+    q["merged_segments_term"] = q_merged_segments
+
+    def q_dedup_pipeline(spark, sf_dir):
+        """the composed 100 TB near-dup pipeline: banded LSH candidates ->
+        exact Jaccard verify restricted to those pairs (never all-pairs)."""
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
+        cands = dedup.minhash_candidates(d, salts=("s0", "s1", "s2", "s3"), bands=4)
+        return dedup.jaccard_pairs(d, threshold=0.9, candidates=cands).select(
+            "id_a", "id_b", _q4(F.col("jaccard")).alias("jaccard")
+        )
+
+    q["dedup_pipeline_near_dups"] = q_dedup_pipeline
+
+    def q_span_containing(spark, sf_dir):
+        from lucene_kmp_spark.search.query import (
+            SpanContainingQuery,
+            SpanNearQuery,
+            SpanTermQuery,
+        )
+
+        s = _searcher64(spark, sf_dir)
+        big = SpanNearQuery(
+            (SpanTermQuery("merge"), SpanTermQuery("join")), slop=4, in_order=True
+        )
+        q_ast = SpanContainingQuery(big, SpanTermQuery("scan"))
+        return s.execute(q_ast).select("doc_id").distinct()
+
+    q["span_containing_docset"] = q_span_containing
+
+    def q_span_within(spark, sf_dir):
+        from lucene_kmp_spark.search.query import (
+            SpanNearQuery,
+            SpanTermQuery,
+            SpanWithinQuery,
+        )
+
+        s = _searcher64(spark, sf_dir)
+        big = SpanNearQuery(
+            (SpanTermQuery("merge"), SpanTermQuery("join")), slop=6, in_order=True
+        )
+        q_ast = SpanWithinQuery(big, SpanTermQuery("sort"))
+        return s.execute(q_ast).select("doc_id").distinct()
+
+    q["span_within_docset"] = q_span_within
+
+    def q_span_posrange(spark, sf_dir):
+        from lucene_kmp_spark.search.query import SpanPositionRangeQuery, SpanTermQuery
+
+        s = _searcher64(spark, sf_dir)
+        q_ast = SpanPositionRangeQuery(SpanTermQuery("merge"), start=2, end=6)
+        return s.execute(q_ast).select("doc_id").distinct()
+
+    q["span_position_range_docset"] = q_span_posrange
+
+    def q_span_multiterm(spark, sf_dir):
+        from lucene_kmp_spark.search.query import (
+            PrefixQuery,
+            SpanFirstQuery,
+            SpanMultiTermWrapper,
+        )
+
+        s = _searcher64(spark, sf_dir)
+        q_ast = SpanFirstQuery(SpanMultiTermWrapper(PrefixQuery("mer")), end=5)
+        return s.execute(q_ast).select("doc_id").distinct()
+
+    q["span_multiterm_docset"] = q_span_multiterm
+
+    def q_combined_mt(spark, sf_dir):
+        # multi-term CombinedFieldQuery: ONE pseudo term over all (term,
+        # field) stats, single saturation (CombinedFieldQuery.kt:236-252)
+        from lucene_kmp_spark.search.query import CombinedFieldQuery
+
+        s = _mf_searcher64(spark, sf_dir)
+        scored = s.execute(
+            CombinedFieldQuery(
+                ("merge", "join"), field_weights=(("text", 1.0), ("text2", 2.0))
+            )
+        )
+        return _ranked_topk(scored)
+
+    q["combined_field_multiterm"] = q_combined_mt
 
     return q
 
@@ -654,6 +874,64 @@ total AS (
          idfs.w - idfs.w / (1 + ph.freq * (1.0 / (1.2 * (0.25 + 0.75 * norm.qdl / avgd.avgdl)))) AS s
   FROM ph JOIN norm USING (doc_id) CROSS JOIN avgd CROSS JOIN idfs
   WHERE ph.freq > 0
+)"""
+        + _rank_tail("total")
+    )
+
+    o["bm25_phrase_sloppy"] = (
+        _PRELUDE
+        + """,
+pp AS (
+  SELECT doc_id,
+         list_position(ts, 'scan') AS p1,
+         list_position(ts, 'filter') - 1 AS p2
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+  WHERE len(list_filter(ts, x -> x = 'scan')) = 1
+    AND len(list_filter(ts, x -> x = 'filter')) = 1
+),
+sl AS (
+  SELECT doc_id, 1.0 / (1 + abs(p1 - p2)) AS freq FROM pp WHERE abs(p1 - p2) <= 6
+),
+idfs AS (
+  SELECT (SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5))
+            FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'scan') d, avgd a)
+       + (SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5))
+            FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'filter') d, avgd a) AS w
+),
+total AS (
+  SELECT sl.doc_id,
+         idfs.w - idfs.w / (1 + sl.freq * (1.0 / (1.2 * (0.25 + 0.75 * norm.qdl / avgd.avgdl)))) AS s
+  FROM sl JOIN norm USING (doc_id) CROSS JOIN avgd CROSS JOIN idfs
+)"""
+        + _rank_tail("total")
+    )
+
+    # "merge merge"~4: each consecutive-occurrence pair with gap <= slop
+    # contributes 1/(1+gap); phrase idf counts the duplicated term twice
+    o["bm25_phrase_sloppy_repeat"] = (
+        _PRELUDE
+        + """,
+posl AS (
+  SELECT doc_id,
+         list_filter(list_transform(range(1, len(ts) + 1),
+           i -> CASE WHEN ts[i] = 'merge' THEN i ELSE NULL END), x -> x IS NOT NULL) AS ps
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+),
+sl AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, len(ps)),
+           i -> CASE WHEN ps[i+1] - ps[i] - 1 <= 4 THEN 1.0 / (ps[i+1] - ps[i]) ELSE 0 END))::DOUBLE AS freq
+  FROM posl WHERE len(ps) >= 2
+),
+idfr AS (
+  SELECT 2 * ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+  FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'merge') d, avgd a
+),
+total AS (
+  SELECT sl.doc_id,
+         idfr.w - idfr.w / (1 + sl.freq * (1.0 / (1.2 * (0.25 + 0.75 * norm.qdl / avgd.avgdl)))) AS s
+  FROM sl JOIN norm USING (doc_id) CROSS JOIN avgd CROSS JOIN idfr
+  WHERE sl.freq > 0
 )"""
         + _rank_tail("total")
     )
@@ -1109,6 +1387,50 @@ FROM scored QUALIFY rank <= 10
     # full-probe IVF is exactly brute force — same oracle
     o["ann_ivf_full_probe"] = o["ann_cosine_topk"]
 
+    # partial probe with FIXED data-vector centroids (vec_id 1..8, engine
+    # list idx = cid-1): assignment = argmax cosine (tie -> higher idx, the
+    # engine's array_max struct rule), probe = 2 nearest lists to the query
+    # (tie -> lower idx), ranking restricted to the probed lists
+    o["ann_ivf_probe2"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+vcp AS (
+  SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS a, unnest(c.cv)::DOUBLE AS b
+  FROM embeddings e, cent c WHERE e.vec_id != 0
+),
+vc AS (
+  SELECT vec_id, cid, sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cos
+  FROM vcp GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+qcp AS (
+  SELECT c.cid, unnest(c.cv)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b FROM cent c, q
+),
+probe_lists AS (
+  SELECT cid FROM (
+    SELECT cid, sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cos
+    FROM qcp GROUP BY cid
+  ) ORDER BY cos DESC, cid ASC LIMIT 2
+),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+  FROM embeddings e, q
+  WHERE e.vec_id IN (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probe_lists))
+),
+dots AS (SELECT vec_id, sum(a * b) AS dot, sum(a * a) AS na FROM pairs GROUP BY vec_id),
+qn AS (SELECT sum(b * b) AS nb FROM (SELECT unnest(qv)::DOUBLE AS b FROM q)),
+scored AS (SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS s FROM dots, qn)
+SELECT vec_id, floor(s * 10000) / 10000 AS score,
+       CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, vec_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
     # ---- events ----
     o["events_sessionize"] = """
 WITH flagged AS (
@@ -1122,4 +1444,183 @@ WITH flagged AS (
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
 FROM flagged GROUP BY user_id
 """
+    # ---- round-2 oracle-gap closers ----
+    o["multiterm_regexp"] = """
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE regexp_full_match(term, 'me[a-z]*')
+"""
+
+    # include 'merge' occurrences with no 'join' within [p-1, p+1]
+    # (SpanNotQuery.kt pre/post exclusion window)
+    o["span_not_docset"] = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         list_filter(list_transform(range(1, len(ts) + 1),
+           i -> CASE WHEN ts[i] = 'merge' THEN i ELSE NULL END), x -> x IS NOT NULL) AS mp,
+         list_filter(list_transform(range(1, len(ts) + 1),
+           i -> CASE WHEN ts[i] = 'join' THEN i ELSE NULL END), x -> x IS NOT NULL) AS jp
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+)
+WHERE len(list_filter(mp, p -> len(list_filter(jp, j -> j >= p - 1 AND j <= p + 1)) = 0)) > 0
+"""
+
+    # page 2 via the raw-score cursor: both engines compute bit-identical
+    # float64 scores, so raw rank 11..20 is deterministic; output re-ranked
+    # under the quantized protocol
+    o["search_after_page2"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """,
+ranked AS (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rr FROM sc0
+),
+page2 AS (SELECT doc_id, s FROM ranked WHERE rr BETWEEN 11 AND 20)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, doc_id ASC) AS INT) AS rank,
+       floor(s * 10000) / 10000 AS score
+FROM page2
+"""
+    )
+
+    o["matchall_boost"] = "SELECT doc_id, 2.5 AS score FROM documents"
+
+    # NGramPhraseQuery rewrites to the full phrase — same oracle by definition
+    o["bm25_ngram_phrase"] = o["bm25_phrase"]
+
+    # merged segments must answer exactly like one index over the union
+    o["merged_segments_term"] = o["bm25_term"]
+
+    o["dedup_pipeline_near_dups"] = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 2000
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('s0|' || term)) AS s0, min(md5('s1|' || term)) AS s1,
+         min(md5('s2|' || term)) AS s2, min(md5('s3|' || term)) AS s3
+  FROM tok GROUP BY doc_id
+),
+st AS (
+  SELECT doc_id, 0 AS band_idx, s0 AS v FROM sig
+  UNION ALL SELECT doc_id, 1, s1 FROM sig
+  UNION ALL SELECT doc_id, 2, s2 FROM sig
+  UNION ALL SELECT doc_id, 3, s3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM st a JOIN st b
+    ON a.band_idx = b.band_idx AND a.v = b.v AND a.doc_id < b.doc_id
+),
+toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+  FROM documents WHERE doc_id < 2000
+),
+sized AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM toks),
+ex AS (SELECT doc_id, n, unnest(ts) AS tok FROM sized),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*)::BIGINT AS i
+  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT i.id_a, i.id_b, floor(i.i * 1.0 / (i.na + i.nb - i.i) * 10000) / 10000 AS jaccard
+FROM inter i JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE i.i * 1.0 / (i.na + i.nb - i.i) >= 0.9
+"""
+
+    # ordered 2-term near spans are merged-adjacent (merge, join) cross pairs
+    # with gap <= slop (NearSpansOrdered greedy, bm25_span_ordered precedent);
+    # containing keeps big spans holding a 'scan'; within keeps little 'sort'
+    # spans inside a big span — both docsets reduce to an EXISTS over the pair
+    _SPAN_PAIRS = """
+WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(range(1, len(ts) + 1),
+           i -> CASE WHEN ts[i] = 'merge' THEN i ELSE NULL END), x -> x IS NOT NULL)) AS p,
+         0 AS kind
+  FROM ts
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_filter(list_transform(range(1, len(ts) + 1),
+           i -> CASE WHEN ts[i] = 'join' THEN i ELSE NULL END), x -> x IS NOT NULL)) AS p,
+         1 AS kind
+  FROM ts
+),
+seq AS (
+  SELECT doc_id, p, kind, lead(p) OVER w AS np, lead(kind) OVER w AS nk
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+spans AS (
+  SELECT doc_id, p AS a, np AS b FROM seq
+  WHERE kind = 0 AND nk = 1 AND np - p - 1 <= {slop}
+),
+little AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(range(1, len(ts) + 1),
+           i -> CASE WHEN ts[i] = '{little}' THEN i ELSE NULL END), x -> x IS NOT NULL)) AS lp
+  FROM ts
+)
+SELECT DISTINCT s.doc_id
+FROM spans s JOIN little l ON l.doc_id = s.doc_id AND l.lp BETWEEN s.a AND s.b
+"""
+
+    o["span_containing_docset"] = _SPAN_PAIRS.format(slop=4, little="scan")
+    o["span_within_docset"] = _SPAN_PAIRS.format(slop=6, little="sort")
+
+    # any 'merge' occurrence with 0-based position in [2, 5] (end <= 6)
+    o["span_position_range_docset"] = """
+SELECT doc_id FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+WHERE len(list_filter(range(1, len(ts) + 1),
+          i -> ts[i] = 'merge' AND i >= 3 AND i <= 6)) > 0
+"""
+
+    # any token with prefix 'mer' among the first 5 positions
+    o["span_multiterm_docset"] = """
+SELECT doc_id FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+WHERE len(list_filter(range(1, len(ts) + 1),
+          i -> ts[i] LIKE 'mer%' AND i <= 5)) > 0
+"""
+
+    # multi-term CombinedFieldQuery: df_pseudo = max over all (term, field)
+    # stats, wtf sums weighted tf over all terms and fields, one saturation
+    o["combined_field_multiterm"] = f"""
+WITH tok1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf1 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok1 GROUP BY 1, 2),
+dl1 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok1 GROUP BY 1),
+tok2 AS (SELECT doc_id, unnest({_T2_SPLIT}) AS term FROM documents),
+tf2 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY 1, 2),
+dl2 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM dl1) AS dc1, (SELECT sum(dl) FROM dl1) AS s1,
+              (SELECT count(*) FROM dl2) AS dc2, (SELECT sum(dl) FROM dl2) AS s2),
+av AS (SELECT (floor(1.0 * s1)::BIGINT + floor(2.0 * s2)::BIGINT)::DOUBLE
+              / greatest(dc1, dc2) AS avgdl,
+              greatest(dc1, dc2)::BIGINT AS dc FROM st),
+q1 AS (SELECT doc_id, {_q_sql('dl')} AS qdl FROM dl1),
+q2 AS (SELECT doc_id, {_q_sql('dl')} AS qdl FROM dl2),
+cn AS (SELECT doc_id,
+              {_q_sql("CAST(floor(1.0 * COALESCE(q1.qdl, 0) + 2.0 * COALESCE(q2.qdl, 0) + 0.5) AS BIGINT)")} AS cdl
+       FROM q1 FULL JOIN q2 USING (doc_id)),
+dfm AS (SELECT greatest(
+          (SELECT count(*) FROM tf1 WHERE term = 'merge'),
+          (SELECT count(*) FROM tf2 WHERE term = 'merge'),
+          (SELECT count(*) FROM tf1 WHERE term = 'join'),
+          (SELECT count(*) FROM tf2 WHERE term = 'join'))::BIGINT AS df),
+idf AS (SELECT ln(1 + (av.dc - dfm.df + 0.5) / (dfm.df + 0.5)) AS w FROM dfm, av),
+wtf AS (
+  SELECT doc_id, sum(w_tf) AS wtf FROM (
+    SELECT doc_id, 1.0 * tf AS w_tf FROM tf1 WHERE term IN ('merge', 'join')
+    UNION ALL
+    SELECT doc_id, 2.0 * tf AS w_tf FROM tf2 WHERE term IN ('merge', 'join')
+  ) GROUP BY doc_id
+),
+total AS (
+  SELECT wtf.doc_id,
+         idf.w - idf.w / (1 + wtf.wtf * (1.0 / (1.2 * (0.25 + 0.75 * cn.cdl / av.avgdl)))) AS s
+  FROM wtf JOIN cn USING (doc_id) CROSS JOIN av CROSS JOIN idf
+  WHERE wtf.wtf > 0
+)""" + _rank_tail("total")
+
     return o

@@ -100,6 +100,26 @@ def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
     return bucket.cast("long")
 
 
+def lsh_write_bucketed(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> str:
+    """Materialize the LSH sign bucket as a PARTITION column: the probe side
+    then reads only the matching ``_bucket=`` directories (Catalyst partition
+    pruning), so a probe scans ~1/2^n_planes of the bytes instead of
+    recomputing buckets over a full pass."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = df.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
+    bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    return path
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -109,13 +129,18 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """ANN: score only vectors in the query's sign bucket. At scale the bucket
-    column is precomputed+partitioned at write time, making the probe a
-    partition-pruned scan instead of a full pass."""
-    planes = _hyperplanes(len(query_vec), n_planes, seed)
-    bucketed = df.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
-    import math
+    """ANN: score only vectors in the query's sign bucket.
 
+    If ``df`` already carries a ``_bucket`` column (a table written by
+    ``lsh_write_bucketed``), the filter hits the partition column and
+    Catalyst prunes storage; otherwise the bucket is computed on the fly
+    (full scan — fine for small tables, not the 100 TB path)."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    bucketed = (
+        df
+        if "_bucket" in df.columns
+        else df.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
+    )
     qbits = 0
     for i, plane in enumerate(planes):
         dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
@@ -173,6 +198,40 @@ def ivf_assign_col(vec_col: str, centroids: list[list[float]]):
     return F.array_max(F.array(*structs))["idx"]
 
 
+def nearest_lists(
+    query_vec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` list ids whose centroids are nearest the query by
+    cosine (ties by list id) — the coarse-quantizer routing decision."""
+    import math
+
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+    sims = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(v * v for v in c)) or 1.0
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, c))
+        sims.append((dot / (qn * cn), i))
+    sims.sort(key=lambda x: (-x[0], x[1]))
+    return [i for _s, i in sims[: max(1, n_probe)]]
+
+
+def ivf_write_assigned(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the IVF list assignment as a PARTITION column
+    (``_list=<i>/`` directories).  This is the write-time half of the scale
+    path: a probe then filters on the partition column only, Catalyst prunes
+    whole directories, and scan bytes shrink to ~n_probe/n_lists of the
+    table (the distributed analog of HNSW's sub-linear probes,
+    ``util/hnsw/HnswGraphSearcher.kt``)."""
+    assigned = df.withColumn("_list", ivf_assign_col(vec_col, centroids))
+    assigned.write.mode("overwrite").partitionBy("_list").parquet(path)
+    return path
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -184,19 +243,17 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF probe: brute-force cosine only inside the ``n_probe`` lists whose
     centroids are nearest the query. With ``n_probe == len(centroids)`` this
-    is exactly brute force. At scale the ``_list`` column is precomputed and
-    used as a partition key at write time, so a probe is a partition-pruned
-    scan of ~n_probe/n_lists of the data."""
-    import math
+    is exactly brute force.
 
-    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
-    sims = []
-    for i, c in enumerate(centroids):
-        cn = math.sqrt(sum(v * v for v in c)) or 1.0
-        dot = sum(float(a) * float(b) for a, b in zip(query_vec, c))
-        sims.append((dot / (qn * cn), i))
-    sims.sort(key=lambda x: (-x[0], x[1]))
-    probe_lists = [i for _s, i in sims[: max(1, n_probe)]]
-    assigned = df.withColumn("_list", ivf_assign_col(vec_col, centroids))
+    If ``df`` already carries a ``_list`` column (a table written by
+    ``ivf_write_assigned``), the probe filter hits the partition column and
+    the scan reads only ~n_probe/n_lists of the bytes; otherwise assignment
+    is computed on the fly (full scan — verification scale only)."""
+    probe_lists = nearest_lists(query_vec, centroids, n_probe)
+    assigned = (
+        df
+        if "_list" in df.columns
+        else df.withColumn("_list", ivf_assign_col(vec_col, centroids))
+    )
     probe = assigned.filter(F.col("_list").isin(probe_lists))
     return cosine_topk(probe, query_vec, k, vec_col, id_col)

@@ -40,7 +40,9 @@ from pyspark.sql.types import (
 
 from lucene_kmp_spark.index.builder import InvertedIndex
 from lucene_kmp_spark.search import bm25
+from lucene_kmp_spark.search.sloppy import sloppy_freq
 from lucene_kmp_spark.search.query import (
+    BooleanClause,
     BooleanQuery,
     ColumnFilterQuery,
     ConstantScoreQuery,
@@ -56,11 +58,15 @@ from lucene_kmp_spark.search.query import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanContainingQuery,
     SpanFirstQuery,
+    SpanMultiTermWrapper,
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanPositionRangeQuery,
     SpanTermQuery,
+    SpanWithinQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -401,6 +407,9 @@ class IndexSearcher:
     def execute(self, q: Query) -> DataFrame:
         """Full match set with scores: DataFrame(doc_id long, score double)."""
         q = rewrite_query(q)
+        # SpanMultiTermQueryWrapper rewrite happens before the stats prefetch
+        # so the expanded terms' stats are fetched in the same single lookup
+        q = self._expand_span_multiterms(q)
         self.term_stats(list(_collect_terms(q)))  # one stats lookup per search
         return self._live(self._exec(q))
 
@@ -437,10 +446,102 @@ class IndexSearcher:
         if isinstance(q, SpanNearQuery):
             if all(isinstance(t, str) for t in q.terms):
                 return self._exec_span_near(q)  # term-clause fast path
-            return self._exec_span_generic(q)
-        if isinstance(q, (SpanTermQuery, SpanOrQuery, SpanNotQuery, SpanFirstQuery)):
-            return self._exec_span_generic(q)
+            return self._exec_span_generic(self._expand_span_multiterms(q))
+        if isinstance(
+            q,
+            (
+                SpanTermQuery,
+                SpanOrQuery,
+                SpanNotQuery,
+                SpanFirstQuery,
+                SpanContainingQuery,
+                SpanWithinQuery,
+                SpanPositionRangeQuery,
+            ),
+        ):
+            return self._exec_span_generic(self._expand_span_multiterms(q))
+        if isinstance(q, SpanMultiTermWrapper):
+            return self._exec_span_generic(self._expand_span_multiterms(q))
         raise NotImplementedError(type(q).__name__)
+
+    def _expand_span_multiterms(self, q):
+        """Rewrite SpanMultiTermWrapper nodes to SpanOr over the expanded
+        terms (SpanMultiTermQueryWrapper.kt rewrite): the wrapped multi-term
+        predicate runs against the term dictionary (pushed-down scan, only
+        the matching term strings are collected — term dict ≪ corpus)."""
+        if isinstance(q, SpanMultiTermWrapper):
+            inner = q.wrapped
+            if isinstance(inner, PrefixQuery):
+                pred = F.col("term").startswith(inner.prefix)
+            elif isinstance(inner, WildcardQuery):
+                pred = F.col("term").rlike(_wildcard_to_regex(inner.pattern))
+            elif isinstance(inner, RegexpQuery):
+                pred = F.col("term").rlike("^(?:" + inner.regexp + ")$")
+            elif isinstance(inner, TermRangeQuery):
+                pred = _range_pred(inner)
+            else:
+                raise NotImplementedError(
+                    f"SpanMultiTermWrapper over {type(inner).__name__}"
+                )
+            terms = sorted(
+                r["term"] for r in self.index.term_dict.filter(pred).select("term").collect()
+            )
+            return SpanOrQuery(
+                tuple(SpanTermQuery(t) for t in terms), boost=q.boost
+            )
+        if isinstance(q, SpanOrQuery):
+            return SpanOrQuery(
+                tuple(self._expand_span_multiterms(c) for c in q.clauses), boost=q.boost
+            )
+        if isinstance(q, SpanNotQuery):
+            return SpanNotQuery(
+                self._expand_span_multiterms(q.include),
+                self._expand_span_multiterms(q.exclude),
+                q.pre,
+                q.post,
+                q.boost,
+            )
+        if isinstance(q, SpanFirstQuery):
+            return SpanFirstQuery(self._expand_span_multiterms(q.match), q.end, q.boost)
+        if isinstance(q, SpanPositionRangeQuery):
+            return SpanPositionRangeQuery(
+                self._expand_span_multiterms(q.match), q.start, q.end, q.boost
+            )
+        if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+            return type(q)(
+                self._expand_span_multiterms(q.big),
+                self._expand_span_multiterms(q.little),
+                q.boost,
+            )
+        if isinstance(q, SpanNearQuery):
+            return SpanNearQuery(
+                tuple(
+                    t if isinstance(t, str) else self._expand_span_multiterms(t)
+                    for t in q.terms
+                ),
+                q.slop,
+                q.in_order,
+                q.boost,
+            )
+        # non-span containers that may hold span clauses
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                tuple(
+                    BooleanClause(c.occur, self._expand_span_multiterms(c.query))
+                    for c in q.clauses
+                ),
+                q.minimum_should_match,
+                q.boost,
+            )
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(self._expand_span_multiterms(q.query), q.boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self._expand_span_multiterms(c) for c in q.queries),
+                q.tie_breaker,
+                q.boost,
+            )
+        return q
 
     def _exec_feature(self, q: FeatureQuery) -> DataFrame:
         """FeatureField score functions (document/FeatureField.kt) as pure
@@ -475,57 +576,29 @@ class IndexSearcher:
             [stats[t] for t in dict.fromkeys(t for slot in live_slots for t in slot)],
         )
 
-        # one positions view per slot: union alternatives, merge per doc
-        order = sorted(
-            range(len(live_slots)), key=lambda i: sum(stats[t].df for t in live_slots[i])
-        )
-        joined = None
-        for rank, i in enumerate(order):
-            slot_df = (
-                self._positions_df(list(live_slots[i]))
-                .groupBy("doc_id")
-                .agg(
-                    F.array_sort(F.flatten(F.collect_list("positions"))).alias(f"_pos_{i}"),
-                    F.max("norm").alias(f"_norm_{i}"),
+        # ONE positions scan for every alternative term, slot-mapped pivot in
+        # a single hash aggregate (the same 1-scan/1-shuffle shape as plain
+        # phrases' _pivoted_positions) — replaces the per-slot scan + join
+        # cascade (n scans, n aggregates, n-1 shuffles)
+        uniq_terms = list(dict.fromkeys(t for slot in live_slots for t in slot))
+        pos = self._positions_df(uniq_terms)
+        aggs = [
+            F.array_sort(
+                F.flatten(
+                    F.collect_list(
+                        F.when(F.col("term").isin(list(slot)), F.col("positions"))
+                    )
                 )
-            )
-            cols = ["doc_id", f"_pos_{i}"] + ([f"_norm_{i}"] if rank == 0 else [])
-            slot_df = slot_df.select(*cols)
-            joined = slot_df if joined is None else joined.join(slot_df, "doc_id")
-        norm_col = f"_norm_{order[0]}"
+            ).alias(f"_pos_{i}")
+            for i, slot in enumerate(live_slots)
+        ]
+        aggs.append(F.max("norm").alias("norm"))
+        joined = pos.groupBy("doc_id").agg(*aggs)
+        for i in range(len(live_slots)):
+            joined = joined.filter(F.size(F.col(f"_pos_{i}")) > 0)
 
-        n = len(live_slots)
-        slop = q.slop
-        pos_cols = [f"_pos_{i}" for i in range(n)]
-
-        def gen(batches):
-            for pdf in batches:
-                out_doc, out_freq, out_norm = [], [], []
-                col_vals = [pdf[c].values for c in pos_cols]
-                for doc_id, norm, *plists_raw in zip(
-                    pdf["doc_id"].values, pdf[norm_col].values, *col_vals
-                ):
-                    plists = [np.asarray(p, dtype=np.int64) for p in plists_raw]
-                    if slop == 0:
-                        base0 = plists[0]
-                        ok = np.ones(len(base0), dtype=bool)
-                        for i in range(1, n):
-                            ok &= np.isin(base0 + i, plists[i])
-                        freq = float(ok.sum())
-                    else:
-                        freq = _sloppy_freq(plists, slop)
-                    if freq > 0:
-                        out_doc.append(int(doc_id))
-                        out_freq.append(freq)
-                        out_norm.append(int(norm))
-                sc = scorer.score(np.array(out_freq), np.array(out_norm, dtype=np.int64))
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pd.Series(out_doc, dtype="int64"),
-                        "score": sc.astype(np.float64),
-                    }
-                )
-
+        pos_cols = [f"_pos_{i}" for i in range(len(live_slots))]
+        gen = _phrase_verify_gen(pos_cols, "norm", q.slop, live_slots, scorer)
         return joined.mapInPandas(gen, schema="doc_id long, score double")
 
     def _exec_span_near(self, q: SpanNearQuery) -> DataFrame:
@@ -773,34 +846,10 @@ class IndexSearcher:
         # missing any term drop out (the ConjunctionDISI intersection)
         uniq = list(dict.fromkeys(terms))
         joined = self._pivoted_positions(uniq)
-        n = len(terms)
-        slop = q.slop
         pos_cols = [f"_pos_{uniq.index(t)}" for t in terms]
-
-        def gen(batches):
-            for pdf in batches:
-                out_doc, out_freq, out_norm = [], [], []
-                col_vals = [pdf[c].values for c in pos_cols]
-                for doc_id, norm, *plists_raw in zip(
-                    pdf["doc_id"].values, pdf["norm"].values, *col_vals
-                ):
-                    plists = [np.asarray(p, dtype=np.int64) for p in plists_raw]
-                    if slop == 0:
-                        base0 = plists[0]
-                        ok = np.ones(len(base0), dtype=bool)
-                        for i in range(1, n):
-                            ok &= np.isin(base0 + i, plists[i])
-                        freq = float(ok.sum())
-                    else:
-                        freq = _sloppy_freq(plists, slop)
-                    if freq > 0:
-                        out_doc.append(int(doc_id))
-                        out_freq.append(freq)
-                        out_norm.append(int(norm))
-                sc = scorer.score(np.array(out_freq), np.array(out_norm, dtype=np.int64))
-                yield pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
-                                    "score": sc.astype(np.float64)})
-
+        gen = _phrase_verify_gen(
+            pos_cols, "norm", q.slop, [(t,) for t in terms], scorer
+        )
         return joined.mapInPandas(gen, schema="doc_id long, score double")
 
     def _exec_fuzzy(self, q: FuzzyQuery) -> DataFrame:
@@ -980,7 +1029,7 @@ class IndexSearcher:
                     ok &= np.isin(base0 + i, plists[i])
                 freq = float(ok.sum())
             else:
-                freq = _sloppy_freq(plists, q.slop)
+                freq = sloppy_freq(plists, q.slop, [(t,) for t in terms])
             dt = self.dtype
             idf_details = [
                 {
@@ -1149,27 +1198,63 @@ def _range_pred(q: TermRangeQuery):
     return pred
 
 
-def _sloppy_freq(plists: list[np.ndarray], slop: int) -> float:
-    """Sloppy phrase freq: plane-sweep over offset-adjusted positions.
+_DOC_KEY_SHIFT = np.int64(1) << np.int64(32)  # doc-local keys for batch verify
 
-    Term i's positions are adjusted by -i (its phrase offset); a match is a
-    window [min, max] over one adjusted position per term with
-    ``max - min <= slop``, weighted ``1/(1 + matchLength)``
-    (SloppyPhraseMatcher.kt:17-33 semantics; repeats simplified — each sweep
-    step advances the minimum iterator, Lucene's pq algorithm)."""
-    adj = [np.asarray(p, dtype=np.int64) - i for i, p in enumerate(plists)]
-    idx = [0] * len(adj)
-    freq = 0.0
-    while True:
-        cur = [a[i] for a, i in zip(adj, idx)]
-        start = min(cur)
-        end = max(cur)
-        if end - start <= slop:
-            freq += 1.0 / (1 + (end - start))
-        k = cur.index(start)
-        idx[k] += 1
-        if idx[k] >= len(adj[k]):
-            return freq
+
+def _phrase_verify_gen(pos_cols, norm_col, slop, terms_per_slot, scorer):
+    """Arrow-batch phrase verification shared by PhraseQuery and
+    MultiPhraseQuery (the two-phase iteration's verify step).
+
+    slop == 0: the adjacency check is vectorized across the WHOLE batch —
+    per-doc position arrays flatten with a doc-index high key and each slot
+    runs ONE ``np.isin`` over the concatenated batch
+    (ExactPhraseMatcher.kt:19-60 semantics, batch-parallel instead of
+    per-doc).  slop > 0: the faithful SloppyPhraseMatcher port runs per
+    candidate doc (``search/sloppy.py``, SloppyPhraseMatcher.kt:133-679)."""
+    n = len(terms_per_slot)
+
+    def _flat(col, m):
+        lens = np.fromiter((len(p) for p in col), dtype=np.int64, count=m)
+        didx = np.repeat(np.arange(m, dtype=np.int64), lens)
+        vals = (
+            np.concatenate([np.asarray(p, dtype=np.int64) for p in col])
+            if int(lens.sum())
+            else np.zeros(0, dtype=np.int64)
+        )
+        return didx, vals
+
+    def gen(batches):
+        for pdf in batches:
+            m = len(pdf)
+            col_vals = [pdf[c].values for c in pos_cols]
+            if slop == 0:
+                didx0, base0 = _flat(col_vals[0], m)
+                key0 = didx0 * _DOC_KEY_SHIFT + base0
+                ok = np.ones(key0.size, dtype=bool)
+                keys_cache = {pos_cols[0]: key0}
+                for i in range(1, n):
+                    keys_i = keys_cache.get(pos_cols[i])
+                    if keys_i is None:
+                        didx_i, vals_i = _flat(col_vals[i], m)
+                        keys_i = didx_i * _DOC_KEY_SHIFT + vals_i
+                        keys_cache[pos_cols[i]] = keys_i
+                    ok &= np.isin(key0 + i, keys_i)
+                freqs = np.bincount(didx0[ok], minlength=m).astype(np.float64)
+            else:
+                freqs = np.zeros(m, dtype=np.float64)
+                for j in range(m):
+                    plists = [np.asarray(col[j], dtype=np.int64) for col in col_vals]
+                    freqs[j] = sloppy_freq(plists, slop, terms_per_slot)
+            sel = freqs > 0
+            sc = scorer.score(freqs[sel], pdf[norm_col].values[sel].astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values[sel].astype(np.int64),
+                    "score": sc.astype(np.float64),
+                }
+            )
+
+    return gen
 
 
 def _span_near_ordered_freq(plists: list[np.ndarray], slop: int) -> float:

@@ -138,22 +138,15 @@ class NaiveIndex:
                         if all((p + i) in self.postings[t][doc] for i, t in enumerate(q.terms) if i > 0):
                             freq += 1
                 else:
-                    # plane-sweep sloppy matching, weight 1/(1+matchLength)
-                    adj = [
-                        sorted(p - i for p in self.postings[t][doc])
-                        for i, t in enumerate(q.terms)
-                    ]
-                    idx = [0] * len(adj)
-                    freq = 0.0
-                    while True:
-                        cur = [a[j] for a, j in zip(adj, idx)]
-                        start, end = min(cur), max(cur)
-                        if end - start <= q.slop:
-                            freq += 1.0 / (1 + (end - start))
-                        k = cur.index(start)
-                        idx[k] += 1
-                        if idx[k] >= len(adj[k]):
-                            break
+                    # faithful SloppyPhraseMatcher port (repeat collisions,
+                    # match-length minimization) — search/sloppy.py
+                    from lucene_kmp_spark.search.sloppy import sloppy_freq
+
+                    freq = sloppy_freq(
+                        [sorted(self.postings[t][doc]) for t in q.terms],
+                        q.slop,
+                        [(t,) for t in q.terms],
+                    )
                 if freq:
                     out[doc] = float(sc.score(np.array([freq]), np.array([self.norms[doc]]))[0])
             return out
@@ -219,8 +212,9 @@ class NaiveIndex:
                     )
                 )
             else:
-                adj = [sorted(p - i for p in pl) for i, pl in enumerate(plists)]
-                freq = _sweep_freq(adj, q.slop, lambda width: width)
+                from lucene_kmp_spark.search.sloppy import sloppy_freq
+
+                freq = sloppy_freq(plists, q.slop, live_slots)
             if freq:
                 out[doc] = float(sc.score(np.array([freq]), np.array([self.norms[doc]]))[0])
         return out

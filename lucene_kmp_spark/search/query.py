@@ -218,6 +218,49 @@ class SpanFirstQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanContainingQuery(Query):
+    """Spans from ``big`` that contain at least one span from ``little``
+    (queries/spans/SpanContainingQuery.kt); scoring stats draw from BOTH
+    sides' terms (getTermStates(bigWeight, littleWeight))."""
+
+    big: "Query"
+    little: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery(Query):
+    """Spans from ``little`` that lie within at least one span from ``big``
+    (queries/spans/SpanWithinQuery.kt)."""
+
+    big: "Query"
+    little: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanPositionRangeQuery(Query):
+    """Match-spans with start >= ``start`` and end <= ``end``
+    (queries/spans/SpanPositionRangeQuery.kt acceptPosition); SpanFirstQuery
+    is the start=0 special case."""
+
+    match: "Query"
+    start: int
+    end: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanMultiTermWrapper(Query):
+    """Wrap a multi-term query (prefix/wildcard/regexp/range) as a span
+    clause (queries/spans/SpanMultiTermQueryWrapper.kt): rewrites to a
+    SpanOr over the expanded terms' single-term spans."""
+
+    wrapped: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery(Query):
     """Docs where a stored column has a value (search/FieldExistsQuery.kt:29).
     Constant score = boost."""

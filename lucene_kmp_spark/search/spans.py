@@ -20,11 +20,14 @@ import numpy as np
 
 from lucene_kmp_spark.search.query import (
     Query,
+    SpanContainingQuery,
     SpanFirstQuery,
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanPositionRangeQuery,
     SpanTermQuery,
+    SpanWithinQuery,
 )
 
 Span = tuple[int, int, int]  # start, end(exclusive), width
@@ -39,8 +42,10 @@ def span_terms(q) -> set[str]:
         return set().union(*(span_terms(c) for c in q.clauses)) if q.clauses else set()
     if isinstance(q, SpanNotQuery):
         return span_terms(q.include) | span_terms(q.exclude)
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return span_terms(q.match)
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        return span_terms(q.big) | span_terms(q.little)
     if isinstance(q, SpanNearQuery):
         return set().union(*(span_terms(c) for c in q.terms)) if q.terms else set()
     raise TypeError(f"not a span clause: {type(q).__name__}")
@@ -69,6 +74,28 @@ def eval_spans(q, pos: dict) -> list[Span]:
         return out
     if isinstance(q, SpanFirstQuery):
         return [sp for sp in eval_spans(q.match, pos) if sp[1] <= q.end]
+    if isinstance(q, SpanPositionRangeQuery):
+        # SpanPositionRangeQuery.acceptPosition: start >= start AND end <= end
+        return [
+            sp for sp in eval_spans(q.match, pos) if sp[0] >= q.start and sp[1] <= q.end
+        ]
+    if isinstance(q, SpanContainingQuery):
+        # keep big spans containing >=1 little span (ContainSpans; payload
+        # and width come from big)
+        little = eval_spans(q.little, pos)
+        return [
+            b
+            for b in eval_spans(q.big, pos)
+            if any(b[0] <= ls and le <= b[1] for ls, le, _ in little)
+        ]
+    if isinstance(q, SpanWithinQuery):
+        # keep little spans lying within >=1 big span (SpanWithinQuery.kt)
+        big = eval_spans(q.big, pos)
+        return [
+            l
+            for l in eval_spans(q.little, pos)
+            if any(bs <= l[0] and l[1] <= be for bs, be, _ in big)
+        ]
     if isinstance(q, SpanNearQuery):
         lists = [eval_spans(c, pos) for c in q.terms]
         if any(not lst for lst in lists):
@@ -157,8 +184,12 @@ def span_scoring_terms(q) -> set[str]:
         return span_terms(q)
     if isinstance(q, SpanOrQuery):
         return set().union(*(span_scoring_terms(c) for c in q.clauses)) if q.clauses else set()
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return span_scoring_terms(q.match)
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        # both sides' termStates feed the weight
+        # (SpanContainQuery getTermStates(bigWeight, littleWeight))
+        return span_scoring_terms(q.big) | span_scoring_terms(q.little)
     if isinstance(q, SpanNearQuery):
         return set().union(*(span_scoring_terms(c) for c in q.terms)) if q.terms else set()
     raise TypeError(f"not a span clause: {type(q).__name__}")

@@ -151,3 +151,59 @@ def test_ivf_topk(spark):
     # near-random synthetic embeddings: measured recall@10 is 6/10 at
     # half-probe — assert a stable floor
     assert overlap >= 5, f"recall@10 too low: {overlap}/10"
+
+
+def test_ivf_write_assigned_partition_pruning(spark, tmp_path):
+    """Write-time IVF: _list persisted as a partition column; a probe filters
+    on it so Catalyst prunes whole directories — scan bytes ~ n_probe/n_lists
+    — and results are identical to the on-the-fly assignment path."""
+    import glob
+
+    from lucene_kmp_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(v) for v in emb.limit(1).collect()[0]["embedding"]]
+    cents = sim.ivf_train_centroids(emb, n_lists=8, iters=1)
+    path = str(tmp_path / "ivf")
+    sim.ivf_write_assigned(emb, cents, path)
+
+    # one directory per list — the physical pruning unit
+    dirs = sorted(glob.glob(f"{path}/_list=*"))
+    assert len(dirs) >= 2
+
+    assigned = spark.read.parquet(path)
+    on_the_fly = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in sim.ivf_topk(emb, qvec, cents, 10, n_probe=2).collect()
+    ]
+    pruned = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in sim.ivf_topk(assigned, qvec, cents, 10, n_probe=2).collect()
+    ]
+    assert pruned == on_the_fly
+
+    # the probe plan must prune on the partition column (no full-scan assign)
+    probe_lists = sim.nearest_lists(qvec, cents, 2)
+    probe = assigned.filter(assigned["_list"].isin(probe_lists))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan.split("PartitionFilters")[1][:200]
+    # scan-bytes proxy: the probe reads only the probed lists' rows
+    total = assigned.count()
+    probed = probe.count()
+    assert 0 < probed < total
+
+
+def test_lsh_write_bucketed_reuses_partition(spark, tmp_path):
+    from lucene_kmp_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(v) for v in emb.limit(1).collect()[0]["embedding"]]
+    path = str(tmp_path / "lsh")
+    sim.lsh_write_bucketed(emb, path, n_planes=4)
+    bucketed = spark.read.parquet(path)
+
+    fly = [(r["vec_id"], round(r["cosine"], 6))
+           for r in sim.lsh_bucketed_topk(emb, qvec, 10, n_planes=4).collect()]
+    pre = [(r["vec_id"], round(r["cosine"], 6))
+           for r in sim.lsh_bucketed_topk(bucketed, qvec, 10, n_planes=4).collect()]
+    assert pre == fly and len(pre) > 0

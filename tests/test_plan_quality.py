@@ -42,3 +42,29 @@ def test_postings_files_term_clustered(spark, disk_index, tmp_path_factory):
     s = IndexSearcher(disk_index)
     got = s.top_k(TermQuery("hope"), 5).collect()
     assert len(got) > 0
+
+
+def test_multi_phrase_single_scan_single_shuffle(disk_index):
+    """MultiPhraseQuery's slot-mapped pivot: ONE postings FileScan and ONE
+    exchange up to the verify UDF — no per-slot scan/join cascade."""
+    from lucene_kmp_spark.search.query import MultiPhraseQuery
+
+    s = IndexSearcher(disk_index)
+    q = MultiPhraseQuery((("hope", "light"), ("of",)), slop=1)
+    plan = s.execute(q)._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("FileScan")
+    n_exchanges = plan.count("Exchange")
+    assert n_scans == 1, f"{n_scans} postings scans\n{plan[:2000]}"
+    assert n_exchanges <= 1, f"{n_exchanges} shuffles\n{plan[:2000]}"
+
+
+def test_phrase_single_scan_single_shuffle(disk_index):
+    from lucene_kmp_spark.search.query import PhraseQuery
+
+    s = IndexSearcher(disk_index)
+    plan = (
+        s.execute(PhraseQuery(("hope", "of")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") <= 1

@@ -111,3 +111,70 @@ def test_span_not_excludes_only_matching_spans(searcher):
     a = sorted((r["doc_id"], r["score"]) for r in searcher.execute(q).collect())
     b = sorted((r["doc_id"], r["score"]) for r in searcher.execute(SpanTermQuery("fox")).collect())
     assert a == b
+
+
+# ------------------------------------------- round 2: containing/within/range
+def test_span_containing_eval():
+    """big = ordered near(a,b) slop 2; little = c inside the gap.
+    SpanContainingQuery keeps the BIG span (ContainSpans, payload from big)."""
+    from lucene_kmp_spark.search.query import SpanContainingQuery, SpanWithinQuery
+
+    pos = {"a": np.array([0]), "b": np.array([3]), "c": np.array([2]), "d": np.array([9])}
+    big = SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")), slop=2, in_order=True)
+    got = eval_spans(SpanContainingQuery(big, SpanTermQuery("c")), pos)
+    assert got == [(0, 4, 2)]  # the big span survives
+    # little outside every big span -> nothing
+    assert eval_spans(SpanContainingQuery(big, SpanTermQuery("d")), pos) == []
+    # within keeps the LITTLE span
+    got_w = eval_spans(SpanWithinQuery(big, SpanTermQuery("c")), pos)
+    assert got_w == [(2, 3, 0)]
+    assert eval_spans(SpanWithinQuery(big, SpanTermQuery("d")), pos) == []
+
+
+def test_span_position_range_eval():
+    from lucene_kmp_spark.search.query import SpanPositionRangeQuery
+
+    pos = {"a": np.array([0, 3, 7])}
+    got = eval_spans(SpanPositionRangeQuery(SpanTermQuery("a"), start=2, end=6), pos)
+    assert got == [(3, 4, 0)]  # 0 fails start>=2, 7 fails end<=6
+
+
+def test_span_containing_executor(searcher):
+    from lucene_kmp_spark.search.query import SpanContainingQuery
+
+    big = SpanNearQuery((SpanTermQuery("quick"), SpanTermQuery("fox")), slop=2, in_order=True)
+    # docs where quick..fox (gap<=2) contains 'brown': doc0 (quick brown fox),
+    # doc4 (quick and the brown fox -> gap 3 too wide? quick@1 fox@5 w=3 no)
+    hits = _hits(searcher, SpanContainingQuery(big, SpanTermQuery("brown")))
+    assert hits == {0}
+
+
+def test_span_within_executor(searcher):
+    from lucene_kmp_spark.search.query import SpanWithinQuery
+
+    big = SpanNearQuery((SpanTermQuery("quick"), SpanTermQuery("fox")), slop=2, in_order=True)
+    hits = _hits(searcher, SpanWithinQuery(big, SpanTermQuery("brown")))
+    assert hits == {0}
+
+
+def test_span_position_range_executor(searcher):
+    from lucene_kmp_spark.search.query import SpanPositionRangeQuery
+
+    # 'fox' at position >=2 with end<=3: doc0 (fox@2), doc1 (fox@2); doc3 has
+    # fox@0 (fails start), doc4 fox@5 (fails end)
+    q = SpanPositionRangeQuery(SpanTermQuery("fox"), start=2, end=3)
+    assert _hits(searcher, q) == {0, 1}
+
+
+def test_span_multiterm_wrapper(searcher):
+    from lucene_kmp_spark.search.query import PrefixQuery, SpanMultiTermWrapper
+
+    # prefix 'ju' -> {jumps}; wrapped in SpanFirst(end=3): doc2 (jumps@2)
+    q = SpanFirstQuery(SpanMultiTermWrapper(PrefixQuery("ju")), end=3)
+    assert _hits(searcher, q) == {2}
+    # inside a near: quick .. (ju* ) within slop 2, ordered
+    near = SpanNearQuery(
+        (SpanTermQuery("brown"), SpanMultiTermWrapper(PrefixQuery("ju"))),
+        slop=2, in_order=True,
+    )
+    assert _hits(searcher, near) == {0, 2}

@@ -137,6 +137,29 @@ def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _offsets_searcher64(spark: SparkSession, sf_dir: str):
+    """Searcher over an OFFSETS+PAYLOADS index of documents (the
+    IndexOptions ..._AND_OFFSETS ladder rung + PostingsEnum.PAYLOADS analog);
+    payload per occurrence = its token position — deterministic and
+    SQL-recomputable, so the payload cell round-trip is oracle-checkable."""
+    from lucene_kmp_spark.index import build_index
+    from lucene_kmp_spark.search.executor import IndexSearcher
+
+    key = sf_dir + "::off"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs(spark, sf_dir),
+            text_col="text",
+            index_options="offsets",
+            payload_fn=_payload_position,
+        )
+    return IndexSearcher(_INDEX_CACHE[key], dtype=np.float64)
+
+
+def _payload_position(term, pos, start, end):
+    return pos
+
+
 def _mf_searcher64(spark: SparkSession, sf_dir: str):
     from lucene_kmp_spark.search.multifield import MultiFieldSearcher, build_field_indexes
 
@@ -773,6 +796,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ranked_topk(scored)
 
     q["combined_field_multiterm"] = q_combined_mt
+
+    def q_term_offsets(spark, sf_dir):
+        # OFFSETS postings flag consumer (PostingsEnum.kt:12-76): every
+        # occurrence of 'merge' with its character offsets — what a
+        # highlighter/passage extractor reads
+        s = _offsets_searcher64(spark, sf_dir)
+        return s.term_offsets("merge").select(
+            "doc_id",
+            F.col("position").cast("int").alias("position"),
+            F.col("start_offset").cast("int").alias("start_offset"),
+            F.col("end_offset").cast("int").alias("end_offset"),
+        )
+
+    q["term_offsets_docset"] = q_term_offsets
+
+    def q_payload_sum(spark, sf_dir):
+        # PayloadScoreQuery(SumFunction, includeSpanScore=false) analog:
+        # per-doc sum of the term's occurrence payloads (payload = position)
+        s = _offsets_searcher64(spark, sf_dir)
+        return s.payload_scores("join", agg="sum").select(
+            "doc_id", F.col("score").cast("double").alias("score")
+        )
+
+    q["payload_sum_term"] = q_payload_sum
+
+    def q_span_masked(spark, sf_dir):
+        # FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.kt):
+        # text2's 'merge' token (position 2) masked into the text field's
+        # position space, composed in an ordered adjacent SpanNear with
+        # text's 'scan' (so text position 3 must be 'scan')
+        from lucene_kmp_spark.search.query import (
+            FieldMaskingSpanQuery,
+            SpanNearQuery,
+            SpanTermQuery,
+        )
+
+        ms = _mf_searcher64(spark, sf_dir)
+        q_ast = SpanNearQuery(
+            (
+                FieldMaskingSpanQuery(SpanTermQuery("merge"), field="text2"),
+                SpanTermQuery("scan"),
+            ),
+            slop=0,
+            in_order=True,
+        )
+        return ms.masked_span_docset("text", q_ast).distinct()
+
+    q["span_field_masked_docset"] = q_span_masked
 
     return q
 
@@ -1622,5 +1693,44 @@ total AS (
   FROM wtf JOIN cn USING (doc_id) CROSS JOIN av CROSS JOIN idf
   WHERE wtf.wtf > 0
 )""" + _rank_tail("total")
+
+    # OFFSETS flag: start offset of token i = Σ lengths of tokens before i
+    # plus i single-space separators (documents.text is single-space-joined)
+    o["term_offsets_docset"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos FROM toks
+),
+offs AS (
+  SELECT doc_id, term, pos,
+         (COALESCE(sum(length(term)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pos) AS so
+  FROM tok
+)
+SELECT doc_id, pos::INT AS position, so::INT AS start_offset,
+       (so + length(term))::INT AS end_offset
+FROM offs WHERE term = 'merge'
+"""
+
+    # PAYLOADS flag: payload = occurrence position; score = per-doc sum
+    o["payload_sum_term"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos FROM toks
+)
+SELECT doc_id, sum(pos)::DOUBLE AS score FROM tok WHERE term = 'join' GROUP BY doc_id
+"""
+
+    # FieldMaskingSpanQuery: text2 = 'lang source (merge|join)' so the masked
+    # 'merge' span sits at position 2; adjacent in-order 'scan' from text
+    # means text's position-3 token (1-based index 4) must be 'scan'
+    o["span_field_masked_docset"] = """
+SELECT DISTINCT doc_id
+FROM documents
+WHERE (CASE WHEN n_chars % 2 = 0 THEN 'merge' ELSE 'join' END) = 'merge'
+  AND len(string_split(text, ' ')) >= 4
+  AND string_split(text, ' ')[4] = 'scan'
+"""
 
     return o

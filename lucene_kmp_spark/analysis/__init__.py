@@ -1,5 +1,6 @@
 from lucene_kmp_spark.analysis.standard import (  # noqa: F401
     Token,
     analyze,
+    analyze_offsets,
     standard_tokenize,
 )

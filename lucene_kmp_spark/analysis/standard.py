@@ -447,3 +447,51 @@ def analyze(
         terms.append(term)
         positions.append(t.position)
     return terms, positions, length
+
+
+def analyze_offsets(
+    text: str,
+    stop_set: frozenset[str] | None = None,
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+) -> tuple[list[str], list[int], list[int], list[int], int]:
+    """``analyze`` + character offsets per surviving token.
+
+    Returns ``(terms, positions, starts, ends, length)`` where
+    ``starts[i]:ends[i]`` slices the ORIGINAL text to the token's surface form
+    (OffsetAttribute semantics: offsets index the pre-filter input,
+    ``analysis/tokenattributes/OffsetAttribute.kt``; filters like lowercase
+    never change offsets). Stop-filtered tokens leave position holes and no
+    offsets, exactly like the postings OFFSETS flag's view
+    (``index/PostingsEnum.kt:12-76``)."""
+    if not text:
+        return [], [], [], [], 0
+    if len(text) < 4096 and set(text) <= _SIMPLE_FAST and "  " not in text:
+        raw = text.split(" ") if text.strip() == text else None
+        # the offsets fast path additionally needs no leading/trailing spaces
+        # so that start offsets are a plain running sum
+        if raw is not None and all(t and len(t) <= max_token_length for t in raw):
+            terms, positions, starts, ends = [], [], [], []
+            off = 0
+            for p, t in enumerate(raw):
+                if not stop_set or t not in stop_set:
+                    terms.append(t)
+                    positions.append(p)
+                    starts.append(off)
+                    ends.append(off + len(t))
+                off += len(t) + 1
+            return terms, positions, starts, ends, len(raw)
+    toks = standard_tokenize(text, max_token_length)
+    length = len(toks)
+    terms: list[str] = []
+    positions: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for t in toks:
+        term = _lower_simple(t.term)
+        if stop_set and term in stop_set:
+            continue
+        terms.append(term)
+        positions.append(t.position)
+        starts.append(t.start)
+        ends.append(t.end)
+    return terms, positions, starts, ends, length

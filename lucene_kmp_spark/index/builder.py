@@ -48,7 +48,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from lucene_kmp_spark.analysis import analyze
+from lucene_kmp_spark.analysis import analyze, analyze_offsets
 from lucene_kmp_spark.util.packing import block_encode, delta_block_encode
 from lucene_kmp_spark.util.smallfloat import int_to_byte4
 
@@ -64,6 +64,11 @@ TOKENS_SCHEMA = StructType(
         StructField("positions", ArrayType(IntegerType())),
         StructField("norm", IntegerType()),  # unsigned byte 0..255
         StructField("is_first", IntegerType()),  # 1 on the doc's first term row
+        # OFFSETS/PAYLOADS flags (index/PostingsEnum.kt:12-76): aligned with
+        # ``positions``; null columns when the index_options don't store them
+        StructField("starts", ArrayType(IntegerType())),
+        StructField("ends", ArrayType(IntegerType())),
+        StructField("payloads", ArrayType(IntegerType())),
     ]
 )
 
@@ -82,6 +87,13 @@ POSTINGS_SCHEMA = StructType(
         StructField("positions_enc", BinaryType()),
         StructField("impact_tfs", ArrayType(IntegerType())),
         StructField("impact_norms", ArrayType(IntegerType())),
+        # optional OFFSETS cell: per position, interleaved
+        # (start-delta-within-doc, end-start) varint/FOR pairs; null when the
+        # index was built without offsets (IndexOptions
+        # DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS analog)
+        StructField("offsets_enc", BinaryType()),
+        # optional PAYLOADS cell: one int per position (PostingsEnum.PAYLOADS)
+        StructField("payloads_enc", BinaryType()),
     ]
 )
 
@@ -91,24 +103,48 @@ def tokenize_to_tokens(
     text_col: str = "text",
     stop_words: tuple[str, ...] = (),
     analyzer=None,
+    index_options: str = "positions",
+    payload_fn=None,
 ) -> DataFrame:
     """docs(doc_id, text, ...) -> one row per (doc, distinct term).
 
     ``analyzer`` is the pluggable-Analyzer surface (SURVEY.md §2.4 last row):
     any picklable ``(text) -> (terms, positions, length)`` callable replaces
     the StandardAnalyzer chain inside the same Arrow UDF; norms/positions
-    semantics are preserved whatever the token stream."""
+    semantics are preserved whatever the token stream.
+
+    ``index_options`` mirrors Lucene's IndexOptions ladder
+    (``index/IndexOptions.kt``): ``"positions"`` (the default) or
+    ``"offsets"`` which additionally stores per-occurrence character offsets
+    (DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS). ``payload_fn(term, position,
+    start, end) -> int`` stores one integer payload per occurrence
+    (PostingsEnum.PAYLOADS analog; Lucene payloads are arbitrary bytes — the
+    int surface covers the scoring use, PayloadScoreQuery-style). Offsets
+    with a custom analyzer require the analyzer to return 5-tuples
+    ``(terms, positions, starts, ends, length)``."""
     stop_set = frozenset(stop_words) if stop_words else None
     custom = analyzer
+    want_offsets = index_options == "offsets" or payload_fn is not None
+    pfn = payload_fn
 
     def gen(batches):
         for pdf in batches:
-            out_doc, out_term, out_tf, out_pos, out_norm, out_first = [], [], [], [], [], []
+            out = {k: [] for k in ("doc_id", "term", "tf", "positions", "norm",
+                                   "is_first", "starts", "ends", "payloads")}
             for doc_id, text in zip(pdf["doc_id"].values, pdf[text_col].values):
                 if text is None:
                     continue
+                starts = ends = None
                 if custom is not None:
-                    terms, positions, _length = custom(text)
+                    res = custom(text)
+                    if want_offsets:
+                        terms, positions, starts, ends, _length = res
+                    else:
+                        terms, positions, _length = res[0], res[1], res[-1]
+                elif want_offsets:
+                    terms, positions, starts, ends, _length = analyze_offsets(
+                        text, stop_set=stop_set
+                    )
                 else:
                     terms, positions, _length = analyze(text, stop_set=stop_set)
                 if not terms:
@@ -120,25 +156,44 @@ def tokenize_to_tokens(
                 # must not inflate the field length
                 norm = int_to_byte4(len(set(positions)))
                 acc: dict[str, list[int]] = {}
-                for t, p in zip(terms, positions):
+                occ: dict[str, list[tuple[int, int, int]]] = {}
+                for i, (t, p) in enumerate(zip(terms, positions)):
                     acc.setdefault(t, []).append(p)
+                    if want_offsets:
+                        occ.setdefault(t, []).append((starts[i], ends[i], 0))
                 first = 1
                 for t, plist in acc.items():
-                    out_doc.append(doc_id)
-                    out_term.append(t)
-                    out_tf.append(len(plist))
-                    out_pos.append(plist)
-                    out_norm.append(norm)
-                    out_first.append(first)
+                    out["doc_id"].append(doc_id)
+                    out["term"].append(t)
+                    out["tf"].append(len(plist))
+                    out["positions"].append(plist)
+                    out["norm"].append(norm)
+                    out["is_first"].append(first)
+                    if want_offsets:
+                        o = occ[t]
+                        out["starts"].append([s for s, _e, _ in o])
+                        out["ends"].append([e for _s, e, _ in o])
+                        out["payloads"].append(
+                            [pfn(t, p, s, e) for p, (s, e, _) in zip(plist, o)]
+                            if pfn is not None
+                            else None
+                        )
+                    else:
+                        out["starts"].append(None)
+                        out["ends"].append(None)
+                        out["payloads"].append(None)
                     first = 0
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out_doc, dtype="int64"),
-                    "term": pd.Series(out_term, dtype="object"),
-                    "tf": pd.Series(out_tf, dtype="int32"),
-                    "positions": pd.Series(out_pos, dtype="object"),
-                    "norm": pd.Series(out_norm, dtype="int32"),
-                    "is_first": pd.Series(out_first, dtype="int32"),
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "term": pd.Series(out["term"], dtype="object"),
+                    "tf": pd.Series(out["tf"], dtype="int32"),
+                    "positions": pd.Series(out["positions"], dtype="object"),
+                    "norm": pd.Series(out["norm"], dtype="int32"),
+                    "is_first": pd.Series(out["is_first"], dtype="int32"),
+                    "starts": pd.Series(out["starts"], dtype="object"),
+                    "ends": pd.Series(out["ends"], dtype="object"),
+                    "payloads": pd.Series(out["payloads"], dtype="object"),
                 }
             )
 
@@ -163,13 +218,21 @@ def _competitive_impacts(tfs: np.ndarray, norms: np.ndarray):
     return out_t, out_n
 
 
-def _encode_group(rows, term, bucket, doc_ids, tfs, norms, pos_lists):
+def _encode_group(
+    rows, term, bucket, doc_ids, tfs, norms, pos_lists, off_lists=None, pay_lists=None
+):
     """Slice one sorted (term, bucket) posting run into <=128-doc blocks and
-    encode them. block_id = (bucket << 16) | slice — monotone in doc order."""
+    encode them. block_id = (bucket << 16) | slice — monotone in doc order.
+
+    ``off_lists``: per doc, a (starts, ends) pair of per-occurrence offset
+    lists (or None to skip the OFFSETS cell); ``pay_lists``: per doc, a list
+    of one int payload per occurrence (or None)."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     norms = np.asarray(norms, dtype=np.int64)
     n = len(doc_ids)
+    has_off = off_lists is not None and any(o is not None for o in off_lists)
+    has_pay = pay_lists is not None and any(p is not None for p in pay_lists)
     for j, start in enumerate(range(0, n, BLOCK_SIZE)):
         end = min(start + BLOCK_SIZE, n)
         d, t_, nm = doc_ids[start:end], tfs[start:end], norms[start:end]
@@ -193,6 +256,25 @@ def _encode_group(rows, term, bucket, doc_ids, tfs, norms, pos_lists):
         rows["positions_enc"].append(block_encode(np.array(flat, dtype=np.int64), "vf"))
         rows["impact_tfs"].append(it)
         rows["impact_norms"].append(inorm)
+        if has_off:
+            # interleaved (start-delta-within-doc, length) per occurrence —
+            # start offsets are monotone per doc so deltas stay small, and
+            # token lengths are tiny; both compress well under varint/FOR
+            oflat = []
+            for starts_l, ends_l in off_lists[start:end]:
+                prev = 0
+                for s, e in zip(starts_l, ends_l):
+                    oflat.append(s - prev)
+                    oflat.append(e - s)
+                    prev = s
+            rows["offsets_enc"].append(block_encode(np.array(oflat, dtype=np.int64), "vf"))
+        else:
+            rows["offsets_enc"].append(None)
+        if has_pay:
+            pflat = [v for pl in pay_lists[start:end] for v in pl]
+            rows["payloads_enc"].append(block_encode(np.array(pflat, dtype=np.int64), "vf"))
+        else:
+            rows["payloads_enc"].append(None)
 
 
 def build_postings(tokens: DataFrame, skew_safe: bool = True) -> DataFrame:
@@ -212,7 +294,11 @@ def build_postings(tokens: DataFrame, skew_safe: bool = True) -> DataFrame:
             ranked.withColumn("bucket", F.lit(0))
             .withColumn("slice", (F.col("grank") / BLOCK_SIZE).cast("long"))
             .groupBy("term", "slice")
-            .agg(F.collect_list(F.struct("doc_id", "tf", "norm", "positions")).alias("entries"))
+            .agg(
+                F.collect_list(
+                    F.struct("doc_id", "tf", "norm", "positions", "starts", "ends", "payloads")
+                ).alias("entries")
+            )
         )
 
         def gen_simple(batches):
@@ -230,6 +316,11 @@ def build_postings(tokens: DataFrame, skew_safe: bool = True) -> DataFrame:
                         [e["tf"] for e in entries],
                         [e["norm"] for e in entries],
                         [e["positions"] for e in entries],
+                        [
+                            (e["starts"], e["ends"]) if e["starts"] is not None else None
+                            for e in entries
+                        ],
+                        [e["payloads"] for e in entries],
                     )
                     rows["block_id"][-1] = int(sl)  # dense block numbering
                 yield pd.DataFrame(rows)
@@ -244,7 +335,7 @@ def build_postings(tokens: DataFrame, skew_safe: bool = True) -> DataFrame:
 
     def gen(batches):
         cur_key = None
-        cur = None  # (doc_ids, tfs, norms, pos_lists)
+        cur = None  # (doc_ids, tfs, norms, pos_lists, off_lists, pay_lists)
 
         def flush(rows):
             nonlocal cur_key, cur
@@ -260,6 +351,9 @@ def build_postings(tokens: DataFrame, skew_safe: bool = True) -> DataFrame:
             tfs = pdf["tf"].values
             norms = pdf["norm"].values
             poss = pdf["positions"].values
+            starts_v = pdf["starts"].values
+            ends_v = pdf["ends"].values
+            pays_v = pdf["payloads"].values
             # group-change boundaries (sorted input)
             n = len(pdf)
             i = 0
@@ -271,11 +365,16 @@ def build_postings(tokens: DataFrame, skew_safe: bool = True) -> DataFrame:
                 if cur_key is not None and key != cur_key:
                     flush(rows)
                 if cur_key is None:
-                    cur_key, cur = key, ([], [], [], [])
+                    cur_key, cur = key, ([], [], [], [], [], [])
                 cur[0].extend(doc_ids[i:j].tolist())
                 cur[1].extend(tfs[i:j].tolist())
                 cur[2].extend(norms[i:j].tolist())
                 cur[3].extend(list(poss[i:j]))
+                cur[4].extend(
+                    (s, e) if s is not None else None
+                    for s, e in zip(starts_v[i:j], ends_v[i:j])
+                )
+                cur[5].extend(list(pays_v[i:j]))
                 i = j
             if rows["term"]:
                 yield pd.DataFrame(rows)
@@ -351,7 +450,9 @@ class InvertedIndex:
             "field": self.field_name,
             "key_cols": list(self.key_cols),
             "stats": self.stats.to_dict(),
-            "format_version": 1,
+            "format_version": 2,
+            "index_options": self.extra.get("index_options", "positions"),
+            "has_payloads": bool(self.extra.get("has_payloads", False)),
         }
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "manifest.json"), "w") as f:
@@ -371,6 +472,10 @@ class InvertedIndex:
             stats=IndexStats(**manifest["stats"]),
             key_cols=tuple(manifest["key_cols"]),
             norms=spark.read.parquet(norms_path) if os.path.isdir(norms_path) else None,
+            extra={
+                "index_options": manifest.get("index_options", "positions"),
+                "has_payloads": manifest.get("has_payloads", False),
+            },
         )
 
 
@@ -383,6 +488,8 @@ def build_index(
     cache_tokens: bool = True,
     serve_partitions: int | None = None,
     analyzer=None,
+    index_options: str = "positions",
+    payload_fn=None,
 ) -> InvertedIndex:
     """Build an InvertedIndex from a DataFrame that already has a ``doc_id``
     column (use ``assign_doc_ids`` first for keyed corpora).
@@ -400,7 +507,12 @@ def build_index(
     # memory pressure than the one extra (perfectly parallel) tokenize pass
     # the doc_count computation needs
     tokens = tokenize_to_tokens(
-        docs_with_ids, text_col=text_col, stop_words=stop_words, analyzer=analyzer
+        docs_with_ids,
+        text_col=text_col,
+        stop_words=stop_words,
+        analyzer=analyzer,
+        index_options=index_options,
+        payload_fn=payload_fn,
     )
     if cache_tokens:
         tokens = tokens.persist()
@@ -449,4 +561,8 @@ def build_index(
         term_dict=term_dict,
         stats=stats,
         norms=norms,
+        extra={
+            "index_options": index_options,
+            "has_payloads": payload_fn is not None,
+        },
     )

@@ -352,6 +352,104 @@ class IndexSearcher:
 
         return rows.mapInPandas(gen, schema=_POS_SCHEMA)
 
+    # ------------------------------------------------- offsets/payloads view
+    def term_occurrences(self, terms: list[str]) -> DataFrame:
+        """One row per term occurrence: ``(term, doc_id, position,
+        start_offset, end_offset, payload)`` — the OFFSETS/PAYLOADS-level
+        postings view (``index/PostingsEnum.kt:12-76`` flags). Requires an
+        index built with ``index_options="offsets"``; ``payload`` is null
+        unless a ``payload_fn`` was supplied at build time."""
+        if "offsets_enc" not in self.index.postings.columns or (
+            self.index.extra.get("index_options", "positions") != "offsets"
+            and not self.index.extra.get("has_payloads", False)
+        ):
+            raise ValueError(
+                "index was built without offsets — pass index_options='offsets' to build_index"
+            )
+        rows = self.index.postings.filter(F.col("term").isin(list(set(terms)))).select(
+            "term", "doc_ids_enc", "freqs_enc", "positions_enc", "offsets_enc", "payloads_enc"
+        )
+
+        def gen(batches):
+            from lucene_kmp_spark.util.packing import block_decode, delta_block_decode
+
+            for pdf in batches:
+                outs = []
+                for term, de, fe, pe, oe, ye in zip(
+                    pdf["term"].values, pdf["doc_ids_enc"].values, pdf["freqs_enc"].values,
+                    pdf["positions_enc"].values, pdf["offsets_enc"].values,
+                    pdf["payloads_enc"].values,
+                ):
+                    doc_ids = delta_block_decode(bytes(de))
+                    tfs = block_decode(bytes(fe))
+                    n_occ = int(tfs.sum())
+                    ends_idx = np.cumsum(tfs)
+                    starts_idx = ends_idx - tfs
+
+                    def _rebase(deltas):
+                        # doc-local cumulative sums over the flat occurrence
+                        # stream (same re-base as the positions decode)
+                        cs = np.cumsum(deltas)
+                        before = cs[starts_idx] - deltas[starts_idx]
+                        return cs - np.repeat(before, tfs)
+
+                    pos_all = _rebase(block_decode(bytes(pe)))
+                    if oe is not None:
+                        offs = block_decode(bytes(oe))
+                        start_all = _rebase(offs[0::2])
+                        end_all = start_all + offs[1::2]
+                    else:
+                        start_all = end_all = np.full(n_occ, -1, dtype=np.int64)
+                    pays = (
+                        block_decode(bytes(ye)).astype(np.float64)
+                        if ye is not None
+                        else np.full(n_occ, np.nan)
+                    )
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": np.repeat(term, n_occ),
+                                "doc_id": np.repeat(doc_ids, tfs),
+                                "position": pos_all.astype(np.int32),
+                                "start_offset": start_all.astype(np.int32),
+                                "end_offset": end_all.astype(np.int32),
+                                "payload": pays,
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        schema = (
+            "term string, doc_id long, position int, "
+            "start_offset int, end_offset int, payload double"
+        )
+        out = rows.mapInPandas(gen, schema=schema)
+        return self._live(out)
+
+    def term_offsets(self, term: str) -> DataFrame:
+        """(doc_id, position, start_offset, end_offset) for every occurrence
+        of ``term`` — the consumer surface for the OFFSETS flag (what a
+        highlighter/passage extractor reads)."""
+        return self.term_occurrences([term]).select(
+            "doc_id", "position", "start_offset", "end_offset"
+        )
+
+    def payload_scores(self, term: str, agg: str = "sum", boost: float = 1.0) -> DataFrame:
+        """(doc_id, score): per-doc aggregate of the term's occurrence
+        payloads — the PayloadScoreQuery/PayloadFunction analog (Sum/Max/Min/
+        Average over payloads seen at matching positions; includeSpanScore =
+        false form). Requires ``payload_fn`` at build time."""
+        if not self.index.extra.get("has_payloads", False):
+            raise ValueError("index was built without payloads — pass payload_fn to build_index")
+        fns = {"sum": F.sum, "max": F.max, "min": F.min, "avg": F.avg}
+        if agg not in fns:
+            raise ValueError(f"agg must be one of {sorted(fns)}")
+        occ = self.term_occurrences([term])
+        return occ.groupBy("doc_id").agg(
+            (fns[agg]("payload") * F.lit(float(boost))).alias("score")
+        )
+
     # ------------------------------------------------------------ match sets
     def _doc_set(self, q: Query, dedup: bool = True) -> DataFrame:
         """doc_ids matching q (ScoreMode.NO_SCORES path). ``dedup=False``
@@ -854,8 +952,11 @@ class IndexSearcher:
 
     def _exec_fuzzy(self, q: FuzzyQuery) -> DataFrame:
         """FuzzyQuery.kt:38,159-162: expand to the top-``max_expansions`` terms
-        within ``max_edits`` (Damerau/OSA when ``transpositions``, the
-        reference default), then score as a boosted disjunction.
+        within ``max_edits``, then score as a boosted disjunction. With
+        ``transpositions`` (the reference default) the distance is OSA —
+        the reference's own automata conformance oracle is the OSA
+        recurrence (TestFuzzyQuery.kt:657-695 getDistance), so this matches
+        the tested reference semantics exactly.
 
         Expansion prefilters JVM-side (length window + ``levenshtein`` pushed
         into the term_dict scan — a transposition costs ≤2 plain edits, so

@@ -205,6 +205,53 @@ class MultiFieldSearcher:
             scored = scored.select("doc_id", F.col("score").cast("float").alias("score"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def masked_span_docset(self, primary_field: str, q) -> DataFrame:
+        """Execute a span tree that may contain FieldMaskingSpanQuery nodes
+        (queries/spans/FieldMaskingSpanQuery.kt) and return the matching
+        doc_ids. Unmasked leaves read ``primary_field``'s postings; a masked
+        subtree reads its own field's postings while composing positionally
+        with the rest (parallel-tokenstream fields share one position space).
+
+        Plan shape: ONE pivoted positions scan per referenced field (each a
+        1-scan/1-shuffle term-pruned aggregate), outer-joined on doc_id, then
+        a single Arrow pass evaluating the span tree per candidate doc —
+        fields add joins, never per-doc work on the driver."""
+        from lucene_kmp_spark.search.spans import FIELD_SEP, resolve_masks, span_freq
+
+        rewritten, per_field = resolve_masks(q, primary_field)
+        joined = None
+        col_keys: list[tuple[str, str]] = []  # (df column, pos-map key)
+        for fi, (f, terms) in enumerate(sorted(per_field.items())):
+            piv = self.searchers[f]._pivoted_positions(list(terms), required=False)
+            sel = [F.col("doc_id")]
+            for i, t in enumerate(terms):
+                cn = f"_p{fi}_{i}"
+                sel.append(F.col(f"_pos_{i}").alias(cn))
+                col_keys.append((cn, f + FIELD_SEP + t))
+            piv = piv.select(*sel)
+            joined = piv if joined is None else joined.join(piv, "doc_id", "outer")
+        if joined is None:
+            return self._spark().createDataFrame([], schema="doc_id long")
+        cols = [c for c, _k in col_keys]
+        keys = [k for _c, k in col_keys]
+        qq = rewritten
+
+        def gen(batches):
+            for pdf in batches:
+                out = []
+                col_vals = [pdf[c].values for c in cols]
+                for doc_id, *plists in zip(pdf["doc_id"].values, *col_vals):
+                    pos = {
+                        k: np.asarray(p, dtype=np.int64)
+                        for k, p in zip(keys, plists)
+                        if p is not None
+                    }
+                    if span_freq(qq, pos) > 0:
+                        out.append(int(doc_id))
+                yield pd.DataFrame({"doc_id": pd.Series(out, dtype="int64")})
+
+        return joined.mapInPandas(gen, schema="doc_id long")
+
     def _exec_blended(self, q: BlendedTermQuery) -> DataFrame:
         live: dict[str, TermStats] = {}
         for f in q.fields:

@@ -251,6 +251,21 @@ class SpanPositionRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldMaskingSpanQuery(Query):
+    """Span clause whose positions come from another field's postings but
+    which composes (and reports its field) as if it were on the enclosing
+    query's field (queries/spans/FieldMaskingSpanQuery.kt) — the classic
+    parallel-tokenstream trick: fields analyzed in lockstep (same positions,
+    different terms) can be mixed inside one SpanNear. ``field`` names the
+    REAL field the inner clause reads; the enclosing tree supplies the
+    masked-as field."""
+
+    match: "Query"
+    field: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanMultiTermWrapper(Query):
     """Wrap a multi-term query (prefix/wildcard/regexp/range) as a span
     clause (queries/spans/SpanMultiTermQueryWrapper.kt): rewrites to a

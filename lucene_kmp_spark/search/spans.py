@@ -198,3 +198,64 @@ def span_scoring_terms(q) -> set[str]:
 def span_freq(q, pos: dict) -> float:
     """SpanScorer freq: Σ 1/(1+width) over the doc's top-level spans."""
     return float(sum(1.0 / (1 + w) for _s, _e, w in eval_spans(q, pos)))
+
+
+# --------------------------------------------------------- field masking
+FIELD_SEP = "\x00"  # joins (field, term) into one position-map key
+
+
+def resolve_masks(q, primary_field: str):
+    """Rewrite a span tree containing FieldMaskingSpanQuery nodes
+    (queries/spans/FieldMaskingSpanQuery.kt) into a mask-free tree whose term
+    leaves are ``field\\x00term`` keys, plus the per-field term sets to fetch.
+
+    The masked subtree keeps its own REAL field for position lookup while
+    composing positionally with the enclosing clauses — evaluation then runs
+    on a single per-doc position map with field-qualified keys, so
+    ``eval_spans`` needs no notion of fields at all.
+
+    Returns ``(rewritten, per_field)`` where ``per_field`` maps field name ->
+    sorted list of raw terms needed from that field's postings."""
+    from lucene_kmp_spark.search.query import FieldMaskingSpanQuery
+
+    per_field: dict[str, set[str]] = {}
+
+    def walk(node, field):
+        if isinstance(node, str):
+            per_field.setdefault(field, set()).add(node)
+            return field + FIELD_SEP + node
+        if isinstance(node, FieldMaskingSpanQuery):
+            return walk(node.match, node.field)
+        if isinstance(node, SpanTermQuery):
+            per_field.setdefault(field, set()).add(node.term)
+            return SpanTermQuery(field + FIELD_SEP + node.term, boost=node.boost)
+        if isinstance(node, SpanOrQuery):
+            return SpanOrQuery(tuple(walk(c, field) for c in node.clauses), boost=node.boost)
+        if isinstance(node, SpanNotQuery):
+            return SpanNotQuery(
+                walk(node.include, field), walk(node.exclude, field),
+                pre=node.pre, post=node.post, boost=node.boost,
+            )
+        if isinstance(node, SpanFirstQuery):
+            return SpanFirstQuery(walk(node.match, field), node.end, boost=node.boost)
+        if isinstance(node, SpanPositionRangeQuery):
+            return SpanPositionRangeQuery(
+                walk(node.match, field), node.start, node.end, boost=node.boost
+            )
+        if isinstance(node, SpanContainingQuery):
+            return SpanContainingQuery(
+                walk(node.big, field), walk(node.little, field), boost=node.boost
+            )
+        if isinstance(node, SpanWithinQuery):
+            return SpanWithinQuery(
+                walk(node.big, field), walk(node.little, field), boost=node.boost
+            )
+        if isinstance(node, SpanNearQuery):
+            return SpanNearQuery(
+                tuple(walk(c, field) for c in node.terms),
+                slop=node.slop, in_order=node.in_order, boost=node.boost,
+            )
+        raise TypeError(f"not a span clause: {type(node).__name__}")
+
+    rewritten = walk(q, primary_field)
+    return rewritten, {f: sorted(ts) for f, ts in per_field.items()}

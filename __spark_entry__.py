@@ -845,6 +845,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_field_masked_docset"] = q_span_masked
 
+    def q_term_snippet(spark, sf_dir):
+        # offsets consumer #2: ±20-char window around each doc's first
+        # 'merge' occurrence (highlighter-style passage extraction)
+        from lucene_kmp_spark.search.highlight import first_snippet
+
+        s = _offsets_searcher64(spark, sf_dir)
+        return first_snippet(s, "merge", width=20).select(
+            "doc_id",
+            F.col("start_offset").cast("int").alias("start_offset"),
+            F.col("end_offset").cast("int").alias("end_offset"),
+            "snippet",
+        )
+
+    q["term_snippet"] = q_term_snippet
+
+    def q_ann_lsh(spark, sf_dir):
+        # sign-bucket LSH ANN: rank only vectors sharing the query's
+        # random-hyperplane sign bucket (the write-time partition column path
+        # at scale; computed inline here over the small bench table)
+        from lucene_kmp_spark.pipeline.similarity import _hyperplanes, lsh_bucket_col
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        planes = _hyperplanes(len(qvec), 3, seed=42)
+        qbits = sum(
+            (1 << i)
+            for i, p in enumerate(planes)
+            if sum(a * b for a, b in zip(qvec, p)) >= 0
+        )
+        bucket = (
+            emb.filter(F.col("vec_id") != 0)
+            .withColumn("_b", lsh_bucket_col("embedding", planes))
+            .filter(F.col("_b") == qbits)
+        )
+        scored = similarity.cosine_scores(bucket, qvec).select(
+            "vec_id", F.col("cosine").alias("score")
+        )
+        w = Window.orderBy(F.desc(F.floor(F.col("score") * 10000)), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOPK)
+            .select("vec_id", _q4(F.col("score")).alias("score"), "rank")
+        )
+
+    q["ann_lsh_bucket"] = q_ann_lsh
+
+    def q_or_wand(spark, sf_dir):
+        # the block-max WAND path (WANDScorer.kt analog) — exactness vs the
+        # plain-disjunction oracle is the pruned==unpruned guarantee
+        from lucene_kmp_spark.search.wand import topk_disjunction_pruned
+
+        s = _searcher64(spark, sf_dir)
+        scored = topk_disjunction_pruned(s, {"merge": 1.0, "join": 1.0, "scan": 1.0}, k=30)
+        return _ranked_topk(scored)
+
+    q["bm25_or_wand"] = q_or_wand
+
+    def q_span_unordered(spark, sf_dir):
+        from lucene_kmp_spark.search.query import SpanNearQuery
+
+        s = _searcher64(spark, sf_dir)
+        q_ast = SpanNearQuery(("merge", "sort"), slop=3, in_order=False)
+        return s.execute(q_ast).select("doc_id").distinct()
+
+    q["span_unordered_docset"] = q_span_unordered
+
+    def q_dfr(spark, sf_dir):
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+        from lucene_kmp_spark.search.similarities import DFRSimilarity
+
+        s = IndexSearcher(
+            _index_for(spark, sf_dir),
+            dtype=np.float64,
+            similarity=DFRSimilarity(after_effect="B", normalization="H2", c=1.0),
+        )
+        return _ranked_topk(s.execute(TQ("merge")))
+
+    q["dfr_term"] = q_dfr
+
+    def q_axiomatic(spark, sf_dir):
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+        from lucene_kmp_spark.search.similarities import AxiomaticF2EXP
+
+        s = IndexSearcher(
+            _index_for(spark, sf_dir), dtype=np.float64, similarity=AxiomaticF2EXP()
+        )
+        return _ranked_topk(s.execute(TQ("merge")))
+
+    q["axiomatic_term"] = q_axiomatic
+
     return q
 
 
@@ -1057,6 +1149,24 @@ total AS (
 
     # MAXSCORE is an exact strategy for the same disjunction
     o["bm25_or_maxscore"] = o["bm25_bool_or"]
+    o["bm25_or_wand"] = o["bm25_bool_or"]
+
+    # unordered 2-term spans, slop=3: any occurrence pair within gap <= 3
+    o["span_unordered_docset"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+p1 AS (
+  SELECT doc_id, unnest(list_filter(list_transform(range(1, len(ts) + 1),
+    i -> CASE WHEN ts[i] = 'merge' THEN i ELSE NULL END), x -> x IS NOT NULL)) AS p
+  FROM toks
+),
+p2 AS (
+  SELECT doc_id, unnest(list_filter(list_transform(range(1, len(ts) + 1),
+    i -> CASE WHEN ts[i] = 'sort' THEN i ELSE NULL END), x -> x IS NOT NULL)) AS p
+  FROM toks
+)
+SELECT DISTINCT p1.doc_id
+FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND abs(p1.p - p2.p) - 1 <= 3
+"""
 
     o["feature_saturation"] = """
 SELECT doc_id, floor(n_chars / (n_chars + 200.0) * 10000) / 10000 AS score
@@ -1247,6 +1357,51 @@ total AS (
     SELECT (t.ttf + 1.0) / (n.sum_ttf + 1.0) AS p
     FROM (SELECT sum(tf)::BIGINT AS ttf FROM tf WHERE term = 'merge') t, nstats n
   ) pw
+  WHERE tf.term = 'merge'
+)"""
+        + _rank_tail("total")
+    )
+
+    # DFR I(F)/B/H2 c=1 (DFRSimilarity.kt; BasicModelIF.kt:31-42,
+    # AfterEffectB.kt:31-35, NormalizationH2): score =
+    # A·ae·(1 - 1/(1+tfn)), A = log2(1+(N+1)/(F+0.5)), ae = (F+2)/(n+1),
+    # tfn = tf·log2(1 + avgdl/dl)
+    o["dfr_term"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT tf.doc_id,
+         st.A * st.ae *
+         (1 - 1 / (1 + tf.tf * ln(1 + avgd.avgdl / norm.qdl) / ln(2))) AS s
+  FROM tf
+  JOIN norm USING (doc_id)
+  CROSS JOIN avgd
+  CROSS JOIN (
+    SELECT ln(1 + (a.n_docs + 1.0) / (t.F + 0.5)) / ln(2) AS A,
+           (t.F + 2.0) / (t.n + 1.0) AS ae
+    FROM (SELECT sum(tf)::BIGINT AS F, count(*)::BIGINT AS n
+          FROM tf WHERE term = 'merge') t, avgd a
+  ) st
+  WHERE tf.term = 'merge'
+)"""
+        + _rank_tail("total")
+    )
+
+    # Axiomatic F2EXP (AxiomaticF2EXP.kt:52-67, s=0.25 k=0.35):
+    # score = tf/(tf + s + s·dl/avgdl) · ((N+1)/df)^k
+    o["axiomatic_term"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT tf.doc_id,
+         (tf.tf / (tf.tf + 0.25 + 0.25 * norm.qdl / avgd.avgdl)) * idf.v AS s
+  FROM tf
+  JOIN norm USING (doc_id)
+  CROSS JOIN avgd
+  CROSS JOIN (
+    SELECT power((a.n_docs + 1.0) / d.df, 0.35) AS v
+    FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'merge') d, avgd a
+  ) idf
   WHERE tf.term = 'merge'
 )"""
         + _rank_tail("total")
@@ -1720,6 +1875,64 @@ tok AS (
   SELECT doc_id, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos FROM toks
 )
 SELECT doc_id, sum(pos)::DOUBLE AS score FROM tok WHERE term = 'join' GROUP BY doc_id
+"""
+
+    # offsets consumer #2: first-occurrence ±20-char snippet
+    o["term_snippet"] = """
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS arr FROM documents),
+tok AS (
+  SELECT doc_id, text, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos FROM toks
+),
+offs AS (
+  SELECT doc_id, text, term, pos,
+         (COALESCE(sum(length(term)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pos) AS so
+  FROM tok
+),
+first_hit AS (
+  SELECT doc_id, text, min(so) AS s FROM offs WHERE term = 'merge' GROUP BY doc_id, text
+)
+SELECT doc_id, s::INT AS start_offset, (s + 5)::INT AS end_offset,
+       substr(text, (greatest(0, s - 20) + 1)::BIGINT,
+              ((s + 5 + 20) - greatest(0, s - 20))::BIGINT) AS snippet
+FROM first_hit
+"""
+
+    # sign-bucket LSH ANN: plane literals inlined from the engine's
+    # deterministic _hyperplanes(dim=64, n_planes=3, seed=42)
+    from lucene_kmp_spark.pipeline.similarity import _hyperplanes as _hp
+
+    _planes = _hp(64, 3, seed=42)
+    _plane_sql = ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]::DOUBLE[]" for row in _planes
+    )
+    o["ann_lsh_bucket"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+planes AS (SELECT unnest([{_plane_sql}]) AS pv, unnest(range(0, 3)) AS pi),
+vp AS (
+  SELECT e.vec_id, p.pi, unnest(e.embedding)::DOUBLE AS a, unnest(p.pv) AS b
+  FROM embeddings e, planes p
+),
+vd AS (SELECT vec_id, pi, sum(a * b) AS dot FROM vp GROUP BY 1, 2),
+vb AS (SELECT vec_id,
+              sum(CASE WHEN dot >= 0 THEN 1 << pi ELSE 0 END) AS bucket
+       FROM vd GROUP BY 1),
+qb AS (SELECT bucket FROM vb WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+  FROM embeddings e, q WHERE e.vec_id != 0
+),
+dots AS (SELECT vec_id, sum(a * b) AS dot, sum(a * a) AS na FROM pairs GROUP BY vec_id),
+qn AS (SELECT sum(b * b) AS nb FROM (SELECT unnest(qv)::DOUBLE AS b FROM q)),
+scored AS (
+  SELECT d.vec_id, d.dot / (sqrt(d.na) * sqrt(qn.nb)) AS s
+  FROM dots d JOIN vb ON vb.vec_id = d.vec_id, qn, qb
+  WHERE vb.bucket = qb.bucket
+)
+SELECT vec_id, floor(s * 10000) / 10000 AS score,
+       CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, vec_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 10
 """
 
     # FieldMaskingSpanQuery: text2 = 'lang source (merge|join)' so the masked

@@ -1019,8 +1019,33 @@ class IndexSearcher:
                 return out
         return None
 
+    # fraction of doc_count the clause postings must total before block-max
+    # pruning pays for its θ-seed job — A/B-measured at 4.07M turns
+    # (BENCH/BASELINE.md "pruning auto-policy"): hot 3-term OR 17.4s→13.9s,
+    # hot+rare 8.3s→4.6s with MAXSCORE, but mid/rare ORs and single terms
+    # LOSE 1-3s to the fixed seed-collect overhead. At larger corpora the
+    # fixed cost amortizes further, so the ratio test is scale-stable.
+    AUTO_PRUNE_DF_FRACTION = 0.5
+
+    def _auto_prune(self, q: Query) -> str | bool:
+        """Cost-based strategy pick for ``prune="auto"`` — the
+        BooleanScorerSupplier role (BooleanScorerSupplier.kt:472-481 decides
+        bulk-scorer strategy from clause shape + cost there; here the cost
+        signal is Σdf over prunable clause terms vs doc_count)."""
+        if not self._is_bm25:
+            return False
+        boosts = self._wand_boosts(q)
+        if not boosts or len(boosts) < 2:
+            # single-term: nothing to outprune, the θ-seed job is pure loss
+            return False
+        stats = self.term_stats(list(boosts))
+        sum_df = sum(st.df for st in stats.values())
+        if sum_df >= self.AUTO_PRUNE_DF_FRACTION * self.index.stats.doc_count:
+            return "maxscore"
+        return False
+
     def top_k(
-        self, q: Query, k: int = 10, hydrate: bool = False, prune: bool | str = False
+        self, q: Query, k: int = 10, hydrate: bool = False, prune: bool | str = "auto"
     ) -> DataFrame:
         """TopScoreDocCollector analog: score desc, docID asc on ties
         (HitQueue.kt:56-62) — Spark's TakeOrderedAndProject does the
@@ -1028,7 +1053,14 @@ class IndexSearcher:
         for prunable disjunctions (both exact): ``True``/``"wand"`` =
         window-aligned WAND (WANDScorer.kt), ``"maxscore"`` =
         essential/non-essential MAXSCORE (MaxScoreBulkScorer.kt) — the
-        reference's BooleanScorerSupplier picks between the same two."""
+        reference's BooleanScorerSupplier picks between the same two.
+        ``"auto"`` (default) applies the measured cost policy in
+        ``_auto_prune``: MAXSCORE for high-volume prunable disjunctions,
+        plain scan otherwise — mirroring the reference's default-on
+        TOP_SCORES pruning (IndexSearcher.kt:1024) with a distributed cost
+        gate."""
+        if prune == "auto":
+            prune = self._auto_prune(q)
         # block-max bounds are derived from the BM25 impact formula; other
         # similarities fall back to the exact unpruned plan
         boosts = self._wand_boosts(q) if (prune and self._is_bm25) else None

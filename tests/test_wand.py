@@ -59,6 +59,24 @@ def test_wand_boost_detection(searcher):
     assert searcher._wand_boosts(q3) is None
 
 
+def test_auto_prune_policy(searcher):
+    """prune='auto' (the top_k default) applies the A/B-measured cost gate:
+    MAXSCORE only for multi-term prunable disjunctions whose Σdf is a large
+    corpus fraction; plain scan for single terms / rare disjunctions /
+    non-prunable shapes — and the result is identical either way."""
+    hot = BooleanQuery.build(should=(TermQuery("the"), TermQuery("of"), TermQuery("and")))
+    rare = BooleanQuery.build(should=(TermQuery("w0042"), TermQuery("w0100")))
+    assert searcher._auto_prune(hot) == "maxscore"
+    assert searcher._auto_prune(rare) is False
+    assert searcher._auto_prune(TermQuery("the")) is False  # single term never
+    non_prunable = BooleanQuery.build(must=(TermQuery("the"),), should=(TermQuery("of"),))
+    assert searcher._auto_prune(non_prunable) is False
+    for q in (hot, rare):
+        auto = [(r["doc_id"], r["score"]) for r in searcher.top_k(q, 10).collect()]
+        full = [(r["doc_id"], r["score"]) for r in searcher.top_k(q, 10, prune=False).collect()]
+        assert auto == full
+
+
 def test_pruned_respects_deletes(spark):
     """θ-seeding must ignore deleted docs: with every high scorer deleted,
     pruned top-k must still equal unpruned top-k over live docs.

@@ -937,6 +937,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["axiomatic_term"] = q_axiomatic
 
+    def q_emb_lsh_pairs(spark, sf_dir):
+        # composed bucketed near-dup path: LSH sign-bucket equi-join ->
+        # exact-cosine verify (work ~ sum(bucket^2), never all-pairs)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pairs = similarity.lsh_near_dup_pairs(emb, threshold=0.4, n_planes=3, seed=42)
+        return pairs.select("id_a", "id_b", _q4(F.col("cosine")).alias("cosine"))
+
+    q["dedup_embedding_lsh_pairs"] = q_emb_lsh_pairs
+
     return q
 
 
@@ -1933,6 +1942,37 @@ scored AS (
 SELECT vec_id, floor(s * 10000) / 10000 AS score,
        CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, vec_id ASC) AS INT) AS rank
 FROM scored QUALIFY rank <= 10
+"""
+
+    # composed bucketed near-dup: same-sign-bucket pairs, exact cosine >= 0.4
+    o["dedup_embedding_lsh_pairs"] = f"""
+WITH planes AS (SELECT unnest([{_plane_sql}]) AS pv, unnest(range(0, 3)) AS pi),
+vp AS (
+  SELECT e.vec_id, p.pi, unnest(e.embedding)::DOUBLE AS a, unnest(p.pv) AS b
+  FROM embeddings e, planes p
+),
+vd AS (SELECT vec_id, pi, sum(a * b) AS dot FROM vp GROUP BY 1, 2),
+vb AS (SELECT vec_id,
+              sum(CASE WHEN dot >= 0 THEN 1 << pi ELSE 0 END) AS bucket
+       FROM vd GROUP BY 1),
+cand AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM vb x JOIN vb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+pv AS (
+  SELECT c.id_a, c.id_b,
+         unnest(ea.embedding)::DOUBLE AS a, unnest(eb.embedding)::DOUBLE AS b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+),
+cs AS (
+  SELECT id_a, id_b,
+         sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cosine
+  FROM pv GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, floor(cosine * 10000) / 10000 AS cosine
+FROM cs WHERE cosine >= 0.4
 """
 
     # FieldMaskingSpanQuery: text2 = 'lang source (merge|join)' so the masked

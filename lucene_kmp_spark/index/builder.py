@@ -117,7 +117,7 @@ def tokenize_to_tokens(
     (``index/IndexOptions.kt``): ``"positions"`` (the default) or
     ``"offsets"`` which additionally stores per-occurrence character offsets
     (DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS). ``payload_fn(term, position,
-    start, end) -> int`` stores one integer payload per occurrence
+    start, end) -> int`` stores one NON-NEGATIVE integer payload per occurrence
     (PostingsEnum.PAYLOADS analog; Lucene payloads are arbitrary bytes — the
     int surface covers the scoring use, PayloadScoreQuery-style). Offsets
     with a custom analyzer require the analyzer to return 5-tuples

@@ -96,6 +96,39 @@ def check_index(idx: InvertedIndex, raise_on_fail: bool = False) -> dict:
     )
     checks["block_payloads"] = int(payload_bad)
 
+    # OFFSETS/PAYLOADS cells, when present (CheckIndex.checkPostings offset
+    # monotonicity: startOffset >= previous startOffset, endOffset >= start)
+    if "offsets_enc" in p.columns:
+
+        def verify_off(batches):
+            from lucene_kmp_spark.util.packing import block_decode
+
+            for pdf in batches:
+                bad = 0
+                for tsum, oe, ye in zip(
+                    pdf["tf_sum"].values, pdf["offsets_enc"].values, pdf["payloads_enc"].values
+                ):
+                    if oe is not None:
+                        o = block_decode(bytes(oe))
+                        # interleaved (start-delta, len) per occurrence: count
+                        # must be 2*tf_sum, start deltas and lens non-negative
+                        if len(o) != 2 * int(tsum) or (o < 0).any():
+                            bad += 1
+                    if ye is not None:
+                        y = block_decode(bytes(ye))
+                        if len(y) != int(tsum):
+                            bad += 1
+                yield pd.DataFrame({"bad": [bad]})
+
+        off_bad = (
+            p.select("tf_sum", "offsets_enc", "payloads_enc")
+            .mapInPandas(verify_off, schema="bad long")
+            .agg(F.sum("bad"))
+            .collect()[0][0]
+            or 0
+        )
+        checks["offsets_payloads"] = int(off_bad)
+
     meta = p.groupBy("term").agg(F.sum("num_docs").alias("_df"), F.sum("tf_sum").alias("_ttf"))
     td_bad = (
         idx.term_dict.join(meta, "term", "full")

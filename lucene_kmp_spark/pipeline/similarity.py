@@ -76,6 +76,48 @@ def cosine_near_dup_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via the LSH sign-bucket join — the composed
+    100 TB path: candidates come from an equi-join on the bucket column
+    (hash-shuffle on bucket, work ∝ Σ bucket_size², never all-pairs), then
+    the exact cosine verifies each candidate.
+
+    Recall tradeoff is the standard random-hyperplane one: a pair at cosine
+    similarity cos(θ) collides in all ``n_planes`` signs with probability
+    (1 − θ/π)^n_planes; run with several seeds and union for higher recall
+    (same shape as MinHash bands)."""
+    if "_bucket" in df.columns:
+        bucketed = df
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        bucketed = df.withColumn(
+            "_bucket", lsh_bucket_col(vec_col, _hyperplanes(dim, n_planes, seed))
+        )
+    v = bucketed.select(
+        F.col(id_col), F.col("_bucket"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cos.alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy RNG state — pure
     function of (dim, n_planes, seed) so executors/engines agree)."""

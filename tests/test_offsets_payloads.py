@@ -167,6 +167,36 @@ def test_offsets_oversized_block_round_trip(spark):
     idx.unpersist()
 
 
+def test_check_index_validates_offsets(offset_index):
+    from lucene_kmp_spark.index.check import check_index
+
+    idx, _ = offset_index
+    res = check_index(idx)
+    assert res["clean"], res
+    assert res["checks"]["offsets_payloads"] == 0
+
+
+def test_check_index_catches_corrupt_offsets(spark, offset_index):
+    from pyspark.sql import functions as F
+
+    from lucene_kmp_spark.index.check import check_index
+    from lucene_kmp_spark.index.builder import InvertedIndex
+
+    idx, _ = offset_index
+    # truncate every offsets cell to 1 byte -> decode count != 2*tf_sum
+    corrupt = idx.postings.withColumn(
+        "offsets_enc", F.expr("substring(offsets_enc, 1, 1)")
+    )
+    bad = InvertedIndex(
+        spark=idx.spark, field_name=idx.field_name, docs=idx.docs,
+        postings=corrupt, term_dict=idx.term_dict, stats=idx.stats,
+        norms=idx.norms, extra=idx.extra,
+    )
+    res = check_index(bad)
+    assert not res["clean"]
+    assert res["checks"]["offsets_payloads"] > 0
+
+
 # ----------------------------------------------------------- field masking
 @pytest.fixture(scope="module")
 def masked_fields(spark):

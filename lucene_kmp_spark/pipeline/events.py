@@ -63,3 +63,58 @@ def session_spans(
         F.max(ts_col).alias("session_end"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+# ------------------------------------------------------- streaming variants
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization: event-time ``session_window`` aggregation
+    with a watermark bounding state for late data — the
+    readStream → watermark → windowed-agg shape. Sessions close (emit) once
+    the watermark passes their gap; state per (user, open session) only, so
+    state size tracks concurrent users, not history.
+
+    Returns (user, session_start, session_end, n_events); attach any sink via
+    ``.writeStream``. Batch-mode DataFrames work too (session_window is
+    supported in both), which the test uses to check against ``session_spans``.
+
+    Watermarks require TIMESTAMP event time; a TIMESTAMP_NTZ column (the
+    transcripts/events schema) is cast in place — wall-clock-preserving under
+    the session timezone, so gap arithmetic is unchanged.
+    """
+    if dict(events_stream.dtypes).get(ts_col) == "timestamp_ntz":
+        events_stream = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events_stream: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact-dedup on ingest: drop events whose key was already
+    seen, with state expired by the watermark (``dropDuplicatesWithinWatermark``
+    keeps the state store bounded — the at-scale requirement; unbounded
+    dropDuplicates state grows with all history)."""
+    if dict(events_stream.dtypes).get(ts_col) == "timestamp_ntz":
+        events_stream = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    wm = events_stream.withWatermark(ts_col, watermark)
+    if hasattr(wm, "dropDuplicatesWithinWatermark") and events_stream.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(list(key_cols))
+    return wm.dropDuplicates(list(key_cols))

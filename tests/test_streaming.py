@@ -43,3 +43,74 @@ def test_stream_to_segments(spark, tmp_path):
     for seg in m["segments"]:
         assert seg["metrics"]["docs_indexed"] == seg["n_docs"]
         assert seg["batch_key"] is not None
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window aggregation (watermark + event-time windows)
+    over a file stream == batch session_spans session count per user."""
+    from lucene_kmp_spark.pipeline.events import sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    # early/late arrival split by event time so the batch-1 watermark closes
+    # batch-1 sessions during batch 2
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    cut = events.selectExpr(f"percentile({epoch}, 0.5) AS c").collect()[0]["c"]
+    events.filter(F.expr(epoch) <= cut).coalesce(1).write.parquet(src + "/f1")
+    events.filter(F.expr(epoch) > cut).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    sess = sessionize_stream(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+
+    got = spark.table("sess_stream").collect()
+    # append mode emits only watermark-closed sessions and availableNow never
+    # flushes the final open state, so assert: every EMITTED session matches a
+    # batch session_spans row exactly on (user, start, count), and the stream
+    # did emit a meaningful number of them
+    from lucene_kmp_spark.pipeline.events import session_spans
+
+    exp = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_spans(
+            events.withColumn("ts", F.col("ts").cast("timestamp"))
+        ).collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        assert (r.user_id, r.session_start, r.n_events) in exp, r
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    from lucene_kmp_spark.pipeline.events import dedup_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    dup = events.unionByName(events)  # every event twice
+    src = str(tmp_path / "dup")
+    dup.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = dedup_stream(stream, key_cols=("event_id",), watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    n = spark.table("dedup_stream_t").select("event_id").distinct().count()
+    total = spark.table("dedup_stream_t").count()
+    assert n == events.select("event_id").distinct().count()
+    assert total == n  # no duplicate rows emitted

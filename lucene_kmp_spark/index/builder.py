@@ -156,11 +156,11 @@ def tokenize_to_tokens(
                 # must not inflate the field length
                 norm = int_to_byte4(len(set(positions)))
                 acc: dict[str, list[int]] = {}
-                occ: dict[str, list[tuple[int, int, int]]] = {}
+                occ: dict[str, list[tuple[int, int]]] = {}
                 for i, (t, p) in enumerate(zip(terms, positions)):
                     acc.setdefault(t, []).append(p)
                     if want_offsets:
-                        occ.setdefault(t, []).append((starts[i], ends[i], 0))
+                        occ.setdefault(t, []).append((starts[i], ends[i]))
                 first = 1
                 for t, plist in acc.items():
                     out["doc_id"].append(doc_id)
@@ -171,13 +171,20 @@ def tokenize_to_tokens(
                     out["is_first"].append(first)
                     if want_offsets:
                         o = occ[t]
-                        out["starts"].append([s for s, _e, _ in o])
-                        out["ends"].append([e for _s, e, _ in o])
-                        out["payloads"].append(
-                            [pfn(t, p, s, e) for p, (s, e, _) in zip(plist, o)]
-                            if pfn is not None
-                            else None
-                        )
+                        out["starts"].append([s for s, _e in o])
+                        out["ends"].append([e for _s, e in o])
+                        if pfn is not None:
+                            pays = [pfn(t, p, s, e) for p, (s, e) in zip(plist, o)]
+                            if any(v < 0 for v in pays):
+                                # fail at the API boundary, not deep inside
+                                # the block codec's non-negative requirement
+                                raise ValueError(
+                                    f"payload_fn returned a negative payload for term "
+                                    f"{t!r} (doc {doc_id}): payloads must be non-negative ints"
+                                )
+                            out["payloads"].append(pays)
+                        else:
+                            out["payloads"].append(None)
                     else:
                         out["starts"].append(None)
                         out["ends"].append(None)

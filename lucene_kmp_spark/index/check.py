@@ -108,15 +108,23 @@ def check_index(idx: InvertedIndex, raise_on_fail: bool = False) -> dict:
                 for tsum, oe, ye in zip(
                     pdf["tf_sum"].values, pdf["offsets_enc"].values, pdf["payloads_enc"].values
                 ):
+                    # a corrupt cell may fail INSIDE the codec (bad tag,
+                    # truncated header) — count it, never crash the checker
                     if oe is not None:
-                        o = block_decode(bytes(oe))
-                        # interleaved (start-delta, len) per occurrence: count
-                        # must be 2*tf_sum, start deltas and lens non-negative
-                        if len(o) != 2 * int(tsum) or (o < 0).any():
+                        try:
+                            o = block_decode(bytes(oe))
+                            # interleaved (start-delta, len) per occurrence:
+                            # count = 2*tf_sum, deltas and lens non-negative
+                            if len(o) != 2 * int(tsum) or (o < 0).any():
+                                bad += 1
+                        except Exception:
                             bad += 1
                     if ye is not None:
-                        y = block_decode(bytes(ye))
-                        if len(y) != int(tsum):
+                        try:
+                            y = block_decode(bytes(ye))
+                            if len(y) != int(tsum):
+                                bad += 1
+                        except Exception:
                             bad += 1
                 yield pd.DataFrame({"bad": [bad]})
 

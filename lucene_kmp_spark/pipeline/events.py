@@ -86,17 +86,27 @@ def sessionize_stream(
     Watermarks require TIMESTAMP event time; a TIMESTAMP_NTZ column (the
     transcripts/events schema) is cast in place — wall-clock-preserving under
     the session timezone, so gap arithmetic is unchanged.
+
+    ``session_end`` is max(event ts) in the session — the same value
+    ``session_spans`` reports — NOT the session_window's end (which is
+    last-event + gap). One boundary divergence from the batch ops remains: an
+    event arriving EXACTLY ``gap`` after the previous one stays in the batch
+    session (strict ``>`` test) but starts a new streaming session
+    (session_window's end bound is exclusive).
     """
     if dict(events_stream.dtypes).get(ts_col) == "timestamp_ntz":
         events_stream = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events_stream.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
-        .agg(F.count("*").cast("long").alias("n_events"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max(ts_col).alias("session_end"),
+        )
         .select(
             user_col,
             F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
+            "session_end",
             "n_events",
         )
     )
@@ -115,6 +125,13 @@ def dedup_stream(
     if dict(events_stream.dtypes).get(ts_col) == "timestamp_ntz":
         events_stream = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     wm = events_stream.withWatermark(ts_col, watermark)
-    if hasattr(wm, "dropDuplicatesWithinWatermark") and events_stream.isStreaming:
-        return wm.dropDuplicatesWithinWatermark(list(key_cols))
-    return wm.dropDuplicates(list(key_cols))
+    if not events_stream.isStreaming:
+        return wm.dropDuplicates(list(key_cols))
+    if not hasattr(wm, "dropDuplicatesWithinWatermark"):
+        # refuse the silently-unbounded fallback: plain streaming
+        # dropDuplicates keeps state for ALL history
+        raise RuntimeError(
+            "dedup_stream requires dropDuplicatesWithinWatermark (Spark >= 3.5) "
+            "for bounded state on streaming input"
+        )
+    return wm.dropDuplicatesWithinWatermark(list(key_cols))

@@ -53,6 +53,28 @@ def cosine_topk(
     )
 
 
+def _pair_cosine(
+    df: DataFrame, threshold: float, vec_col: str, id_col: str, bucket_col: str | None
+) -> DataFrame:
+    """(id_a, id_b, cosine) for id_a < id_b pairs — optionally restricted to
+    same-``bucket_col`` pairs (equi-join candidate generation)."""
+    cols = [F.col(id_col), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")]
+    if bucket_col:
+        cols.append(F.col(bucket_col))
+    v = df.select(*cols)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if bucket_col:
+        cond = (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}")) & cond
+    pairs = a.join(b, cond)
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cos.alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -61,19 +83,9 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
-    All-pairs form for verification scale; at 100 TB gate it behind the LSH
-    bucket join (``lsh_bucket_col``) so only same-bucket pairs are compared."""
-    v = df.select(
-        F.col(id_col), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
-    )
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return pairs.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        cos.alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    All-pairs form for verification scale; at 100 TB use
+    ``lsh_near_dup_pairs`` so only same-bucket pairs are compared."""
+    return _pair_cosine(df, threshold, vec_col, id_col, bucket_col=None)
 
 
 def lsh_near_dup_pairs(
@@ -100,22 +112,7 @@ def lsh_near_dup_pairs(
         bucketed = df.withColumn(
             "_bucket", lsh_bucket_col(vec_col, _hyperplanes(dim, n_planes, seed))
         )
-    v = bucketed.select(
-        F.col(id_col), F.col("_bucket"), F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    )
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a._bucket") == F.col("b._bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    )
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return pairs.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        cos.alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    return _pair_cosine(bucketed, threshold, vec_col, id_col, bucket_col="_bucket")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

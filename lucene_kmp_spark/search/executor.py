@@ -1032,17 +1032,22 @@ class IndexSearcher:
         BooleanScorerSupplier role (BooleanScorerSupplier.kt:472-481 decides
         bulk-scorer strategy from clause shape + cost there; here the cost
         signal is Σdf over prunable clause terms vs doc_count)."""
+        return self._auto_prune_choice(q)[0]
+
+    def _auto_prune_choice(self, q: Query) -> tuple[str | bool, dict | None]:
+        """(strategy, prunable boosts) — boosts returned so top_k does not
+        re-run the rewrite + clause extraction."""
         if not self._is_bm25:
-            return False
+            return False, None
         boosts = self._wand_boosts(q)
         if not boosts or len(boosts) < 2:
             # single-term: nothing to outprune, the θ-seed job is pure loss
-            return False
+            return False, boosts
         stats = self.term_stats(list(boosts))
         sum_df = sum(st.df for st in stats.values())
         if sum_df >= self.AUTO_PRUNE_DF_FRACTION * self.index.stats.doc_count:
-            return "maxscore"
-        return False
+            return "maxscore", boosts
+        return False, boosts
 
     def top_k(
         self, q: Query, k: int = 10, hydrate: bool = False, prune: bool | str = "auto"
@@ -1060,10 +1065,13 @@ class IndexSearcher:
         TOP_SCORES pruning (IndexSearcher.kt:1024) with a distributed cost
         gate."""
         if prune == "auto":
-            prune = self._auto_prune(q)
-        # block-max bounds are derived from the BM25 impact formula; other
-        # similarities fall back to the exact unpruned plan
-        boosts = self._wand_boosts(q) if (prune and self._is_bm25) else None
+            prune, boosts = self._auto_prune_choice(q)
+            if not prune:
+                boosts = None
+        else:
+            # block-max bounds derive from the BM25 impact formula; other
+            # similarities fall back to the exact unpruned plan
+            boosts = self._wand_boosts(q) if (prune and self._is_bm25) else None
         if boosts is not None:
             if prune == "maxscore":
                 from lucene_kmp_spark.search.wand import topk_disjunction_maxscore as _topk

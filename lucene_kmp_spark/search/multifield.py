@@ -218,7 +218,11 @@ class MultiFieldSearcher:
         fields add joins, never per-doc work on the driver."""
         from lucene_kmp_spark.search.spans import FIELD_SEP, resolve_masks, span_freq
 
-        rewritten, per_field = resolve_masks(q, primary_field)
+        rewritten, per_field = resolve_masks(
+            q,
+            primary_field,
+            expand=lambda node, f: self.searchers[f]._expand_span_multiterms(node),
+        )
         joined = None
         col_keys: list[tuple[str, str]] = []  # (df column, pos-map key)
         for fi, (f, terms) in enumerate(sorted(per_field.items())):

@@ -204,7 +204,7 @@ def span_freq(q, pos: dict) -> float:
 FIELD_SEP = "\x00"  # joins (field, term) into one position-map key
 
 
-def resolve_masks(q, primary_field: str):
+def resolve_masks(q, primary_field: str, expand=None):
     """Rewrite a span tree containing FieldMaskingSpanQuery nodes
     (queries/spans/FieldMaskingSpanQuery.kt) into a mask-free tree whose term
     leaves are ``field\\x00term`` keys, plus the per-field term sets to fetch.
@@ -214,9 +214,12 @@ def resolve_masks(q, primary_field: str):
     on a single per-doc position map with field-qualified keys, so
     ``eval_spans`` needs no notion of fields at all.
 
+    ``expand(node, field)`` resolves SpanMultiTermWrapper nodes against the
+    right field's term dictionary (the caller owns the per-field searchers).
+
     Returns ``(rewritten, per_field)`` where ``per_field`` maps field name ->
     sorted list of raw terms needed from that field's postings."""
-    from lucene_kmp_spark.search.query import FieldMaskingSpanQuery
+    from lucene_kmp_spark.search.query import FieldMaskingSpanQuery, SpanMultiTermWrapper
 
     per_field: dict[str, set[str]] = {}
 
@@ -226,6 +229,13 @@ def resolve_masks(q, primary_field: str):
             return field + FIELD_SEP + node
         if isinstance(node, FieldMaskingSpanQuery):
             return walk(node.match, node.field)
+        if isinstance(node, SpanMultiTermWrapper):
+            if expand is None:
+                raise TypeError(
+                    "SpanMultiTermWrapper in a masked span tree needs an "
+                    "expand callback (term-dict expansion is per-field)"
+                )
+            return walk(expand(node, field), field)
         if isinstance(node, SpanTermQuery):
             per_field.setdefault(field, set()).add(node.term)
             return SpanTermQuery(field + FIELD_SEP + node.term, boost=node.boost)

@@ -248,6 +248,50 @@ def test_field_masking_span_near(masked_fields):
     assert got == expected
 
 
+def test_negative_payload_fails_at_boundary(spark):
+    from lucene_kmp_spark.index.builder import build_index
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(Exception, match="non-negative"):
+        # build_index materializes stats eagerly, so the bad payload_fn
+        # surfaces here with the clear boundary message
+        build_index(df, payload_fn=lambda t, p, s, e: p - 1).postings.count()
+
+
+def test_field_masking_with_multiterm_wrapper(masked_fields):
+    from lucene_kmp_spark.search.query import (
+        FieldMaskingSpanQuery,
+        PrefixQuery,
+        SpanMultiTermWrapper,
+        SpanNearQuery,
+        SpanTermQuery,
+    )
+
+    ms, rows = masked_fields
+    # masked prefix-expansion: any text2 token starting 'mar' (-> 'mark')
+    # adjacent after text's 'a'
+    q = SpanNearQuery(
+        (
+            SpanTermQuery("a"),
+            FieldMaskingSpanQuery(
+                SpanMultiTermWrapper(PrefixQuery("mar")), field="text2"
+            ),
+        ),
+        slop=0,
+        in_order=True,
+    )
+    got = sorted(r.doc_id for r in ms.masked_span_docset("text", q).collect())
+    expected = []
+    for doc_id, t1, t2 in rows:
+        toks1, toks2 = t1.split(), t2.lower().split()
+        if any(
+            toks1[i] == "a" and i + 1 < len(toks2) and toks2[i + 1].startswith("mar")
+            for i in range(len(toks1))
+        ):
+            expected.append(doc_id)
+    assert got == expected
+
+
 def test_field_masking_same_field_noop(masked_fields):
     from lucene_kmp_spark.search.executor import IndexSearcher
     from lucene_kmp_spark.search.query import (

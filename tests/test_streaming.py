@@ -82,14 +82,16 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     from lucene_kmp_spark.pipeline.events import session_spans
 
     exp = {
-        (r.user_id, r.session_start, r.n_events)
+        (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in session_spans(
             events.withColumn("ts", F.col("ts").cast("timestamp"))
         ).collect()
     }
     assert len(got) > 0
     for r in got:
-        assert (r.user_id, r.session_start, r.n_events) in exp, r
+        # session_end is max(event ts), matching the batch op — NOT the
+        # session_window end (last + gap)
+        assert (r.user_id, r.session_start, r.session_end, r.n_events) in exp, r
 
 
 def test_dedup_stream_drops_duplicates(spark, tmp_path):

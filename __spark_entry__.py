@@ -946,6 +946,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_embedding_lsh_pairs"] = q_emb_lsh_pairs
 
+    def _sim_query(make_sim, term="merge"):
+        def run(spark, sf_dir):
+            from lucene_kmp_spark.search.executor import IndexSearcher
+            from lucene_kmp_spark.search.query import TermQuery as TQ
+
+            s = IndexSearcher(_index_for(spark, sf_dir), dtype=np.float64, similarity=make_sim())
+            return _ranked_topk(s.execute(TQ(term)))
+
+        return run
+
+    def _mk_lmjm():
+        from lucene_kmp_spark.search.similarities import LMJelinekMercerSimilarity
+
+        return LMJelinekMercerSimilarity(lambda_=0.1)
+
+    def _mk_dfi():
+        from lucene_kmp_spark.search.similarities import DFISimilarity
+
+        return DFISimilarity("standardized")
+
+    def _mk_ib():
+        from lucene_kmp_spark.search.similarities import IBSimilarity
+
+        return IBSimilarity("spl", "df", "h2")
+
+    q["lm_jelinek_term"] = _sim_query(_mk_lmjm)
+    q["dfi_term"] = _sim_query(_mk_dfi)
+    q["ib_spl_term"] = _sim_query(_mk_ib)
+
+    def q_indri_and(spark, sf_dir):
+        # Indri AND (IndriAndScorer.kt): union of clause docs, weighted mean
+        # of per-clause IndriDirichlet log-probs with smoothing for absent
+        # terms — negative scores, higher (closer to 0) ranks first
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import IndriAndQuery
+
+        s = IndexSearcher(_index_for(spark, sf_dir), dtype=np.float64)
+        return _ranked_topk(s.execute(IndriAndQuery(("merge", "join"))))
+
+    q["indri_and_term2"] = q_indri_and
+
     return q
 
 
@@ -1412,6 +1453,103 @@ total AS (
     FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'merge') d, avgd a
   ) idf
   WHERE tf.term = 'merge'
+)"""
+        + _rank_tail("total")
+    )
+
+    # LM Jelinek-Mercer (LMJelinekMercerSimilarity.kt, lambda=0.1):
+    # ln(1 + ((1-lam)*tf/dl) / (lam*p)), p = (ttf+1)/(sumTTF+1)
+    o["lm_jelinek_term"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT tf.doc_id,
+         ln(1 + ((1 - 0.1) * tf.tf / norm.qdl) / (0.1 * pw.p)) AS s
+  FROM tf
+  JOIN norm USING (doc_id)
+  CROSS JOIN (
+    SELECT (t.ttf + 1.0) / (n.sum_ttf + 1.0) AS p
+    FROM (SELECT sum(tf)::BIGINT AS ttf FROM tf WHERE term = 'merge') t, nstats n
+  ) pw
+  WHERE tf.term = 'merge'
+)"""
+        + _rank_tail("total")
+    )
+
+    # DFI standardized (DFISimilarity.kt): expected = (F+1)*dl/(T+1);
+    # 0 if tf <= expected else log2((tf-expected)/sqrt(expected) + 1)
+    o["dfi_term"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT doc_id,
+         CASE WHEN tf <= expected THEN 0.0
+              ELSE ln((tf - expected) / sqrt(expected) + 1) / ln(2) END AS s
+  FROM (
+    SELECT tf.doc_id, tf.tf::DOUBLE AS tf,
+           (st.F + 1.0) * norm.qdl / (st.T + 1.0) AS expected
+    FROM tf
+    JOIN norm USING (doc_id)
+    CROSS JOIN (
+      SELECT (SELECT sum(tf)::BIGINT FROM tf WHERE term = 'merge') AS F,
+             (SELECT sum_ttf FROM nstats) AS T
+    ) st
+    WHERE tf.term = 'merge'
+  )
+)"""
+        + _rank_tail("total")
+    )
+
+    # IB SPL/DF/H2 (IBSimilarity.kt, DistributionSPL.kt, LambdaDF.kt):
+    # lam = float32((df+1)/(N+1)); tfn = tf*log2(1 + avgdl/dl);
+    # q = 1 - 1/(tfn+1); s = -ln((lam^q - lam)/(1 - lam))
+    o["ib_spl_term"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT tf.doc_id,
+         -ln((pow(lw.lam, 1 - 1 / (tf.tf * ln(1 + avgd.avgdl / norm.qdl) / ln(2) + 1))
+              - lw.lam) / (1 - lw.lam)) AS s
+  FROM tf
+  JOIN norm USING (doc_id)
+  CROSS JOIN avgd
+  CROSS JOIN (
+    SELECT ((d.df + 1.0) / (a.n_docs + 1.0))::REAL::DOUBLE AS lam
+    FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'merge') d, avgd a
+  ) lw
+  WHERE tf.term = 'merge'
+)"""
+        + _rank_tail("total")
+    )
+
+    # Indri AND over 2 terms (IndriAndScorer.kt): union of matching docs,
+    # mean of per-term ln((tf + mu*p)/(dl + mu)), tf=0 smoothing for absent,
+    # p = ttf/sumTTF (IndriCollectionModel), mu = 2000
+    o["indri_and_term2"] = (
+        _PRELUDE
+        + """,
+ps AS (
+  SELECT (SELECT COALESCE(sum(tf), 0)::DOUBLE FROM tf WHERE term = 'merge')
+           / (SELECT sum_ttf FROM nstats) AS p1,
+         (SELECT COALESCE(sum(tf), 0)::DOUBLE FROM tf WHERE term = 'join')
+           / (SELECT sum_ttf FROM nstats) AS p2
+),
+matched AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge', 'join')
+),
+pertf AS (
+  SELECT m.doc_id,
+         COALESCE((SELECT tf FROM tf WHERE tf.doc_id = m.doc_id AND term = 'merge'), 0) AS tf1,
+         COALESCE((SELECT tf FROM tf WHERE tf.doc_id = m.doc_id AND term = 'join'), 0) AS tf2
+  FROM matched m
+),
+total AS (
+  SELECT pertf.doc_id,
+         (ln((tf1 + 2000.0 * ps.p1) / (norm.qdl + 2000.0))
+          + ln((tf2 + 2000.0 * ps.p2) / (norm.qdl + 2000.0))) / 2 AS s
+  FROM pertf
+  JOIN norm ON norm.doc_id = pertf.doc_id
+  CROSS JOIN ps
 )"""
         + _rank_tail("total")
     )

@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 
 from lucene_kmp_spark.index.builder import InvertedIndex
 from lucene_kmp_spark.search import bm25
+from lucene_kmp_spark.util.smallfloat import LENGTH_TABLE
 from lucene_kmp_spark.search.sloppy import sloppy_freq
 from lucene_kmp_spark.search.query import (
     BooleanClause,
@@ -50,6 +51,7 @@ from lucene_kmp_spark.search.query import (
     FeatureQuery,
     FieldExistsQuery,
     FuzzyQuery,
+    IndriAndQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     MultiPhraseQuery,
@@ -533,6 +535,8 @@ class IndexSearcher:
             return self.index.spark.createDataFrame([], schema="doc_id long, score double")
         if isinstance(q, DisjunctionMaxQuery):
             return self._exec_dismax(q)
+        if isinstance(q, IndriAndQuery):
+            return self._exec_indri_and(q)
         if isinstance(q, ColumnFilterQuery):
             return self._doc_set(q).withColumn("score", F.lit(0.0))
         if isinstance(q, FieldExistsQuery):
@@ -759,6 +763,50 @@ class IndexSearcher:
                 yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "score": sc.astype(np.float64)})
 
         return agg.mapInPandas(gen, schema="doc_id long, score double")
+
+    def _exec_indri_and(self, q: "IndriAndQuery") -> DataFrame:
+        """Indri AND (IndriAndScorer.kt:21-46 scoreDoc): match the UNION of
+        clause docs; per doc each clause contributes its IndriDirichlet
+        log-prob if the term occurs, else the smoothing (background) score —
+        weighted mean over clause weights. Plan: ONE freqs scan pivoted per
+        doc + a norms join (docLen is needed even for absent clauses), one
+        Arrow pass for the kernel. The per-clause kernel is exactly
+        IndriDirichletSimilarity's formula (score and smoothing coincide as
+        tf->0, so one expression covers both branches)."""
+        stats = self.term_stats(list(q.terms))
+        live = [(t, w) for t, w in zip(
+            q.terms, q.weights or (1.0,) * len(q.terms)
+        ) if t in stats]
+        if not live:
+            return self._exec(MatchNoDocsQuery())
+        s = self.index.stats
+        mu = float(q.mu)
+        ps = [stats[t].ttf / float(s.sum_total_term_freq) for t, _ in live]
+        ws = [float(w) for _, w in live]
+        w_sum = sum(ws)
+        outer = float(q.boost)
+
+        tf = self.term_freqs([t for t, _ in live])
+        aggs = [
+            F.first(F.when(F.col("term") == t, F.col("tf")), ignorenulls=True).alias(f"_tf_{i}")
+            for i, (t, _) in enumerate(live)
+        ]
+        pivot = tf.groupBy("doc_id").agg(*aggs)
+        joined = pivot.join(self.index.norms, "doc_id")
+        tf_cols = [f"_tf_{i}" for i in range(len(live))]
+
+        def gen(batches):
+            for pdf in batches:
+                dl = LENGTH_TABLE[pdf["norm"].values.astype(np.int64) & 0xFF].astype(np.float64)
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for c, p, w in zip(tf_cols, ps, ws):
+                    tfv = pdf[c].values.astype(np.float64)
+                    tfv = np.nan_to_num(tfv, nan=0.0)  # absent clause -> tf 0
+                    acc += w * np.log((tfv + mu * p) / (dl + mu))
+                sc = outer * acc / w_sum
+                yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "score": sc})
+
+        return joined.mapInPandas(gen, schema="doc_id long, score double")
 
     def _exec_boolean(self, q: BooleanQuery) -> DataFrame:
         musts = [c.query for c in q.clauses if c.occur == Occur.MUST]
@@ -1269,7 +1317,7 @@ def _collect_terms(q: Query) -> set[str]:
     out: set[str] = set()
     if isinstance(q, TermQuery):
         out.add(q.term)
-    elif isinstance(q, (PhraseQuery, SynonymQuery)):
+    elif isinstance(q, (PhraseQuery, SynonymQuery, IndriAndQuery)):
         out.update(q.terms)
     elif isinstance(q, (SpanNearQuery, SpanTermQuery, SpanOrQuery, SpanNotQuery, SpanFirstQuery)):
         from lucene_kmp_spark.search.spans import span_terms

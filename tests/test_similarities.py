@@ -180,3 +180,114 @@ def test_axiomatic_f2exp(env):
         dl = float(LENGTH_TABLE[st.norm[d]])
         exp = (tf / (tf + 0.25 + 0.25 * dl / avgdl)) * idf
         assert abs(got[d] - np.float32(exp)) < 1e-6, d
+
+
+def test_lm_jelinek_mercer(env):
+    from lucene_kmp_spark.search.similarities import LMJelinekMercerSimilarity
+
+    idx, rows = env
+    st = CorpusStats(rows)
+    t, lam = "hope", 0.1
+    got = _scores(idx, TermQuery(t), LMJelinekMercerSimilarity(lambda_=lam))
+    p = (st.ttf(t) + 1.0) / (st.sum_ttf + 1.0)
+    assert set(got) == set(st.tf[t])
+    for d, tf in st.tf[t].items():
+        dl = float(LENGTH_TABLE[st.norm[d]])
+        exp = math.log(1 + ((1 - lam) * tf / dl) / (lam * p))
+        assert abs(got[d] - np.float32(exp)) < 1e-6, d
+
+
+def test_dfi_similarity(env):
+    from lucene_kmp_spark.search.similarities import DFISimilarity
+
+    idx, rows = env
+    st = CorpusStats(rows)
+    t = "hope"
+    got = _scores(idx, TermQuery(t), DFISimilarity("standardized"))
+    assert set(got) == set(st.tf[t])
+    for d, tf in st.tf[t].items():
+        dl = float(LENGTH_TABLE[st.norm[d]])
+        expected = (st.ttf(t) + 1.0) * dl / (st.sum_ttf + 1.0)
+        if tf <= expected:
+            exp = 0.0
+        else:
+            exp = math.log2((tf - expected) / math.sqrt(expected) + 1)
+        assert abs(got[d] - np.float32(exp)) < 1e-6, d
+
+
+def test_indri_dirichlet_similarity(env):
+    from lucene_kmp_spark.search.similarities import IndriDirichletSimilarity
+
+    idx, rows = env
+    st = CorpusStats(rows)
+    t, mu = "hope", 2000.0
+    got = _scores(idx, TermQuery(t), IndriDirichletSimilarity(mu=mu))
+    p = st.ttf(t) / float(st.sum_ttf)  # IndriCollectionModel: no +1s
+    assert set(got) == set(st.tf[t])
+    for d, tf in st.tf[t].items():
+        dl = float(LENGTH_TABLE[st.norm[d]])
+        exp = math.log((tf + mu * p) / (dl + mu))  # negative log-prob
+        assert abs(got[d] - np.float32(exp)) < 1e-6, d
+
+
+def test_ib_similarity_ll_and_spl(env):
+    from lucene_kmp_spark.search.similarities import IBSimilarity
+
+    idx, rows = env
+    st = CorpusStats(rows)
+    t = "hope"
+    avgdl = st.sum_ttf / float(st.doc_count)
+    lam = float(np.float32((st.df(t) + 1.0) / (st.doc_count + 1.0)))
+
+    got_ll = _scores(idx, TermQuery(t), IBSimilarity("ll", "df", "h2"))
+    got_spl = _scores(idx, TermQuery(t), IBSimilarity("spl", "df", "h2"))
+    for d, tf in st.tf[t].items():
+        dl = float(LENGTH_TABLE[st.norm[d]])
+        tfn = tf * math.log2(1 + avgdl / dl)
+        exp_ll = -math.log(lam / (tfn + lam))
+        assert abs(got_ll[d] - np.float32(exp_ll)) < 1e-6, d
+        q = 1 - 1 / (tfn + 1)
+        exp_spl = -math.log((lam ** q - lam) / (1 - lam))
+        assert abs(got_spl[d] - np.float32(exp_spl)) < 1e-5, d
+
+
+def test_raw_tf_and_multi(env):
+    from lucene_kmp_spark.search.similarities import (
+        MultiSimilarity,
+        RawTFSimilarity,
+    )
+
+    idx, rows = env
+    st = CorpusStats(rows)
+    t = "hope"
+    got = _scores(idx, TermQuery(t), RawTFSimilarity())
+    for d, tf in st.tf[t].items():
+        assert got[d] == float(tf), d
+    # MultiSimilarity sums sub-scores: RawTF + RawTF == 2*tf
+    got2 = _scores(idx, TermQuery(t), MultiSimilarity((RawTFSimilarity(), RawTFSimilarity())))
+    for d, tf in st.tf[t].items():
+        assert got2[d] == 2.0 * tf, d
+
+
+def test_indri_and_query(env):
+    from lucene_kmp_spark.search.query import IndriAndQuery
+
+    idx, rows = env
+    st = CorpusStats(rows)
+    s = IndexSearcher(idx, dtype=np.float64)
+    terms, mu = ("hope", "light"), 2000.0
+    got = {r["doc_id"]: r["score"] for r in s.execute(IndriAndQuery(terms, mu=mu)).collect()}
+    # union of matching docs
+    union = set(st.tf[terms[0]]) | set(st.tf[terms[1]])
+    assert set(got) == union
+    ps = {t: st.ttf(t) / float(st.sum_ttf) for t in terms}
+    for d in union:
+        dl = float(LENGTH_TABLE[st.norm[d]])
+        exp = 0.0
+        for t in terms:
+            tf = st.tf[t].get(d, 0)  # absent -> smoothing score (tf = 0)
+            exp += math.log((tf + mu * ps[t]) / (dl + mu))
+        exp /= len(terms)
+        assert abs(got[d] - exp) < 1e-9, d
+    # ranking sanity: a doc with both terms outranks same-length docs with one
+    assert all(v < 0 for v in got.values())  # negative log-probs

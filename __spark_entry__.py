@@ -987,6 +987,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["indri_and_term2"] = q_indri_and
 
+    def q_sort_missing(spark, sf_dir):
+        # SortField expression sort + missing-value policy (SortField.kt
+        # missingValue; expressions = the CUSTOM type): derived key is NULL
+        # for every 7th doc, descending with NULLS LAST
+        from lucene_kmp_spark.search.query import SortField, TermQuery as TQ
+
+        s = _searcher64(spark, sf_dir)
+        sf = SortField(
+            expr="CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END",
+            ascending=False,
+            missing_last=True,
+            name="key",
+        )
+        return s.search_sorted(TQ("merge"), [sf], k=15)
+
+    q["sort_expr_missing_last"] = q_sort_missing
+
     return q
 
 
@@ -1552,6 +1569,17 @@ total AS (
   CROSS JOIN ps
 )"""
         + _rank_tail("total")
+    )
+
+    # expression sort, descending, NULLS LAST (every 7th doc's key is NULL)
+    o["sort_expr_missing_last"] = (
+        _PRELUDE
+        + """
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE d.n_chars END AS key
+FROM documents d JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge') m USING (doc_id)
+ORDER BY key DESC NULLS LAST, d.doc_id ASC LIMIT 15
+"""
     )
 
     # ---- stats ----

@@ -183,6 +183,19 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
         t = time.perf_counter()
         similarity.cosine_topk(emb, qvec, k=10).collect()
         times["p_ann_cosine_topk"] = round(time.perf_counter() - t, 3)
+
+        t = time.perf_counter()
+        similarity.lsh_near_dup_pairs(emb, threshold=0.4, n_planes=3).count()
+        times["p_lsh_near_dup"] = round(time.perf_counter() - t, 3)
+
+    ev_path = f"{sf_dir}/events.parquet"
+    if os.path.exists(ev_path):
+        from lucene_kmp_spark.pipeline.events import sessionize
+
+        ev = spark.read.parquet(ev_path)
+        t = time.perf_counter()
+        sessionize(ev).count()
+        times["p_sessionize"] = round(time.perf_counter() - t, 3)
     docs_pq.unpersist()
     return times
 

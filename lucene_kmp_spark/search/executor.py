@@ -1269,18 +1269,40 @@ class IndexSearcher:
             return {"match": False, "value": 0.0, "description": "doc does not match"}
         return {"match": True, "value": float(row[0]["score"]), "description": type(q).__name__}
 
-    def search_sorted(self, q: Query, sort: list[tuple[str, bool]], k: int = 10) -> DataFrame:
+    def search_sorted(self, q: Query, sort: list, k: int = 10) -> DataFrame:
         """Sort-by-field top-k (TopFieldCollector.kt:21, SortField.kt:59-113):
         match set (ScoreMode.COMPLETE_NO_SCORES) joined to the stored-field /
         doc-value columns, ``ORDER BY field... , doc_id LIMIT k`` — Spark's
-        TakeOrderedAndProject is the distributed field collector. ``sort`` is
-        [(column, ascending)]; docID asc is the final tiebreak."""
+        TakeOrderedAndProject is the distributed field collector. ``sort``
+        entries are ``(column, ascending)`` tuples or ``SortField`` values
+        (expression sorts, min/max selectors over multi-valued columns,
+        missing-value first/last policy); docID asc is the final tiebreak."""
+        from lucene_kmp_spark.search.query import SortField
+
+        fields = [
+            sf if isinstance(sf, SortField) else SortField(column=sf[0], ascending=sf[1])
+            for sf in sort
+        ]
         matches = self._live(self._doc_set(rewrite_query(q)))
         joined = matches.join(self.index.docs, "doc_id")
-        cols = [F.asc(c) if asc else F.desc(c) for c, asc in sort]
-        return joined.orderBy(*cols, F.asc("doc_id")).limit(k).select(
-            "doc_id", *[c for c, _ in sort]
-        )
+        order, out_names = [], []
+        for i, sf in enumerate(fields):
+            key = F.expr(sf.expr) if sf.expr is not None else F.col(sf.column)
+            if sf.selector == "min":
+                key = F.array_min(key)
+            elif sf.selector == "max":
+                key = F.array_max(key)
+            name = sf.name or sf.column or f"sort_key_{i}"
+            joined = joined.withColumn(name, key)
+            out_names.append(name)
+            col = F.col(name)
+            if sf.missing_last is None:
+                order.append(col.asc() if sf.ascending else col.desc())
+            elif sf.missing_last:
+                order.append(col.asc_nulls_last() if sf.ascending else col.desc_nulls_last())
+            else:
+                order.append(col.asc_nulls_first() if sf.ascending else col.desc_nulls_first())
+        return joined.orderBy(*order, F.asc("doc_id")).limit(k).select("doc_id", *out_names)
 
     def rescore(
         self, first: Query, second: Query, window: int = 100, weight: float = 1.0, k: int = 10

@@ -276,6 +276,26 @@ class SpanMultiTermWrapper(Query):
 
 
 @dataclass(frozen=True)
+class SortField:
+    """Sort key for ``search_sorted`` (search/SortField.kt:59-113 types +
+    missing-value policy; SortedNumericSortField/SortedSetSortField
+    selectors). ``column`` names a stored/doc-value column; ``expr`` is a SQL
+    expression instead (the CUSTOM sort type — Catalyst evaluates it);
+    ``selector`` picks min/max from a multi-valued (array) column
+    (SortedNumericSelector.Type MIN/MAX); ``missing_last`` forces docs with
+    null keys to the end regardless of direction (the missingValue
+    first/last policy — arbitrary sentinel missing values reduce to a
+    COALESCE in ``expr``)."""
+
+    column: str | None = None
+    ascending: bool = True
+    missing_last: bool | None = None
+    selector: str | None = None  # None | "min" | "max"
+    expr: str | None = None
+    name: str | None = None  # output column alias (required for expr sorts)
+
+
+@dataclass(frozen=True)
 class IndriAndQuery(Query):
     """Indri-style AND (search/IndriAndQuery.kt + IndriAndScorer.kt:21-46):
     matches the UNION of clause docs; per doc,

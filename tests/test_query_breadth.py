@@ -235,3 +235,43 @@ def test_term_range_non_bmp_byte_order(spark):
         got = {r["doc_id"] for r in s.execute(q).collect()}
         exp = set(naive.scores(q))
         assert got == exp, (lo, hi)
+
+
+def test_sort_field_selector_and_missing(spark):
+    """SortField upgrades: array min/max selector (SortedNumericSortField
+    selector types) + missing-value NULLS LAST policy + expression sorts."""
+    from lucene_kmp_spark.index import build_index
+    from lucene_kmp_spark.search.executor import IndexSearcher
+    from lucene_kmp_spark.search.query import MatchAllDocsQuery, SortField
+
+    rows = [
+        (0, "alpha", [3, 9]),
+        (1, "alpha", [5, 6]),
+        (2, "alpha", None),
+        (3, "alpha", [1, 20]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, vals array<int>")
+    idx = build_index(df)
+    s = IndexSearcher(idx)
+
+    got = s.search_sorted(
+        MatchAllDocsQuery(), [SortField(column="vals", selector="max", ascending=False,
+                                        missing_last=True)], k=10
+    ).collect()
+    assert [r.doc_id for r in got] == [3, 0, 1, 2]  # max 20, 9, 6, null last
+
+    got = s.search_sorted(
+        MatchAllDocsQuery(), [SortField(column="vals", selector="min", ascending=True,
+                                        missing_last=True)], k=10
+    ).collect()
+    assert [r.doc_id for r in got] == [3, 0, 1, 2]  # min 1, 3, 5, null last
+
+    got = s.search_sorted(
+        MatchAllDocsQuery(), [SortField(expr="doc_id * 2", name="dk", ascending=False)], k=2
+    ).collect()
+    assert [r.doc_id for r in got] == [3, 2] and got[0]["dk"] == 6
+
+    # legacy tuple form still works
+    got = s.search_sorted(MatchAllDocsQuery(), [("doc_id", False)], k=1).collect()
+    assert got[0].doc_id == 3
+    idx.unpersist()

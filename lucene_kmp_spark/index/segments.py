@@ -57,14 +57,36 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-class SegmentedIndexWriter:
-    """Append/delete/update over a directory of immutable segments."""
+LOG_MERGE_FACTOR = 10             # LogMergePolicy.kt DEFAULT_MERGE_FACTOR
+LOG_MIN_MERGE_DOCS = 1000         # LogDocMergePolicy.kt DEFAULT_MIN_MERGE_DOCS
+LOG_MIN_MERGE_BYTES = 1 << 21     # LogByteSizeMergePolicy.kt ~1.6-2 MB floor
 
-    def __init__(self, spark: SparkSession, root: str, key_cols=("conv_id", "turn_idx"), text_col="text"):
+
+class SegmentedIndexWriter:
+    """Append/delete/update over a directory of immutable segments.
+
+    ``merge_policy``: ``"tiered"`` (default, TieredMergePolicy.kt),
+    ``"log_doc"`` / ``"log_bytes"`` (LogDocMergePolicy.kt /
+    LogByteSizeMergePolicy.kt: segments bucket into log_{mergeFactor} size
+    levels; ``merge_factor`` CONSECUTIVE segments at a level merge — log
+    policies never reorder segments), or ``"none"`` (NoMergePolicy.kt)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols=("conv_id", "turn_idx"),
+        text_col="text",
+        merge_policy: str = "tiered",
+        merge_factor: int = LOG_MERGE_FACTOR,
+    ):
+        assert merge_policy in ("tiered", "log_doc", "log_bytes", "none")
         self.spark = spark
         self.root = root
         self.key_cols = tuple(key_cols)
         self.text_col = text_col
+        self.merge_policy = merge_policy
+        self.merge_factor = int(merge_factor)
         os.makedirs(os.path.join(root, "segments"), exist_ok=True)
         if not os.path.exists(self._manifest_path()):
             self._write_manifest({"generation": 0, "segments": [], "deletes": [], "batches": {}})
@@ -165,11 +187,51 @@ class SegmentedIndexWriter:
         return self.add_batch(df, batch_key=batch_key)
 
     # --------------------------------------------------------------- reader
-    def reader(self) -> "SegmentedReader":
-        return SegmentedReader(self.spark, self.root, self.manifest(), self.text_col, self.key_cols)
+    def reader(self, snapshot: str | None = None) -> "SegmentedReader":
+        """Point-in-time reader over the current commit, or over a pinned
+        snapshot's manifest (SnapshotDeletionPolicy.getSnapshot view)."""
+        m = self._snapshot_manifest(snapshot) if snapshot else self.manifest()
+        return SegmentedReader(self.spark, self.root, m, self.text_col, self.key_cols)
 
     # ---------------------------------------------------------------- merge
     def find_merges(self) -> list[list[dict]]:
+        """Merge selection per the configured policy."""
+        if self.merge_policy == "none":
+            return []  # NoMergePolicy.kt: never merges, never deletes
+        if self.merge_policy in ("log_doc", "log_bytes"):
+            return self._find_merges_log()
+        return self._find_merges_tiered()
+
+    def _find_merges_log(self) -> list[list[dict]]:
+        """LogMergePolicy.kt selection: each segment's level =
+        floor(log_{mergeFactor}(max(size, minSize))); scanning in COMMIT
+        ORDER (log policies keep segments contiguous), every run of
+        ``merge_factor`` consecutive segments whose level does not exceed the
+        run's starting level merges into one."""
+        import math
+
+        m = self.manifest()
+        size_of = (
+            (lambda s: max(s["n_docs"], LOG_MIN_MERGE_DOCS))
+            if self.merge_policy == "log_doc"
+            else (lambda s: max(s["bytes"], LOG_MIN_MERGE_BYTES))
+        )
+        segs = m["segments"]
+        levels = [int(math.log(size_of(s), self.merge_factor)) for s in segs]
+        merges, i = [], 0
+        while i < len(segs):
+            # the run's level is the max level in the next merge_factor window
+            end = min(i + self.merge_factor, len(segs))
+            run_level = max(levels[i:end], default=0)
+            j = i
+            while j < len(segs) and levels[j] <= run_level and j - i < self.merge_factor:
+                j += 1
+            if j - i >= self.merge_factor:
+                merges.append(segs[i:j])
+            i = j if j > i else i + 1
+        return merges
+
+    def _find_merges_tiered(self) -> list[list[dict]]:
         """TieredMergePolicy-flavored selection: bucket segments into size
         tiers (floored at 16 MB); any tier with > SEGMENTS_PER_TIER members
         yields a merge of its smallest SEGMENTS_PER_TIER, capped at 5 GB."""
@@ -238,6 +300,54 @@ class SegmentedIndexWriter:
         for group in self.find_merges():
             done.append(self.merge(group))
         return done
+
+    # --------------------------------------------- snapshots / deletion policy
+    def snapshot(self) -> str:
+        """SnapshotDeletionPolicy.kt: pin the CURRENT commit so its segment
+        files survive later merges/purges. Returns the snapshot id; the
+        pinned manifest copy lives in ``snapshots/`` and can be opened with
+        ``reader(snapshot=...)`` for a true point-in-time view."""
+        m = self.manifest()
+        snap_id = f"snap-{m['generation']:05d}"
+        os.makedirs(os.path.join(self.root, "snapshots"), exist_ok=True)
+        path = os.path.join(self.root, "snapshots", snap_id + ".json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, path)
+        return snap_id
+
+    def release(self, snap_id: str):
+        """SnapshotDeletionPolicy.release: un-pin; files become purgeable."""
+        os.remove(os.path.join(self.root, "snapshots", snap_id + ".json"))
+
+    def snapshots(self) -> list[str]:
+        d = os.path.join(self.root, "snapshots")
+        if not os.path.isdir(d):
+            return []
+        return sorted(f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json"))
+
+    def _snapshot_manifest(self, snap_id: str) -> dict:
+        with open(os.path.join(self.root, "snapshots", snap_id + ".json")) as f:
+            return json.load(f)
+
+    def purge_unreferenced(self) -> list[str]:
+        """IndexDeletionPolicy enforcement (KeepOnlyLastCommitDeletionPolicy.kt
+        + snapshot pins): delete segment directories referenced by neither
+        the current manifest nor any live snapshot. Merged-away segments
+        stay on disk until this runs — snapshots keep them recoverable."""
+        referenced = {s["id"] for s in self.manifest()["segments"]}
+        for snap_id in self.snapshots():
+            referenced |= {s["id"] for s in self._snapshot_manifest(snap_id)["segments"]}
+        removed = []
+        seg_root = os.path.join(self.root, "segments")
+        import shutil
+
+        for d in sorted(os.listdir(seg_root)):
+            if d not in referenced:
+                shutil.rmtree(os.path.join(seg_root, d))
+                removed.append(d)
+        return removed
 
     def _deletes_df(self) -> DataFrame | None:
         m = self.manifest()

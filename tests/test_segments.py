@@ -192,3 +192,78 @@ def test_merged_index_passes_check_index(spark, tmp_path):
     }
     assert not ({d for d, _ in got} & deleted_keys)
     corpus.unpersist()
+
+
+def test_log_and_none_merge_policies(spark, tmp_path):
+    """LogDocMergePolicy / NoMergePolicy selection (LogMergePolicy.kt levels
+    over consecutive segments; NoMergePolicy.kt never merges)."""
+    from lucene_kmp_spark.data.transcripts import synth_transcripts
+    from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+
+    corpus = synth_transcripts(spark, n_convs=9, seed=31).persist()
+    w = SegmentedIndexWriter(
+        spark, str(tmp_path / "logidx"), merge_policy="log_doc", merge_factor=3
+    )
+    for i in range(3):
+        lo, hi = f"conv-{3*i:08d}", f"conv-{3*(i+1):08d}"
+        w.add_batch(
+            corpus.filter((F.col("conv_id") >= lo) & (F.col("conv_id") < hi)),
+            batch_key=f"b{i}",
+        )
+    # 3 equal-size segments at one level with merge_factor=3 -> one merge of all 3
+    merges = w.find_merges()
+    assert len(merges) == 1 and len(merges[0]) == 3
+    before = w.reader()
+    total = before.index.stats.doc_count
+    w.maybe_merge()
+    m = w.manifest()
+    assert len(m["segments"]) == 1
+    assert w.reader().index.stats.doc_count == total
+
+    w2 = SegmentedIndexWriter(spark, str(tmp_path / "noidx"), merge_policy="none")
+    for i in range(3):
+        lo, hi = f"conv-{3*i:08d}", f"conv-{3*(i+1):08d}"
+        w2.add_batch(
+            corpus.filter((F.col("conv_id") >= lo) & (F.col("conv_id") < hi)),
+            batch_key=f"b{i}",
+        )
+    assert w2.find_merges() == []
+    corpus.unpersist()
+
+
+def test_snapshot_deletion_policy(spark, tmp_path):
+    """SnapshotDeletionPolicy: a pinned commit survives merge + purge and
+    serves the point-in-time view; released snapshots are purgeable
+    (KeepOnlyLastCommit default otherwise)."""
+    import os
+
+    from lucene_kmp_spark.data.transcripts import synth_transcripts
+    from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+    from lucene_kmp_spark.search.query import TermQuery
+
+    corpus = synth_transcripts(spark, n_convs=8, seed=37).persist()
+    root = str(tmp_path / "snapidx")
+    w = SegmentedIndexWriter(spark, root, merge_policy="log_doc", merge_factor=2)
+    w.add_batch(corpus.filter(F.col("conv_id") < "conv-00000004"), batch_key="b0")
+    w.add_batch(corpus.filter(F.col("conv_id") >= "conv-00000004"), batch_key="b1")
+    snap = w.snapshot()
+    pre_ids = {s["id"] for s in w.manifest()["segments"]}
+    pre_count = w.reader().searcher().count(TermQuery("the"))
+
+    w.maybe_merge()  # 2 segments at one level, factor 2 -> merged
+    assert len(w.manifest()["segments"]) == 1
+    removed = w.purge_unreferenced()
+    assert removed == []  # snapshot pins the pre-merge segments
+    for sid in pre_ids:
+        assert os.path.isdir(os.path.join(root, "segments", sid))
+
+    # the snapshot reader is a true point-in-time view
+    snap_reader = w.reader(snapshot=snap)
+    assert snap_reader.searcher().count(TermQuery("the")) == pre_count
+
+    w.release(snap)
+    removed = w.purge_unreferenced()
+    assert set(removed) == pre_ids
+    # current reader unaffected
+    assert w.reader().searcher().count(TermQuery("the")) == pre_count
+    corpus.unpersist()

@@ -272,16 +272,19 @@ def main():
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
         n_convs_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "16000"))
         hi_cores = lo_cores * 4
-        lo = _scaling_subprocess(lo_cores, n_convs_scaling)
-        hi = _scaling_subprocess(hi_cores, n_convs_scaling)
-        result["scaling"] = {
-            "n_turns": hi["n_turns"],
-            "n_cores": lo_cores,
-            "n_turns_per_sec": lo["turns_per_sec"],
-            "4n_cores": hi_cores,
-            "4n_turns_per_sec": hi["turns_per_sec"],
-            "efficiency": round(hi["turns_per_sec"] / (4.0 * lo["turns_per_sec"]), 3),
-        }
+        try:
+            lo = _scaling_subprocess(lo_cores, n_convs_scaling)
+            hi = _scaling_subprocess(hi_cores, n_convs_scaling)
+            result["scaling"] = {
+                "n_turns": hi["n_turns"],
+                "n_cores": lo_cores,
+                "n_turns_per_sec": lo["turns_per_sec"],
+                "4n_cores": hi_cores,
+                "4n_turns_per_sec": hi["turns_per_sec"],
+                "efficiency": round(hi["turns_per_sec"] / (4.0 * lo["turns_per_sec"]), 3),
+            }
+        except Exception as e:  # a hung/timed-out subprocess must not void the main numbers
+            result["scaling_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps(result))
 

@@ -562,6 +562,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = q_ann
 
+    def q_knn_cosine(spark, sf_dir):
+        # KnnFloatVectorQuery surface (search/knn.py): exact cosine top-k
+        # with the reference's non-negative (1+cos)/2 mapping
+        # (VectorSimilarityFunction.kt:50-58)
+        from lucene_kmp_spark.search.query import KnnFloatVectorQuery
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        s = _searcher64(spark, sf_dir)
+        s.vectors = emb.withColumnRenamed("vec_id", "doc_id")
+        res = s.execute(
+            KnnFloatVectorQuery(tuple(qvec), k=TOPK + 20, fn="cosine",
+                                filter_predicate="doc_id != 0")
+        )
+        return _ranked_topk(res.withColumnRenamed("doc_id", "vec_id"), id_col="vec_id")
+
+    q["knn_cosine_topk"] = q_knn_cosine
+
+    def q_knn_euclidean(spark, sf_dir):
+        # pre-filtered euclidean kNN: candidates restricted BEFORE top-k
+        # (AbstractKnnVectorQuery.kt); score = 1/(1+||v-q||^2)
+        from lucene_kmp_spark.search.query import KnnFloatVectorQuery
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        s = _searcher64(spark, sf_dir)
+        s.vectors = emb.withColumnRenamed("vec_id", "doc_id")
+        res = s.execute(
+            KnnFloatVectorQuery(tuple(qvec), k=TOPK + 20, fn="euclidean",
+                                filter_predicate="doc_id % 3 = 1")
+        )
+        return _ranked_topk(res.withColumnRenamed("doc_id", "vec_id"), id_col="vec_id")
+
+    q["knn_euclidean_filtered"] = q_knn_euclidean
+
     def q_ann_ivf(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -925,6 +960,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dfr_term"] = q_dfr
 
+    def q_dfr_g(spark, sf_dir):
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+        from lucene_kmp_spark.search.similarities import DFRSimilarity
+
+        s = IndexSearcher(
+            _index_for(spark, sf_dir),
+            dtype=np.float64,
+            similarity=DFRSimilarity(basic_model="G", after_effect="L", normalization="H2"),
+        )
+        return _ranked_topk(s.execute(TQ("merge")))
+
+    q["dfr_g_term"] = q_dfr_g
+
+    def q_dfr_ine_z(spark, sf_dir):
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+        from lucene_kmp_spark.search.similarities import DFRSimilarity
+
+        s = IndexSearcher(
+            _index_for(spark, sf_dir),
+            dtype=np.float64,
+            similarity=DFRSimilarity(basic_model="Ine", after_effect="B",
+                                     normalization="Z", z=0.30),
+        )
+        return _ranked_topk(s.execute(TQ("merge")))
+
+    q["dfr_ine_z_term"] = q_dfr_ine_z
+
     def q_axiomatic(spark, sf_dir):
         from lucene_kmp_spark.search.executor import IndexSearcher
         from lucene_kmp_spark.search.query import TermQuery as TQ
@@ -936,6 +1000,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ranked_topk(s.execute(TQ("merge")))
 
     q["axiomatic_term"] = q_axiomatic
+
+    def q_axiomatic_f1exp(spark, sf_dir):
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+        from lucene_kmp_spark.search.similarities import AxiomaticSimilarity
+
+        s = IndexSearcher(
+            _index_for(spark, sf_dir), dtype=np.float64,
+            similarity=AxiomaticSimilarity("F1EXP"),
+        )
+        return _ranked_topk(s.execute(TQ("merge")))
+
+    q["axiomatic_f1exp_term"] = q_axiomatic_f1exp
+
+    def q_axiomatic_f3log(spark, sf_dir):
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+        from lucene_kmp_spark.search.similarities import AxiomaticSimilarity
+
+        s = IndexSearcher(
+            _index_for(spark, sf_dir), dtype=np.float64,
+            similarity=AxiomaticSimilarity("F3LOG"),
+        )
+        return _ranked_topk(s.execute(TQ("merge")))
+
+    q["axiomatic_f3log_term"] = q_axiomatic_f3log
 
     def q_emb_lsh_pairs(spark, sf_dir):
         # composed bucketed near-dup path: LSH sign-bucket equi-join ->
@@ -1454,6 +1544,57 @@ total AS (
         + _rank_tail("total")
     )
 
+    # DFR G/L/H2 (BasicModelG.kt:33-48, AfterEffectL, NormalizationH2):
+    # lam = (F+1)/(N+F+1), A = log2(lam+1), B = log2((1+lam)/lam),
+    # score = B - (B-A)/(1+tfn), tfn = tf*log2(1 + avgdl/dl)
+    o["dfr_g_term"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT tf.doc_id,
+         st.B - (st.B - st.A) /
+           (1 + tf.tf * ln(1 + avgd.avgdl / norm.qdl) / ln(2)) AS s
+  FROM tf
+  JOIN norm USING (doc_id)
+  CROSS JOIN avgd
+  CROSS JOIN (
+    SELECT ln(1 + lam.v) / ln(2) AS A, ln((1 + lam.v) / lam.v) / ln(2) AS B
+    FROM (
+      SELECT (t.F + 1.0) / (a.n_docs + t.F + 1.0) AS v
+      FROM (SELECT sum(tf)::BIGINT AS F FROM tf WHERE term = 'merge') t, avgd a
+    ) lam
+  ) st
+  WHERE tf.term = 'merge'
+)"""
+        + _rank_tail("total")
+    )
+
+    # DFR Ine/B/Z z=0.30 (BasicModelIne.kt:32-44, AfterEffectB.kt:31-35,
+    # NormalizationZ.kt:49-51): ne = N*(1-((N-1)/N)^F),
+    # A = log2((N+1)/(ne+0.5)), ae = (F+2)/(n+1), tfn = tf*(avgdl/dl)^z
+    o["dfr_ine_z_term"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT tf.doc_id,
+         st.A * st.ae *
+         (1 - 1 / (1 + tf.tf * power(avgd.avgdl / norm.qdl, 0.30))) AS s
+  FROM tf
+  JOIN norm USING (doc_id)
+  CROSS JOIN avgd
+  CROSS JOIN (
+    SELECT ln((a.n_docs + 1.0) /
+              (a.n_docs * (1 - power((a.n_docs - 1.0) / a.n_docs, t.F)) + 0.5))
+             / ln(2) AS A,
+           (t.F + 2.0) / (t.n + 1.0) AS ae
+    FROM (SELECT sum(tf)::BIGINT AS F, count(*)::BIGINT AS n
+          FROM tf WHERE term = 'merge') t, avgd a
+  ) st
+  WHERE tf.term = 'merge'
+)"""
+        + _rank_tail("total")
+    )
+
     # Axiomatic F2EXP (AxiomaticF2EXP.kt:52-67, s=0.25 k=0.35):
     # score = tf/(tf + s + s·dl/avgdl) · ((N+1)/df)^k
     o["axiomatic_term"] = (
@@ -1467,6 +1608,50 @@ total AS (
   CROSS JOIN avgd
   CROSS JOIN (
     SELECT power((a.n_docs + 1.0) / d.df, 0.35) AS v
+    FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'merge') d, avgd a
+  ) idf
+  WHERE tf.term = 'merge'
+)"""
+        + _rank_tail("total")
+    )
+
+    # Axiomatic F1EXP (AxiomaticF1EXP.kt:34-69, s=0.25 k=0.35): score =
+    # (1+ln(1+ln(tf+1))) * (avgdl+s)/(avgdl+dl*s) * ((N+1)/df)^k
+    o["axiomatic_f1exp_term"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT tf.doc_id,
+         (1 + ln(1 + ln(tf.tf + 1.0)))
+           * (avgd.avgdl + 0.25) / (avgd.avgdl + norm.qdl * 0.25)
+           * idf.v AS s
+  FROM tf
+  JOIN norm USING (doc_id)
+  CROSS JOIN avgd
+  CROSS JOIN (
+    SELECT power((a.n_docs + 1.0) / d.df, 0.35) AS v
+    FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'merge') d, avgd a
+  ) idf
+  WHERE tf.term = 'merge'
+)"""
+        + _rank_tail("total")
+    )
+
+    # Axiomatic F3LOG (AxiomaticF3LOG.kt:30-72, s=0.25 queryLen=1): score =
+    # max(0, (1+ln(1+ln(tf+1))) * ln((N+1)/df) - (dl-1)*s*1/avgdl)
+    o["axiomatic_f3log_term"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT tf.doc_id,
+         greatest(0.0,
+           (1 + ln(1 + ln(tf.tf + 1.0))) * idf.v
+             - (norm.qdl - 1.0) * 0.25 / avgd.avgdl) AS s
+  FROM tf
+  JOIN norm USING (doc_id)
+  CROSS JOIN avgd
+  CROSS JOIN (
+    SELECT ln((a.n_docs + 1.0) / d.df) AS v
     FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'merge') d, avgd a
   ) idf
   WHERE tf.term = 'merge'
@@ -1782,6 +1967,45 @@ qn AS (SELECT sum(b * b) AS nb FROM (SELECT unnest(qv)::DOUBLE AS b FROM q)),
 scored AS (SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS s FROM dots, qn)
 SELECT vec_id, floor(s * 10000) / 10000 AS score,
        CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, vec_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+    # KnnFloatVectorQuery cosine: score = max(0, (1+cos)/2)
+    # (VectorSimilarityFunction.kt:50-58)
+    o["knn_cosine_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+  FROM embeddings e, q WHERE e.vec_id != 0
+),
+dots AS (
+  SELECT vec_id, sum(a * b) AS dot, sum(a * a) AS na FROM pairs GROUP BY vec_id
+),
+qn AS (SELECT sum(b * b) AS nb FROM (SELECT unnest(qv)::DOUBLE AS b FROM q)),
+scored AS (
+  SELECT vec_id,
+         greatest(0.0, (1 + dot / (sqrt(na) * sqrt(nb))) / 2) AS s
+  FROM dots, qn
+)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, vec_id ASC) AS INT) AS rank,
+       floor(s * 10000) / 10000 AS score
+FROM scored QUALIFY rank <= 10
+"""
+
+    # KnnFloatVectorQuery euclidean with pre-filter (vec_id % 3 = 1):
+    # score = 1/(1 + squareDistance) (VectorSimilarityFunction.kt:17-25)
+    o["knn_euclidean_filtered"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+  FROM embeddings e, q WHERE e.vec_id % 3 = 1
+),
+scored AS (
+  SELECT vec_id, 1.0 / (1.0 + sum((a - b) * (a - b))) AS s
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, vec_id ASC) AS INT) AS rank,
+       floor(s * 10000) / 10000 AS score
 FROM scored QUALIFY rank <= 10
 """
 

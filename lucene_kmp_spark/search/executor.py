@@ -52,6 +52,7 @@ from lucene_kmp_spark.search.query import (
     FieldExistsQuery,
     FuzzyQuery,
     IndriAndQuery,
+    KnnFloatVectorQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     MultiPhraseQuery,
@@ -166,6 +167,7 @@ class IndexSearcher:
         live_filter: DataFrame | None = None,
         similarity=None,
         filter_cache: "FilterCache | None" = None,
+        vectors: DataFrame | None = None,
     ):
         from lucene_kmp_spark.search.similarities import BM25Similarity
 
@@ -183,6 +185,9 @@ class IndexSearcher:
         # codecs/lucene90/Lucene90LiveDocsFormat.kt); stats intentionally
         # still include deleted docs until merge, like Lucene
         self.live_filter = live_filter
+        # optional float-vector column store (doc_id, embedding) for
+        # KnnFloatVectorQuery (search/knn.py)
+        self.vectors = vectors
         self._stats_cache: dict[str, TermStats | None] = {}
         s = index.stats
         self.avgdl = bm25.avg_field_length(s.sum_total_term_freq, s.doc_count, dtype)
@@ -537,6 +542,8 @@ class IndexSearcher:
             return self._exec_dismax(q)
         if isinstance(q, IndriAndQuery):
             return self._exec_indri_and(q)
+        if isinstance(q, KnnFloatVectorQuery):
+            return self._exec_knn(q)
         if isinstance(q, ColumnFilterQuery):
             return self._doc_set(q).withColumn("score", F.lit(0.0))
         if isinstance(q, FieldExistsQuery):
@@ -763,6 +770,31 @@ class IndexSearcher:
                 yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "score": sc.astype(np.float64)})
 
         return agg.mapInPandas(gen, schema="doc_id long, score double")
+
+    def _exec_knn(self, q: "KnnFloatVectorQuery") -> DataFrame:
+        """KnnFloatVectorQuery: exact pre-filtered top-k over the attached
+        vector store (AbstractKnnVectorQuery.kt exactSearch analog). The
+        filter Query's match set is evaluated first and semi-joined before
+        scoring — never a post-filter of k results."""
+        from lucene_kmp_spark.search.knn import knn_topk
+
+        if self.vectors is None:
+            raise ValueError(
+                "KnnFloatVectorQuery needs IndexSearcher(vectors=...) — a "
+                "DataFrame with (doc_id, embedding) columns"
+            )
+        docset = self._doc_set(q.filter) if q.filter is not None else None
+        # deletes are excluded BEFORE the top-k heap (Lucene's liveDocs
+        # acceptDocs in the vector visit), not post-filtered from k results
+        return knn_topk(
+            self._live(self.vectors),
+            list(q.vector),
+            k=q.k,
+            fn=q.fn,
+            predicate=q.filter_predicate,
+            docset=docset,
+            boost=q.boost,
+        ).select("doc_id", F.col("score").cast("double"))
 
     def _exec_indri_and(self, q: "IndriAndQuery") -> DataFrame:
         """Indri AND (IndriAndScorer.kt:21-46 scoreDoc): match the UNION of
@@ -1469,61 +1501,60 @@ def _phrase_verify_gen(pos_cols, norm_col, slop, terms_per_slot, scorer):
 
 
 def _span_near_ordered_freq(plists: list[np.ndarray], slop: int) -> float:
-    """Ordered near-spans over single-term clauses (NearSpansOrdered.kt):
-    non-overlapping occurrences in clause order; after finding a chain the
-    first span is shrunk forward to minimize width (the reference's
-    ``stretchToOrder``+shrink loop); width = lastStart - firstStart - (n-1);
-    match when width <= slop, weighted 1/(1+width)."""
+    """Ordered near-spans over single-term clauses — faithful
+    NearSpansOrdered.kt: for each successive position of clause 0,
+    ``stretchToOrder`` advances each later clause's forward-only iterator
+    while ``pos < prev_end`` and sums the gaps; match when the gap sum <=
+    slop, weighted 1/(1+width) accumulated in float32 (SpanScorer.kt:82).
+    Stops when any later clause exhausts in the doc."""
     n = len(plists)
     if any(len(p) == 0 for p in plists):
         return 0.0
     a0 = plists[0]
-    i0 = 0
-    freq = 0.0
-    while i0 < len(a0):
-        prev = int(a0[i0])
-        picks_last = prev
-        ok = True
-        second = None
-        for i in range(1, n):
-            a = plists[i]
-            j = int(np.searchsorted(a, picks_last + 1))
+    idx = [0] * n  # forward-only iterator per clause
+    freq = np.float32(0.0)
+    one = np.float32(1.0)
+    for i0 in range(len(a0)):
+        prev_end = int(a0[i0]) + 1
+        width = 0
+        for k in range(1, n):
+            a = plists[k]
+            j = int(np.searchsorted(a, prev_end))
+            if j < idx[k]:
+                j = idx[k]
             if j >= len(a):
-                ok = False
-                break
-            picks_last = int(a[j])
-            if i == 1:
-                second = picks_last
-        if not ok:
-            break
-        # shrink the leading span as close to the chain as order allows
-        if n > 1:
-            j0 = int(np.searchsorted(a0, second)) - 1
-            start = int(a0[j0])
-        else:
-            j0, start = i0, prev
-        width = picks_last - start - (n - 1)
+                return float(freq)  # oneExhaustedInCurrentDoc
+            idx[k] = j
+            p = int(a[j])
+            width += p - prev_end
+            prev_end = p + 1
         if width <= slop:
-            freq += 1.0 / (1 + width)
-        i0 = j0 + 1
-    return freq
+            freq += one / (one + np.float32(width))
+    return float(freq)
 
 
 def _span_near_unordered_freq(plists: list[np.ndarray], slop: int) -> float:
-    """Unordered near-spans (NearSpansUnordered.kt plane-sweep): minimal
-    window over one occurrence per clause; width = max - min - (n-1)."""
+    """Unordered near-spans — faithful NearSpansUnordered.kt: queue states
+    over one current position per clause; match when
+    ``maxEnd - top - Σ spanLength <= slop`` (spanLength = 1 per term span,
+    maxEnd a high-water mark); each matching state weighs
+    1/(1 + (maxEnd - top)) — the covering-window ``width()`` — in float32."""
     n = len(plists)
     if any(len(p) == 0 for p in plists):
         return 0.0
     idx = [0] * n
-    freq = 0.0
+    cur = [int(a[0]) for a in plists]
+    max_end = max(cur) + 1
+    freq = np.float32(0.0)
+    one = np.float32(1.0)
     while True:
-        cur = [int(a[i]) for a, i in zip(plists, idx)]
-        start, end = min(cur), max(cur)
-        width = end - start - (n - 1)
-        if width <= slop:
-            freq += 1.0 / (1 + max(0, width))  # overlapping spans clamp to width 0
+        start = min(cur)
+        if max_end - start - n <= slop:
+            freq += one / (one + np.float32(max_end - start))
         k = cur.index(start)
         idx[k] += 1
         if idx[k] >= len(plists[k]):
-            return freq
+            return float(freq)
+        cur[k] = int(plists[k][idx[k]])
+        if cur[k] + 1 > max_end:
+            max_end = cur[k] + 1

@@ -38,21 +38,27 @@ from lucene_kmp_spark.search.query import (
 )
 
 
-def _sweep_freq(lists: list[list[int]], slop: int, width_fn) -> float:
-    """Plane-sweep minimal windows over one position per list; each window's
-    ``width_fn(max - min)`` must be <= slop to count 1/(1+width)."""
-    idx = [0] * len(lists)
-    freq = 0.0
+def _unordered_span_freq(lists: list[list[int]], slop: int) -> float:
+    """NearSpansUnordered emulation over term positions: walk queue states
+    (advance the min clause each step); a state matches when the high-water
+    max end minus the min position minus Σ span lengths (= n) is <= slop,
+    contributing 1/(1 + window) with window = maxEnd - min position; float32
+    accumulation like SpanScorer."""
+    n = len(lists)
+    idx = [0] * n
+    cur = [a[0] for a in lists]
+    max_end = max(cur) + 1
+    freq = np.float32(0.0)
     while True:
-        cur = [a[j] for a, j in zip(lists, idx)]
-        start, end = min(cur), max(cur)
-        width = width_fn(end - start)
-        if width <= slop:
-            freq += 1.0 / (1 + max(0, width))  # overlapping spans clamp to width 0
+        start = min(cur)
+        if max_end - start - n <= slop:
+            freq += np.float32(1.0) / np.float32(1 + (max_end - start))
         k = cur.index(start)
         idx[k] += 1
         if idx[k] >= len(lists[k]):
-            return freq
+            return float(freq)
+        cur[k] = lists[k][idx[k]]
+        max_end = max(max_end, cur[k] + 1)
 
 
 class NaiveIndex:
@@ -233,27 +239,30 @@ class NaiveIndex:
         for doc in candidates:
             plists = [sorted(self.postings[t][doc]) for t in q.terms]
             if q.in_order:
-                freq, i0 = 0.0, 0
+                # NearSpansOrdered emulation: clause iterators never rewind;
+                # every clause-0 position attempts a stretch; width = Σ gaps.
+                freq = np.float32(0.0)
+                iters = [0] * n
                 a0 = plists[0]
-                while i0 < len(a0):
-                    prev, ok, second = a0[i0], True, None
-                    for i in range(1, n):
-                        j = bisect.bisect_right(plists[i], prev)
-                        if j >= len(plists[i]):
-                            ok = False
-                            break
-                        prev = plists[i][j]
-                        if i == 1:
-                            second = prev
-                    if not ok:
+                exhausted = False
+                for i0 in range(len(a0)):
+                    if exhausted:
                         break
-                    j0 = bisect.bisect_left(a0, second) - 1 if n > 1 else i0
-                    width = prev - a0[j0] - (n - 1)
-                    if width <= q.slop:
-                        freq += 1.0 / (1 + width)
-                    i0 = j0 + 1
+                    prev_end, width = a0[i0] + 1, 0
+                    for i in range(1, n):
+                        j = max(iters[i], bisect.bisect_left(plists[i], prev_end))
+                        if j >= len(plists[i]):
+                            exhausted = True
+                            break
+                        iters[i] = j
+                        width += plists[i][j] - prev_end
+                        prev_end = plists[i][j] + 1
+                    else:
+                        if width <= q.slop:
+                            freq += np.float32(1.0) / np.float32(1 + width)
+                freq = float(freq)
             else:
-                freq = _sweep_freq(plists, q.slop, lambda width: width - (n - 1))
+                freq = _unordered_span_freq(plists, q.slop)
             if freq:
                 out[doc] = float(sc.score(np.array([freq]), np.array([self.norms[doc]]))[0])
         return out

@@ -296,6 +296,25 @@ class SortField:
 
 
 @dataclass(frozen=True)
+class KnnFloatVectorQuery(Query):
+    """Exact k-nearest-neighbors over a float-vector column
+    (``search/KnnFloatVectorQuery.kt``; score mappings
+    ``index/VectorSimilarityFunction.kt:15-73``). ``filter`` (a Query) or
+    ``filter_predicate`` (a pushdown-able SQL condition on the vector table)
+    restricts candidates BEFORE top-k selection — the reference's pre-filter
+    semantics (``AbstractKnnVectorQuery.kt`` rewrite). Executed as one
+    columnar scan + TakeOrdered (see ``search/knn.py``); approximate probes
+    are the pipeline LSH/IVF tiers."""
+
+    vector: tuple[float, ...]
+    k: int = 10
+    fn: str = "cosine"  # euclidean | dot_product | cosine | maximum_inner_product
+    filter: "Query | None" = None
+    filter_predicate: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class IndriAndQuery(Query):
     """Indri-style AND (search/IndriAndQuery.kt + IndriAndScorer.kt:21-46):
     matches the UNION of clause docs; per doc,

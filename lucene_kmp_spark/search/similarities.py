@@ -143,82 +143,164 @@ class LMDirichletSimilarity(Similarity):
 
 
 # ------------------------------------------------------- DFR (SimilarityBase)
+_LN2 = math.log(2.0)
+
+
+def _dfr_tfn(kind, tf, dl, avgdl, c, mu, z, ttf, sum_ttf):
+    """Second (length) normalization (Normalization{H1,H2,H3,Z}.kt tfn)."""
+    if kind == "H1":  # tf * c * avgdl / dl
+        return tf * c * (avgdl / dl)
+    if kind == "H2":  # tf * log2(1 + c * avgdl / dl)
+        return tf * np.log1p(c * avgdl / dl) / _LN2
+    if kind == "H3":  # (tf + mu*((ttf+1f)/(T+1f))) / (dl+mu) * mu — the
+        # collection-prob ratio is computed in FLOAT32 (the `1f` literals in
+        # NormalizationH3.kt promote to Float) before the double pipeline
+        p = float(np.float32(ttf + 1.0) / np.float32(sum_ttf + 1.0))
+        return (tf + mu * p) / (dl + mu) * mu
+    # Z: tf * (avgdl/dl)^z
+    return tf * np.power(avgdl / dl, z)
+
+
 class _DFRScorer(SimScorer):
-    def __init__(self, boost, N, F_ttf, n_df, avgdl, after_effect, normalization, c, dtype):
+    def __init__(self, boost, N, F_ttf, n_df, avgdl, sum_ttf, basic_model,
+                 after_effect, normalization, c, mu, z, dtype):
         self.dtype = dtype
         self.boost, self.N, self.F, self.n = float(boost), int(N), int(F_ttf), int(n_df)
-        self.avgdl, self.ae, self.norm_kind, self.c = float(avgdl), after_effect, normalization, float(c)
+        self.avgdl, self.sum_ttf = float(avgdl), int(sum_ttf)
+        self.model, self.ae, self.norm_kind = basic_model, after_effect, normalization
+        self.c, self.mu, self.z = float(c), float(mu), float(z)
         self.weight = float(boost)
 
     def score(self, freqs, norm_bytes):
-        ln2 = math.log(2.0)
         dl = LENGTH_TABLE[np.asarray(norm_bytes).astype(np.int64) & 0xFF].astype(np.float64)
         tf = np.asarray(freqs).astype(np.float64)
-        if self.norm_kind == "H1":  # NormalizationH1: tf * c * avgdl / dl
-            tfn = tf * self.c * self.avgdl / dl
-        else:  # NormalizationH2: tf * log2(1 + c * avgdl / dl)
-            tfn = tf * np.log1p(self.c * self.avgdl / dl) / ln2
-        # BasicModelIF: A = log2(1 + (N+1)/(F+0.5)) (BasicModelIF.kt:31-42)
-        A = math.log1p((self.N + 1.0) / (self.F + 0.5)) / ln2
-        if self.ae == "B":  # AfterEffectB.kt:31-35
+        tfn = _dfr_tfn(self.norm_kind, tf, dl, self.avgdl, self.c, self.mu,
+                       self.z, self.F, self.sum_ttf)
+        if self.ae == "B":  # AfterEffectB.kt:31-35: (F+1)/n over F=ttf+1, n=df+1
             ae1p = (self.F + 2.0) / (self.n + 1.0)
         else:  # AfterEffectL: 1.0
             ae1p = 1.0
-        sc = self.boost * (A * ae1p * (1.0 - 1.0 / (1.0 + tfn)))
-        return sc.astype(self.dtype)
+        N, F = float(self.N), float(self.F)
+        if self.model == "IF":
+            # BasicModelIF.kt:31-42: A = log2(1 + (N+1)/(F+0.5))
+            A = math.log1p((N + 1.0) / (F + 0.5)) / _LN2
+            base = A * ae1p * (1.0 - 1.0 / (1.0 + tfn))
+        elif self.model == "In":
+            # BasicModelIn.kt: A = log2((N+1)/(n+0.5))
+            A = math.log((N + 1.0) / (self.n + 0.5)) / _LN2
+            base = A * ae1p * (1.0 - 1.0 / (1.0 + tfn))
+        elif self.model == "Ine":
+            # BasicModelIne.kt: ne = N·(1 − ((N−1)/N)^F); A = log2((N+1)/(ne+0.5))
+            ne = N * (1.0 - ((N - 1.0) / N) ** F)
+            A = math.log((N + 1.0) / (ne + 0.5)) / _LN2
+            base = A * ae1p * (1.0 - 1.0 / (1.0 + tfn))
+        else:  # "G"
+            # BasicModelG.kt: λ = (F+1)/(N+F+1); A = log2(λ+1),
+            # B = log2((1+λ)/λ); score = (B − (B−A)/(1+tfn)) · ae1p
+            lam = (F + 1.0) / (N + F + 1.0)
+            A = math.log1p(lam) / _LN2
+            B = math.log((1.0 + lam) / lam) / _LN2
+            base = (B - (B - A) / (1.0 + tfn)) * ae1p
+        return (self.boost * base).astype(self.dtype)
 
 
 class DFRSimilarity(Similarity):
     """Divergence-from-randomness (DFRSimilarity.kt; SimilarityBase double
-    pipeline): basic model I(F) (BasicModelIF.kt) with after effect L or B
-    and normalization H1/H2 (c=1 default)."""
+    pipeline): basic models I(F) (BasicModelIF.kt), I(n) (BasicModelIn.kt),
+    I(ne) (BasicModelIne.kt), G (BasicModelG.kt) with after effect L or B
+    and normalization H1/H2 (c), H3 (mu), or Z (z)."""
 
     name = "DFR"
 
-    def __init__(self, after_effect: str = "L", normalization: str = "H2", c: float = 1.0):
-        assert after_effect in ("L", "B") and normalization in ("H1", "H2")
-        self.after_effect, self.normalization, self.c = after_effect, normalization, c
+    def __init__(self, basic_model: str = "IF", after_effect: str = "L",
+                 normalization: str = "H2", c: float = 1.0, mu: float = 800.0,
+                 z: float = 0.30):
+        assert basic_model in ("IF", "In", "Ine", "G")
+        assert after_effect in ("L", "B")
+        assert normalization in ("H1", "H2", "H3", "Z")
+        self.basic_model, self.after_effect, self.normalization = (
+            basic_model, after_effect, normalization)
+        self.c, self.mu, self.z = c, mu, z
 
     def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
         df = max(df for df, _ in term_stats)
         ttf = sum(t for _, t in term_stats)
         avgdl = sum_ttf / float(doc_count)  # SimilarityBase.kt:72 (double)
         return _DFRScorer(
-            boost, doc_count, ttf, df, avgdl, self.after_effect, self.normalization, self.c, dtype
+            boost, doc_count, ttf, df, avgdl, sum_ttf, self.basic_model,
+            self.after_effect, self.normalization, self.c, self.mu, self.z, dtype
         )
 
 
-# ------------------------------------------------------------ Axiomatic F2EXP
-class _F2EXPScorer(SimScorer):
-    def __init__(self, boost, N, n_df, avgdl, s, k, dtype):
+# ------------------------------------------------------------ Axiomatic family
+class _AxiomaticScorer(SimScorer):
+    """Axiomatic.kt:70-84 score pipeline: boost · max(0,
+    tf·ln·tfln·idf − gamma) with the variant-specific components:
+
+    * F1*: tf = 1+ln(1+ln(freq+1)), ln = (avgdl+s)/(avgdl+dl·s), tfln = 1
+    * F2*: tf = 1, ln = 1,          tfln = freq/(freq + s + s·dl/avgdl)
+    * F3*: tf = 1+ln(1+ln(freq+1)), ln = 1, tfln = 1,
+           gamma = (dl − queryLen)·s·queryLen/avgdl (else gamma = 0)
+    * *EXP: idf = ((N+1)/df)^k      *LOG: idf = ln((N+1)/df)
+    """
+
+    def __init__(self, boost, variant, N, n_df, avgdl, s, k, query_len, dtype):
         self.dtype = dtype
-        self.boost, self.N, self.n = float(boost), int(N), int(n_df)
+        self.boost, self.variant = float(boost), variant
+        self.N, self.n = int(N), int(n_df)
         self.avgdl, self.s, self.k = float(avgdl), float(s), float(k)
+        self.query_len = int(query_len)
         self.weight = float(boost)
 
     def score(self, freqs, norm_bytes):
         dl = LENGTH_TABLE[np.asarray(norm_bytes).astype(np.int64) & 0xFF].astype(np.float64)
         f = np.asarray(freqs).astype(np.float64)
-        tfln = f / (f + self.s + self.s * dl / self.avgdl)  # AxiomaticF2EXP.kt:52-58
-        idf = ((self.N + 1.0) / self.n) ** self.k           # :61-67
-        sc = self.boost * (tfln * idf)                      # tf=ln=1, gamma=0
+        fam, kind = self.variant[:2], self.variant[2:]  # "F1"/"F2"/"F3", "EXP"/"LOG"
+        s, avgdl = self.s, self.avgdl
+        # freq += 1 first: "otherwise gives negative scores for freqs < 1"
+        # (AxiomaticF1EXP.kt:34-42 and siblings)
+        tf = 1.0 + np.log1p(np.log(f + 1.0)) if fam in ("F1", "F3") else 1.0
+        ln_ = (avgdl + s) / (avgdl + dl * s) if fam == "F1" else 1.0
+        tfln = f / (f + s + s * dl / avgdl) if fam == "F2" else 1.0
+        idf = (
+            ((self.N + 1.0) / self.n) ** self.k
+            if kind == "EXP"
+            else math.log((self.N + 1.0) / self.n)
+        )
+        gamma = (
+            (dl - self.query_len) * s * self.query_len / avgdl if fam == "F3" else 0.0
+        )
+        sc = self.boost * (tf * ln_ * tfln * idf - gamma)
         return np.maximum(sc, 0.0).astype(self.dtype)
 
 
-class AxiomaticF2EXP(Similarity):
-    """Axiomatic F2EXP (AxiomaticF2EXP.kt; Axiomatic.kt:70-84): score =
-    boost · freq/(freq + s + s·dl/avgdl) · ((N+1)/df)^k, defaults s=0.25,
-    k=0.35 (Axiomatic.kt:51)."""
+class AxiomaticSimilarity(Similarity):
+    """The six axiomatic models (AxiomaticF{1,2,3}{EXP,LOG}.kt; base class
+    Axiomatic.kt, defaults s=0.25, queryLen=1, k=0.35)."""
 
-    name = "AxiomaticF2EXP"
+    _VARIANTS = ("F1EXP", "F1LOG", "F2EXP", "F2LOG", "F3EXP", "F3LOG")
 
-    def __init__(self, s: float = 0.25, k: float = 0.35):
-        self.s, self.k = s, k
+    def __init__(self, variant: str = "F2EXP", s: float = 0.25,
+                 k: float = 0.35, query_len: int = 1):
+        assert variant in self._VARIANTS
+        self.variant, self.s, self.k, self.query_len = variant, s, k, query_len
+        self.name = "Axiomatic" + variant
 
     def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
         df = max(df for df, _ in term_stats)
         avgdl = sum_ttf / float(doc_count)
-        return _F2EXPScorer(boost, doc_count, df, avgdl, self.s, self.k, dtype)
+        return _AxiomaticScorer(
+            boost, self.variant, doc_count, df, avgdl, self.s, self.k,
+            self.query_len, dtype,
+        )
+
+
+class AxiomaticF2EXP(AxiomaticSimilarity):
+    """Axiomatic F2EXP (AxiomaticF2EXP.kt): score = boost ·
+    freq/(freq + s + s·dl/avgdl) · ((N+1)/df)^k."""
+
+    def __init__(self, s: float = 0.25, k: float = 0.35):
+        super().__init__("F2EXP", s=s, k=k)
 
 
 # ------------------------------------------------------------------ Boolean

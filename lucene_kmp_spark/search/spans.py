@@ -1,11 +1,20 @@
 """Span algebra evaluation (``queries/spans/`` — SpanTermQuery, SpanOrQuery,
 SpanNotQuery, SpanFirstQuery, SpanNearQuery over nested clauses).
 
-A span is ``(start, end, width)`` with exclusive ``end``; ``width`` is the
-accumulated slop (total gap) inside the span — a term span has width 0, a
-near span adds its chain gap to its children's widths (NearSpansOrdered /
-NearSpansUnordered semantics). The SpanScorer freq is
-``Σ 1/(1 + width)`` over a doc's top-level spans (SpanScorer sloppy weight).
+A span is ``(start, end, width)`` with exclusive ``end``. ``width`` follows
+the reference exactly:
+
+* term span: width 0;
+* ordered near (NearSpansOrdered.kt ``stretchToOrder``): width =
+  Σ over consecutive clause pairs of ``next.start - prev.end`` — the gaps at
+  THIS nesting level only; child widths do NOT accumulate into the parent;
+* unordered near (NearSpansUnordered.kt ``width()``): width =
+  ``maxEndPosition - top.start`` — the covering-window length (the match
+  TEST uses the gap ``maxEnd - top.start - Σ spanLength <= slop``, but the
+  reported width is the window).
+
+The SpanScorer freq is ``Σ 1/(1 + width)`` over a doc's spans in emission
+order, accumulated in float32 (SpanScorer.kt:82 ``setFreqCurrentDoc``).
 
 ``eval_spans(q, pos)`` evaluates a span tree against one document's
 ``{term: sorted positions}`` map; it is pure python/numpy and runs inside the
@@ -106,72 +115,67 @@ def eval_spans(q, pos: dict) -> list[Span]:
     raise TypeError(f"not a span clause: {type(q).__name__}")
 
 
-def _span_len_width(picks: list[Span]) -> tuple[int, int]:
-    total_len = sum(e - s for s, e, _ in picks)
-    sub_width = sum(w for _s, _e, w in picks)
-    return total_len, sub_width
-
-
 def _near_ordered(lists: list[list[Span]], slop: int) -> list[Span]:
-    """Non-overlapping clause spans in order; leading span shrunk forward
-    (NearSpansOrdered stretch/shrink loop); gap = coverage - Σ lengths."""
+    """Faithful NearSpansOrdered.kt: clause iterators are stateful and
+    forward-only across matches; for each successive span of clause 0,
+    ``stretchToOrder`` advances each later clause while ``start < prev.end``
+    and sums the gaps ``start - prev.end``; a match is emitted when the gap
+    sum is <= slop, with width = that gap sum (child widths excluded).
+    Matching stops when any later clause exhausts in the doc."""
     n = len(lists)
     out: list[Span] = []
-    a0 = lists[0]
+    idx = [0] * n  # forward-only iterator state per clause (never rewinds)
     starts = [[sp[0] for sp in lst] for lst in lists]
-    i0 = 0
-    while i0 < len(a0):
-        prev_end = a0[i0][1]
-        picks: list[Span] = [a0[i0]]
-        ok = True
+    for i0 in range(len(lists[0])):
+        first = lists[0][i0]
+        prev_end = first[1]
+        width = 0
         for k in range(1, n):
             j = bisect.bisect_left(starts[k], prev_end)
+            if j < idx[k]:
+                j = idx[k]
             if j >= len(lists[k]):
-                ok = False
-                break
-            picks.append(lists[k][j])
-            prev_end = lists[k][j][1]
-        if not ok:
-            break
-        # shrink the first span as close as order allows
-        if n > 1:
-            limit = picks[1][0]
-            j0 = i0
-            for idx in range(i0, len(a0)):
-                if a0[idx][1] <= limit:
-                    j0 = idx
-                elif a0[idx][0] >= limit:
-                    break
-            picks[0] = a0[j0]
-        else:
-            j0 = i0
-        total_len, sub_w = _span_len_width(picks)
-        gap = (picks[-1][1] - picks[0][0]) - total_len
-        width = max(0, gap) + sub_w
-        if gap + sub_w <= slop:
-            out.append((picks[0][0], picks[-1][1], width))
-        i0 = j0 + 1
+                return out  # oneExhaustedInCurrentDoc
+            idx[k] = j
+            sp = lists[k][j]
+            width += sp[0] - prev_end
+            prev_end = sp[1]
+        if width <= slop:
+            out.append((first[0], prev_end, width))
     return out
 
 
 def _near_unordered(lists: list[list[Span]], slop: int) -> list[Span]:
-    """Plane-sweep minimal windows, one span per clause."""
+    """Faithful NearSpansUnordered.kt: a priority queue over the clauses'
+    current spans ordered by (start, end); ``maxEnd`` is a high-water mark of
+    every end seen this doc; each queue state where
+    ``maxEnd - top.start - Σ currentSpanLength <= slop`` emits a match with
+    width = ``maxEnd - top.start`` (the covering window, ``width()``); then
+    the top clause advances one span. Stops when any clause exhausts."""
+    import heapq
+
     n = len(lists)
     idx = [0] * n
+    cur = [lst[0] for lst in lists]
+    total_len = sum(e - s for s, e, _w in cur)
+    max_end = max(e for _s, e, _w in cur)
+    heap = [(cur[k][0], cur[k][1], k) for k in range(n)]
+    heapq.heapify(heap)
     out: list[Span] = []
     while True:
-        cur = [lists[k][idx[k]] for k in range(n)]
-        start = min(s for s, _e, _w in cur)
-        end = max(e for _s, e, _w in cur)
-        total_len, sub_w = _span_len_width(cur)
-        gap = (end - start) - total_len
-        if gap + sub_w <= slop:
-            out.append((start, end, max(0, gap) + sub_w))
-        k = min(range(n), key=lambda i: cur[i][0])
-        idx[k] += 1
-        if idx[k] >= len(lists[k]):
+        ts, te, tk = heap[0]
+        if max_end - ts - total_len <= slop:
+            out.append((ts, max_end, max_end - ts))
+        j = idx[tk] + 1
+        if j >= len(lists[tk]):
             out.sort()
             return out
+        idx[tk] = j
+        ns, ne, _w = lists[tk][j]
+        total_len += (ne - ns) - (te - ts)
+        if ne > max_end:
+            max_end = ne
+        heapq.heapreplace(heap, (ns, ne, tk))
 
 
 def span_scoring_terms(q) -> set[str]:
@@ -196,8 +200,13 @@ def span_scoring_terms(q) -> set[str]:
 
 
 def span_freq(q, pos: dict) -> float:
-    """SpanScorer freq: Σ 1/(1+width) over the doc's top-level spans."""
-    return float(sum(1.0 / (1 + w) for _s, _e, w in eval_spans(q, pos)))
+    """SpanScorer freq: Σ 1/(1+width) over the doc's top-level spans, in
+    emission order, accumulated in float32 (SpanScorer.kt:82)."""
+    freq = np.float32(0.0)
+    one = np.float32(1.0)
+    for _s, _e, w in eval_spans(q, pos):
+        freq += one / (one + np.float32(w))
+    return float(freq)
 
 
 # --------------------------------------------------------- field masking

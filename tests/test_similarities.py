@@ -291,3 +291,86 @@ def test_indri_and_query(env):
         assert abs(got[d] - exp) < 1e-9, d
     # ranking sanity: a doc with both terms outranks same-length docs with one
     assert all(v < 0 for v in got.values())  # negative log-probs
+
+
+def test_dfr_basic_models(env):
+    """BasicModelIn/Ine/G (BasicModelIn.kt:31-42, BasicModelIne.kt:32-44,
+    BasicModelG.kt:33-48) with H2 normalization, both after effects."""
+    from lucene_kmp_spark.search.similarities import DFRSimilarity
+
+    idx, rows = env
+    st = CorpusStats(rows)
+    t = "hope"
+    avgdl = st.sum_ttf / float(st.doc_count)
+    N, F, n = float(st.doc_count), float(st.ttf(t)), float(st.df(t))
+    for model in ("In", "Ine", "G"):
+        for ae in ("L", "B"):
+            got = _scores(idx, TermQuery(t), DFRSimilarity(basic_model=model, after_effect=ae))
+            assert set(got) == set(st.tf[t]), (model, ae)
+            ae1p = (F + 2.0) / (n + 1.0) if ae == "B" else 1.0
+            for d, tf in list(st.tf[t].items())[:30]:
+                dl = float(LENGTH_TABLE[st.norm[d]])
+                tfn = tf * math.log2(1 + avgdl / dl)
+                if model == "In":
+                    exp = math.log2((N + 1.0) / (n + 0.5)) * ae1p * (1 - 1 / (1 + tfn))
+                elif model == "Ine":
+                    ne = N * (1.0 - ((N - 1.0) / N) ** F)
+                    exp = math.log2((N + 1.0) / (ne + 0.5)) * ae1p * (1 - 1 / (1 + tfn))
+                else:  # G: lambda over F+1 (BasicModelG.kt:35)
+                    lam = (F + 1.0) / (N + F + 1.0)
+                    A = math.log2(lam + 1.0)
+                    B = math.log2((1.0 + lam) / lam)
+                    exp = (B - (B - A) / (1.0 + tfn)) * ae1p
+                assert abs(got[d] - np.float32(exp)) < 1e-6, (model, ae, d)
+
+
+def test_dfr_normalizations_h3_z(env):
+    """NormalizationH3 (mu; float32 collection-prob ratio per the 1f literals
+    in NormalizationH3.kt:45-48) and NormalizationZ (z) with model IF."""
+    from lucene_kmp_spark.search.similarities import DFRSimilarity
+
+    idx, rows = env
+    st = CorpusStats(rows)
+    t = "hope"
+    avgdl = st.sum_ttf / float(st.doc_count)
+    N, F = float(st.doc_count), float(st.ttf(t))
+    A = math.log2(1 + (N + 1.0) / (F + 0.5))
+    mu, z = 800.0, 0.30
+    got_h3 = _scores(idx, TermQuery(t), DFRSimilarity(normalization="H3", mu=mu))
+    got_z = _scores(idx, TermQuery(t), DFRSimilarity(normalization="Z", z=z))
+    p = float(np.float32(F + 1.0) / np.float32(st.sum_ttf + 1.0))
+    for d, tf in list(st.tf[t].items())[:30]:
+        dl = float(LENGTH_TABLE[st.norm[d]])
+        tfn_h3 = (tf + mu * p) / (dl + mu) * mu
+        tfn_z = tf * (avgdl / dl) ** z
+        for got, tfn in ((got_h3, tfn_h3), (got_z, tfn_z)):
+            exp = A * (1 - 1 / (1 + tfn))
+            assert abs(got[d] - np.float32(exp)) < 1e-6, d
+
+
+def test_axiomatic_family(env):
+    """All six variants (AxiomaticF{1,2,3}{EXP,LOG}.kt): components tf
+    (freq+1 inside the double log), ln, tfln, idf, gamma per the reference;
+    score = max(0, boost*(tf*ln*tfln*idf - gamma)) (Axiomatic.kt:70-84)."""
+    from lucene_kmp_spark.search.similarities import AxiomaticSimilarity
+
+    idx, rows = env
+    st = CorpusStats(rows)
+    t = "hope"
+    avgdl = st.sum_ttf / float(st.doc_count)
+    N, n = float(st.doc_count), float(st.df(t))
+    s, k, qlen = 0.25, 0.35, 1
+    idf_exp = ((N + 1.0) / n) ** k
+    idf_log = math.log((N + 1.0) / n)
+    for variant in ("F1EXP", "F1LOG", "F2EXP", "F2LOG", "F3EXP", "F3LOG"):
+        got = _scores(idx, TermQuery(t), AxiomaticSimilarity(variant))
+        idf = idf_exp if variant.endswith("EXP") else idf_log
+        for d, tf in list(st.tf[t].items())[:30]:
+            dl = float(LENGTH_TABLE[st.norm[d]])
+            fam = variant[:2]
+            tfc = 1.0 + math.log1p(math.log(tf + 1.0)) if fam in ("F1", "F3") else 1.0
+            ln_ = (avgdl + s) / (avgdl + dl * s) if fam == "F1" else 1.0
+            tfln = tf / (tf + s + s * dl / avgdl) if fam == "F2" else 1.0
+            gamma = (dl - qlen) * s * qlen / avgdl if fam == "F3" else 0.0
+            exp = max(0.0, tfc * ln_ * tfln * idf - gamma)
+            assert abs(got[d] - np.float32(exp)) < 1e-6, (variant, d)

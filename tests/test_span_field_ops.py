@@ -102,7 +102,8 @@ def test_span_near_golden(spark):
 
 
 def test_span_near_ordered_shrink(spark):
-    """'a a b': the leading span shrinks forward — match width 0, not 1."""
+    """'a x a b': every clause-0 start attempts a stretch (NearSpansOrdered);
+    a@0 fails slop 0 (gap 2) but a@2, b@3 is a width-0 ordered match."""
     docs = spark.createDataFrame(
         [("c", 0, "a x a b")], "conv_id string, turn_idx int, text string"
     )
@@ -110,6 +111,61 @@ def test_span_near_ordered_shrink(spark):
     s = IndexSearcher(build_index(withids))
     got = _score_map(s.execute(SpanNearQuery(("a", "b"), slop=0, in_order=True)))
     assert set(got) == {0}  # a@2, b@3 is a width-0 ordered match
+
+
+def test_span_near_ordered_javadoc_overlap(spark):
+    """The NearSpansOrdered.kt javadoc example: querying (t1 t2 t3) with
+    slop 1 against 't1 t2 t1 t3 t2 t3' matches TWICE — (t1 t2 .. t3) and
+    (t1 .. t2 t3) — because later matches reuse advanced clause iterators.
+    freq = 1/(1+1) + 1/(1+1) = 1.0 exactly (widths are the gap sums)."""
+    from lucene_kmp_spark.search.spans import eval_spans, span_freq
+    from lucene_kmp_spark.search.query import SpanTermQuery
+
+    pos = {"t1": np.array([0, 2]), "t2": np.array([1, 4]), "t3": np.array([3, 5])}
+    q3 = SpanNearQuery(
+        (SpanTermQuery("t1"), SpanTermQuery("t2"), SpanTermQuery("t3")),
+        slop=1, in_order=True,
+    )
+    assert eval_spans(q3, pos) == [(0, 4, 1), (2, 6, 1)]
+    assert span_freq(q3, pos) == 1.0
+
+    # engine term fast path agrees (and with the naive oracle)
+    docs = spark.createDataFrame(
+        [("c", 0, "t1 t2 t1 t3 t2 t3")], "conv_id string, turn_idx int, text string"
+    )
+    withids = assign_doc_ids(docs)
+    s = IndexSearcher(build_index(withids))
+    got = _score_map(s.execute(SpanNearQuery(("t1", "t2", "t3"), slop=1, in_order=True)))
+    naive = NaiveIndex([(0, "t1 t2 t1 t3 t2 t3")])
+    exp = naive.scores(SpanNearQuery(("t1", "t2", "t3"), slop=1, in_order=True))
+    assert set(got) == {0} and np.float32(got[0]) == np.float32(exp[0])
+
+
+def test_span_near_unordered_window_width():
+    """NearSpansUnordered width() is the covering-window length maxEnd-start,
+    not the gap: 'a b' unordered slop 0 -> one match (0, 2) with width 2."""
+    from lucene_kmp_spark.search.spans import eval_spans
+    from lucene_kmp_spark.search.query import SpanTermQuery
+
+    pos = {"a": np.array([0]), "b": np.array([1])}
+    q = SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")), slop=0, in_order=False)
+    assert eval_spans(q, pos) == [(0, 2, 2)]
+
+
+def test_span_nested_width_not_accumulated():
+    """Parent ordered-near width counts only THIS level's gaps — the inner
+    near's own width does not leak into the outer span's width
+    (NearSpansOrdered.stretchToOrder sums start-prev_end only)."""
+    from lucene_kmp_spark.search.spans import eval_spans
+    from lucene_kmp_spark.search.query import SpanTermQuery
+
+    # inner: a .. b with one gap (width 1) covering [0,3); outer adds c@4: gap 1
+    pos = {"a": np.array([0]), "b": np.array([2]), "c": np.array([4])}
+    inner = SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")), slop=1, in_order=True)
+    assert eval_spans(inner, pos) == [(0, 3, 1)]
+    outer = SpanNearQuery((inner, SpanTermQuery("c")), slop=1, in_order=True)
+    # outer width = c.start - inner.end = 4 - 3 = 1 (NOT 1 + inner's 1 = 2)
+    assert eval_spans(outer, pos) == [(0, 5, 1)]
 
 
 # ---------------------------------------------------- FieldExists / Feature

@@ -160,6 +160,56 @@ def _payload_position(term, pos, start, end):
     return pos
 
 
+def _en_searcher64(spark: SparkSession, sf_dir: str):
+    """Searcher over an EnglishAnalyzer-built index (possessive strip ->
+    lowercase -> English stop set -> Porter stem; EnglishAnalyzer.kt:27-37).
+    The corpus vocabulary is closed, so the DuckDB oracle reproduces the
+    stemmer as an inline term map (asserted == porter_stem in tests)."""
+    from lucene_kmp_spark.analysis.en import english_analyzer
+    from lucene_kmp_spark.index import build_index
+    from lucene_kmp_spark.search.executor import IndexSearcher
+
+    key = sf_dir + "::en"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs(spark, sf_dir), text_col="text", analyzer=english_analyzer()
+        )
+    return IndexSearcher(_INDEX_CACHE[key], dtype=np.float64)
+
+
+# EnglishAnalyzer oracle prelude: stop removal ('a','the' are the vocab ∩
+# ENGLISH_STOP_WORDS) happens BEFORE tf/dl so norms count post-stop tokens,
+# and the CASE maps every vocab word whose Porter stem differs from itself
+# (tests/test_english_analysis.py asserts this map == porter_stem over the
+# actual parquet vocabulary, so vocab drift fails loudly).
+_EN_STEM_CASE = """CASE raw
+      WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei'
+      WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri'
+      WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu'
+      ELSE raw END"""
+
+_EN_PRELUDE = f"""
+WITH tok AS (
+  SELECT doc_id, {_EN_STEM_CASE} AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS raw FROM documents)
+  WHERE raw NOT IN ('a', 'the')
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+nstats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_ttf FROM dl),
+norm AS (
+  SELECT doc_id,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4))
+                     << (length(printf('%b', dl - 24)) - 4))
+    END AS qdl
+  FROM dl
+),
+avgd AS (SELECT sum_ttf::DOUBLE / n_docs AS avgdl, n_docs FROM nstats)
+"""
+
+
 def _mf_searcher64(spark: SparkSession, sf_dir: str):
     from lucene_kmp_spark.search.multifield import MultiFieldSearcher, build_field_indexes
 
@@ -1093,6 +1143,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.search_sorted(TQ("merge"), [sf], k=15)
 
     q["sort_expr_missing_last"] = q_sort_missing
+
+    # ---- EnglishAnalyzer chain (analysis/common en package) ----
+    def q_english_term(spark, sf_dir):
+        s = _en_searcher64(spark, sf_dir)
+        # 'custom' is the Porter stem of the vocab word 'customer'
+        return _ranked_topk(s.execute(TermQuery("custom")))
+
+    def q_english_stop_phrase(spark, sf_dir):
+        s = _en_searcher64(spark, sf_dir)
+        # stop filtering leaves position holes ('big the table' does NOT
+        # match at slop 0); query terms are the indexed stems
+        return _ranked_topk(s.execute(PhraseQuery(("big", "tabl"))))
+
+    q["english_bm25_term"] = q_english_term
+    q["english_stop_phrase"] = q_english_stop_phrase
 
     return q
 
@@ -2375,5 +2440,33 @@ WHERE (CASE WHEN n_chars % 2 = 0 THEN 'merge' ELSE 'join' END) = 'merge'
   AND len(string_split(text, ' ')) >= 4
   AND string_split(text, ' ')[4] = 'scan'
 """
+
+    o["english_bm25_term"] = _EN_PRELUDE + "," + _sc_cte("sc0", "custom") + _rank_tail("sc0")
+
+    # phrase freq via adjacency in the RAW token sequence (positions keep
+    # stop holes, so 'big the table' is not a match); stats/norms from the
+    # stemmed+stopped stream
+    o["english_stop_phrase"] = (
+        _EN_PRELUDE
+        + """,
+ph AS (
+  SELECT doc_id,
+         ((length(pad) - length(replace(pad, ' big  table ', ''))) // length(' big  table '))::BIGINT AS freq
+  FROM (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS pad FROM documents)
+),
+idfs AS (
+  SELECT (SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5))
+            FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'big') d, avgd a)
+       + (SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5))
+            FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'tabl') d, avgd a) AS w
+),
+total AS (
+  SELECT ph.doc_id,
+         idfs.w - idfs.w / (1 + ph.freq * (1.0 / (1.2 * (0.25 + 0.75 * norm.qdl / avgd.avgdl)))) AS s
+  FROM ph JOIN norm USING (doc_id) CROSS JOIN avgd CROSS JOIN idfs
+  WHERE ph.freq > 0
+)"""
+        + _rank_tail("total")
+    )
 
     return o

@@ -4,3 +4,10 @@ from lucene_kmp_spark.analysis.standard import (  # noqa: F401
     analyze_offsets,
     standard_tokenize,
 )
+from lucene_kmp_spark.analysis.en import (  # noqa: F401
+    ENGLISH_STOP_WORDS,
+    english_analyzer,
+    english_minimal_stem,
+    english_possessive,
+    porter_stem,
+)

@@ -723,6 +723,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multiterm_regexp"] = q_regexp
 
+    def q_regexp_intersect(spark, sf_dir):
+        from lucene_kmp_spark.search.query import RegexpQuery
+
+        s = _searcher64(spark, sf_dir)
+        # Lucene-only syntax: intersection — starts with 's' AND ends 'n'
+        return s.execute(RegexpQuery("s[a-z]*&[a-z]*n")).select("doc_id").distinct()
+
+    q["multiterm_regexp_intersect"] = q_regexp_intersect
+
     def q_span_not(spark, sf_dir):
         from lucene_kmp_spark.search.query import SpanNotQuery, SpanTermQuery
 
@@ -2139,6 +2148,14 @@ FROM flagged GROUP BY user_id
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
 WHERE regexp_full_match(term, 'me[a-z]*')
+"""
+
+    # `&` is Lucene RegExp intersection (RegExp.kt INTERSECTION) — POSIX has
+    # no such operator, so the oracle expresses it as two anchored matches
+    o["multiterm_regexp_intersect"] = """
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE regexp_full_match(term, 's[a-z]*') AND regexp_full_match(term, '[a-z]*n')
 """
 
     # include 'merge' occurrences with no 'join' within [p-1, p+1]

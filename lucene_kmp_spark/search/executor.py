@@ -471,7 +471,8 @@ class IndexSearcher:
         if isinstance(q, WildcardQuery):
             return self._docs_for_term_filter(F.col("term").rlike(_wildcard_to_regex(q.pattern)), dedup)
         if isinstance(q, RegexpQuery):
-            return self._docs_for_term_filter(F.col("term").rlike("^(?:" + q.regexp + ")$"), dedup)
+            terms = self._regexp_terms(q)
+            return self._docs_for_term_filter(F.col("term").isin(terms), dedup)
         if isinstance(q, TermRangeQuery):
             return self._docs_for_term_filter(_range_pred(q), dedup)
         if isinstance(q, ColumnFilterQuery):
@@ -507,6 +508,33 @@ class IndexSearcher:
 
         out = rows.mapInPandas(gen, schema="doc_id long")
         return out.distinct() if dedup else out
+
+    def _regexp_terms(self, q: RegexpQuery) -> list[str]:
+        """Expand a Lucene-syntax regexp (RegExp.kt grammar — union,
+        intersection `&`, intervals `<n-m>`, anystring `@`, quoted strings,
+        opt-in complement `~`) against the term dictionary, the
+        AutomatonTermsEnum analog (index/AutomatonTermsEnum.kt): the
+        compiled DFA runs partition-parallel in a pandas UDF over the term
+        dict; the DFA's common literal prefix is additionally pushed into
+        the Parquet scan (the automaton seek-prefix optimization). Only the
+        matching term strings come back to the driver — term dict ≪ corpus,
+        the same expansion pattern FuzzyQuery uses."""
+        from lucene_kmp_spark.util.regexp import compile_regexp
+
+        dfa = compile_regexp(q.regexp, q.syntax_flags, q.match_flags)
+
+        @F.pandas_udf("boolean")
+        def _matches(s: pd.Series) -> pd.Series:
+            return s.map(dfa.match)
+
+        cand = self.index.term_dict
+        prefix = dfa.common_prefix()
+        if prefix:
+            cand = cand.filter(F.col("term").startswith(prefix))
+        return sorted(
+            r["term"]
+            for r in cand.filter(_matches(F.col("term"))).select("term").distinct().collect()
+        )
 
     # ------------------------------------------------------------- execution
     def execute(self, q: Query) -> DataFrame:
@@ -585,7 +613,7 @@ class IndexSearcher:
             elif isinstance(inner, WildcardQuery):
                 pred = F.col("term").rlike(_wildcard_to_regex(inner.pattern))
             elif isinstance(inner, RegexpQuery):
-                pred = F.col("term").rlike("^(?:" + inner.regexp + ")$")
+                pred = F.col("term").isin(self._regexp_terms(inner))
             elif isinstance(inner, TermRangeQuery):
                 pred = _range_pred(inner)
             else:

@@ -77,8 +77,15 @@ class WildcardQuery(Query):
 
 @dataclass(frozen=True)
 class RegexpQuery(Query):
+    """Lucene-syntax regexp (RegExp.kt, NOT Java regex): `|` union, `&`
+    intersection, `<n-m>` numeric interval, `@` anystring, `#` empty,
+    `"..."` quoted literal, `~` complement only with DEPRECATED_COMPLEMENT.
+    syntax_flags defaults to RegExp.ALL like RegexpQuery.kt."""
+
     regexp: str
     boost: float = 1.0
+    syntax_flags: int = 0xFF   # regexp_util.ALL
+    match_flags: int = 0
 
 
 @dataclass(frozen=True)

@@ -1168,6 +1168,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["english_bm25_term"] = q_english_term
     q["english_stop_phrase"] = q_english_stop_phrase
 
+    # ---- term vectors (Lucene90TermVectorsFormat analog) ----
+    def q_term_vector(spark, sf_dir):
+        from lucene_kmp_spark.index import build_index
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        key = sf_dir + "::tv"
+        if key not in _INDEX_CACHE:
+            _INDEX_CACHE[key] = build_index(
+                _docs(spark, sf_dir), text_col="text", term_vectors=True
+            )
+        s = IndexSearcher(_INDEX_CACHE[key])
+        return s.term_vector(42).select(
+            "term", F.col("tf").cast("long").alias("tf"), "positions"
+        )
+
+    q["term_vector_doc"] = q_term_vector
+
+    # ---- index sorting (IndexWriterConfig.setIndexSort analog) ----
+    def q_index_sorted(spark, sf_dir):
+        from lucene_kmp_spark.index import assign_doc_ids_sorted, build_index
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        key = sf_dir + "::isort"
+        if key not in _INDEX_CACHE:
+            d = _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id")
+            dd = assign_doc_ids_sorted(d, (("n_chars", True),), key_cols=("orig_id",))
+            _INDEX_CACHE[key] = build_index(
+                dd, text_col="text", index_sort=(("n_chars", True),)
+            )
+        idx = _INDEX_CACHE[key]
+        s = IndexSearcher(idx)
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+
+        res = s.search_sorted(TQ("merge"), [("n_chars", True)], k=TOPK)
+        out = res.join(idx.docs.select("doc_id", "orig_id"), "doc_id").select(
+            F.col("orig_id").alias("doc_id"), F.col("n_chars").cast("long").alias("n_chars")
+        )
+        w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+        return out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+    q["index_sorted_topk"] = q_index_sorted
+
     return q
 
 
@@ -2456,6 +2498,30 @@ FROM documents
 WHERE (CASE WHEN n_chars % 2 = 0 THEN 'merge' ELSE 'join' END) = 'merge'
   AND len(string_split(text, ' ')) >= 4
   AND string_split(text, ' ')[4] = 'scan'
+"""
+
+    # index-sorted early-terminated sort == plain ORDER BY on the raw table
+    # (tiebreak by original id — the sorted build's docID order is
+    # (n_chars, orig_id), so rank order is identical)
+    o["index_sorted_topk"] = """
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS INT) AS rank
+FROM documents
+WHERE doc_id IN (
+  SELECT doc_id FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term = 'merge'
+)
+ORDER BY n_chars, doc_id LIMIT 10
+"""
+
+    o["term_vector_doc"] = """
+SELECT term, count(*)::BIGINT AS tf, list(pos ORDER BY pos) AS positions
+FROM (
+  SELECT unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents WHERE doc_id = 42
+)
+GROUP BY term
 """
 
     o["english_bm25_term"] = _EN_PRELUDE + "," + _sc_cte("sc0", "custom") + _rank_tail("sc0")

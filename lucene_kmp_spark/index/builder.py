@@ -443,9 +443,12 @@ class InvertedIndex:
     key_cols: tuple = ("doc_id",)
     extra: dict = field(default_factory=dict)
     norms: DataFrame | None = None  # (doc_id, norm byte) — the .nvd analog (1 row/doc)
+    # per-doc forward index (doc_id, term, tf, positions[, starts, ends]) —
+    # the Lucene90TermVectorsFormat analog, doc_id-sorted for pruned fetch
+    term_vectors: DataFrame | None = None
 
     def unpersist(self):
-        for df in (self.postings, self.term_dict, self.norms):
+        for df in (self.postings, self.term_dict, self.norms, self.term_vectors):
             try:
                 if df is not None:
                     df.unpersist()
@@ -468,6 +471,10 @@ class InvertedIndex:
         self.term_dict.write.mode("overwrite").parquet(os.path.join(path, "term_dict"))
         if self.norms is not None:
             self.norms.write.mode("overwrite").parquet(os.path.join(path, "norms"))
+        if self.term_vectors is not None:
+            self.term_vectors.write.mode("overwrite").parquet(
+                os.path.join(path, "term_vectors")
+            )
         manifest = {
             "field": self.field_name,
             "key_cols": list(self.key_cols),
@@ -475,6 +482,9 @@ class InvertedIndex:
             "format_version": 2,
             "index_options": self.extra.get("index_options", "positions"),
             "has_payloads": bool(self.extra.get("has_payloads", False)),
+            "index_sort": [list(p) for p in self.extra["index_sort"]]
+            if self.extra.get("index_sort")
+            else None,
         }
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "manifest.json"), "w") as f:
@@ -485,6 +495,7 @@ class InvertedIndex:
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
         norms_path = os.path.join(path, "norms")
+        tv_path = os.path.join(path, "term_vectors")
         return InvertedIndex(
             spark=spark,
             field_name=manifest["field"],
@@ -494,9 +505,13 @@ class InvertedIndex:
             stats=IndexStats(**manifest["stats"]),
             key_cols=tuple(manifest["key_cols"]),
             norms=spark.read.parquet(norms_path) if os.path.isdir(norms_path) else None,
+            term_vectors=spark.read.parquet(tv_path) if os.path.isdir(tv_path) else None,
             extra={
                 "index_options": manifest.get("index_options", "positions"),
                 "has_payloads": manifest.get("has_payloads", False),
+                "index_sort": tuple((c, bool(a)) for c, a in manifest["index_sort"])
+                if manifest.get("index_sort")
+                else None,
             },
         )
 
@@ -512,6 +527,8 @@ def build_index(
     analyzer=None,
     index_options: str = "positions",
     payload_fn=None,
+    term_vectors: bool = False,
+    index_sort: tuple | None = None,
 ) -> InvertedIndex:
     """Build an InvertedIndex from a DataFrame that already has a ``doc_id``
     column (use ``assign_doc_ids`` first for keyed corpora).
@@ -570,6 +587,24 @@ def build_index(
     # docs with >=1 indexed term: narrow count over the per-doc marker rows
     doc_count = norms.count()
 
+    # term vectors (storeTermVectors=true analog, Lucene90TermVectorsFormat):
+    # the per-doc forward index is the token table itself, re-keyed by doc_id
+    # (range-partition + sort) so a doc_id predicate prunes files/row-groups —
+    # the .tvx doc-pointer lookup as storage pruning. Materialized while the
+    # token stream is still cached (no extra tokenize pass).
+    tv = None
+    if term_vectors:
+        tv_cols = ["doc_id", "term", "tf", "positions"]
+        if index_options == "offsets":
+            tv_cols += ["starts", "ends"]
+        tv = (
+            tokens.select(*tv_cols)
+            .repartitionByRange("doc_id")
+            .sortWithinPartitions("doc_id")
+            .persist()
+        )
+        tv.count()
+
     stats = IndexStats(
         max_doc=max_doc,
         doc_count=doc_count,
@@ -587,8 +622,14 @@ def build_index(
         term_dict=term_dict,
         stats=stats,
         norms=norms,
+        term_vectors=tv,
         extra={
             "index_options": index_options,
             "has_payloads": payload_fn is not None,
+            # setIndexSort metadata (SegmentInfo.indexSort analog): docIDs
+            # were assigned by assign_doc_ids_sorted over these
+            # (column, ascending) pairs; search_sorted early-terminates when
+            # the query sort is a prefix of it
+            "index_sort": tuple((c, bool(a)) for c, a in index_sort) if index_sort else None,
         },
     )

@@ -26,16 +26,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField
 
 
+def _key_columns(key_cols):
+    """Each entry is a column name (ascending) or a (name, ascending) pair."""
+    cols = []
+    for kc in key_cols:
+        if isinstance(kc, str):
+            cols.append(F.col(kc).asc())
+        else:
+            name, asc = kc
+            cols.append(F.col(name).asc() if asc else F.col(name).desc())
+    return cols
+
+
 def assign_doc_ids(
     df: DataFrame,
-    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    key_cols: tuple = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Return ``df`` plus a dense 0-based ``doc_id`` ordered by ``key_cols``."""
+    """Return ``df`` plus a dense 0-based ``doc_id`` ordered by ``key_cols``
+    (names, or ``(name, ascending)`` pairs for descending keys)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    parted = df.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(*key_cols)
+    order = _key_columns(key_cols)
+    parted = df.repartitionByRange(num_partitions, *order).sortWithinPartitions(*order)
 
     from pyspark.sql.types import StructType
 
@@ -70,3 +84,20 @@ def assign_doc_ids(
         .drop("_pid", "_local", "_off")
     )
     return out
+
+
+def assign_doc_ids_sorted(
+    df: DataFrame,
+    index_sort: tuple,
+    key_cols: tuple = ("conv_id", "turn_idx"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``IndexWriterConfig.setIndexSort`` analog (``index/Sorter.kt``,
+    ``index/SortingCodecReader.kt``): docIDs follow ``index_sort`` — entries
+    are ``(column, ascending)`` pairs — with ``key_cols`` as the deterministic
+    tiebreak. A query sorted by a prefix of the index sort then equals
+    ascending-docID order, which is what ``search_sorted``'s early-termination
+    path exploits (TopFieldCollector early exit on sorted segments)."""
+    return assign_doc_ids(
+        df, key_cols=tuple(index_sort) + tuple(key_cols), num_partitions=num_partitions
+    )

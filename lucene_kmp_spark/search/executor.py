@@ -442,6 +442,18 @@ class IndexSearcher:
             "doc_id", "position", "start_offset", "end_offset"
         )
 
+    def term_vector(self, doc_id: int) -> DataFrame:
+        """(term, tf, positions[, starts, ends]) forward index of one doc —
+        the ``TermVectors.get(docID)`` analog (``index/TermVectors.kt``,
+        ``codecs/lucene90/Lucene90TermVectorsFormat.kt``). Requires
+        ``build_index(term_vectors=True)``; the equality predicate prunes the
+        doc_id-range-sorted storage (the .tvx doc-pointer lookup)."""
+        if self.index.term_vectors is None:
+            raise ValueError(
+                "index was built without term vectors — pass term_vectors=True to build_index"
+            )
+        return self.index.term_vectors.filter(F.col("doc_id") == doc_id).drop("doc_id")
+
     def payload_scores(self, term: str, agg: str = "sum", boost: float = 1.0) -> DataFrame:
         """(doc_id, score): per-doc aggregate of the term's occurrence
         payloads — the PayloadScoreQuery/PayloadFunction analog (Sum/Max/Min/
@@ -462,19 +474,9 @@ class IndexSearcher:
         """doc_ids matching q (ScoreMode.NO_SCORES path). ``dedup=False``
         skips the distinct() shuffle — safe whenever the result feeds a
         semi/anti join, which dedups implicitly."""
-        if isinstance(q, TermQuery):
-            return self._docs_for_term_filter(F.col("term") == q.term, dedup)
-        if isinstance(q, TermInSetQuery):
-            return self._docs_for_term_filter(F.col("term").isin(list(q.terms)), dedup)
-        if isinstance(q, PrefixQuery):
-            return self._docs_for_term_filter(F.col("term").startswith(q.prefix), dedup)
-        if isinstance(q, WildcardQuery):
-            return self._docs_for_term_filter(F.col("term").rlike(_wildcard_to_regex(q.pattern)), dedup)
-        if isinstance(q, RegexpQuery):
-            terms = self._regexp_terms(q)
-            return self._docs_for_term_filter(F.col("term").isin(terms), dedup)
-        if isinstance(q, TermRangeQuery):
-            return self._docs_for_term_filter(_range_pred(q), dedup)
+        pred = self._term_pred(q)
+        if pred is not None:
+            return self._docs_for_term_filter(pred, dedup)
         if isinstance(q, ColumnFilterQuery):
             return self.index.docs.filter(q.sql_predicate).select("doc_id")
         if isinstance(q, FieldExistsQuery):
@@ -488,14 +490,39 @@ class IndexSearcher:
         # general fallback: scored execution, keep doc ids
         return self.execute(q).select("doc_id")
 
-    def _docs_for_term_filter(self, pred, dedup: bool = True) -> DataFrame:
+    def _term_pred(self, q: Query):
+        """Postings/term-dict `term` predicate for the multi-term family, or
+        None when q is not a term-level query."""
+        if isinstance(q, TermQuery):
+            return F.col("term") == q.term
+        if isinstance(q, TermInSetQuery):
+            return F.col("term").isin(list(q.terms))
+        if isinstance(q, PrefixQuery):
+            return F.col("term").startswith(q.prefix)
+        if isinstance(q, WildcardQuery):
+            return F.col("term").rlike(_wildcard_to_regex(q.pattern))
+        if isinstance(q, RegexpQuery):
+            return F.col("term").isin(self._regexp_terms(q))
+        if isinstance(q, TermRangeQuery):
+            return _range_pred(q)
+        return None
+
+    def _docs_for_term_filter(
+        self, pred, dedup: bool = True, doc_bound: int | None = None
+    ) -> DataFrame:
         """Decode doc_ids only for postings whose term matches a predicate.
 
         The term predicate is pushed into the Parquet scan of the postings
         table (PushedFilters on the `term` column — the term-dictionary
         lookup of ``codecs/lucene90/blocktree`` becomes file/row-group
-        pruning)."""
-        rows = self.index.postings.filter(pred).select("doc_ids_enc")
+        pruning). ``doc_bound`` additionally prunes whole posting blocks via
+        the level-0 skip column (``min_doc_id < bound``) — the early-
+        termination path's IO cut."""
+        rows = self.index.postings.filter(pred)
+        if doc_bound is not None:
+            rows = rows.filter(F.col("min_doc_id") < int(doc_bound))
+        rows = rows.select("doc_ids_enc")
+        bound = doc_bound
 
         def gen(batches):
             from lucene_kmp_spark.util.packing import delta_block_decode
@@ -504,7 +531,10 @@ class IndexSearcher:
                 if len(pdf) == 0:
                     continue
                 arrs = [delta_block_decode(bytes(b)) for b in pdf["doc_ids_enc"].values]
-                yield pd.DataFrame({"doc_id": np.concatenate(arrs)})
+                ids = np.concatenate(arrs)
+                if bound is not None:
+                    ids = ids[ids < bound]  # straddling block tail
+                yield pd.DataFrame({"doc_id": ids})
 
         out = rows.mapInPandas(gen, schema="doc_id long")
         return out.distinct() if dedup else out
@@ -1343,26 +1373,70 @@ class IndexSearcher:
             sf if isinstance(sf, SortField) else SortField(column=sf[0], ascending=sf[1])
             for sf in sort
         ]
-        matches = self._live(self._doc_set(rewrite_query(q)))
-        joined = matches.join(self.index.docs, "doc_id")
-        order, out_names = [], []
-        for i, sf in enumerate(fields):
-            key = F.expr(sf.expr) if sf.expr is not None else F.col(sf.column)
-            if sf.selector == "min":
-                key = F.array_min(key)
-            elif sf.selector == "max":
-                key = F.array_max(key)
-            name = sf.name or sf.column or f"sort_key_{i}"
-            joined = joined.withColumn(name, key)
-            out_names.append(name)
-            col = F.col(name)
-            if sf.missing_last is None:
-                order.append(col.asc() if sf.ascending else col.desc())
-            elif sf.missing_last:
-                order.append(col.asc_nulls_last() if sf.ascending else col.desc_nulls_last())
+        rq = rewrite_query(q)
+
+        def finish(matches: DataFrame) -> DataFrame:
+            joined = matches.join(self.index.docs, "doc_id")
+            order, out_names = [], []
+            for i, sf in enumerate(fields):
+                key = F.expr(sf.expr) if sf.expr is not None else F.col(sf.column)
+                if sf.selector == "min":
+                    key = F.array_min(key)
+                elif sf.selector == "max":
+                    key = F.array_max(key)
+                name = sf.name or sf.column or f"sort_key_{i}"
+                joined = joined.withColumn(name, key)
+                out_names.append(name)
+                col = F.col(name)
+                if sf.missing_last is None:
+                    order.append(col.asc() if sf.ascending else col.desc())
+                elif sf.missing_last:
+                    order.append(col.asc_nulls_last() if sf.ascending else col.desc_nulls_last())
+                else:
+                    order.append(col.asc_nulls_first() if sf.ascending else col.desc_nulls_first())
+            return joined.orderBy(*order, F.asc("doc_id")).limit(k).select("doc_id", *out_names)
+
+        bounded = self._index_sorted_matches(rq, fields, k)
+        if bounded is not None:
+            return finish(bounded)
+        return finish(self._live(self._doc_set(rq)))
+
+    def _index_sorted_matches(self, rq: Query, fields: list, k: int) -> DataFrame | None:
+        """Early termination on index-sorted segments (TopFieldCollector's
+        CollectionTerminatedException when the query sort is a prefix of
+        IndexWriterConfig.setIndexSort — Sorter.kt / SortingCodecReader.kt).
+
+        With docIDs assigned by ``assign_doc_ids_sorted``, index-sort order
+        IS ascending docID order, so the sorted top-k are the k smallest
+        matching docIDs. Matches are gathered under a widening ``doc_id <
+        bound`` cutoff: the bound prunes posting BLOCKS through the level-0
+        skip column before decode (a genuine IO cut, not a post-filter), and
+        widens 8x until k live matches are in bound (rare: only when match
+        density is below k/bound). Returns None when the index isn't sorted
+        compatibly — caller falls back to the full sort."""
+        index_sort = self.index.extra.get("index_sort")
+        if not index_sort:
+            return None
+        if any(sf.expr is not None or sf.selector is not None for sf in fields):
+            return None
+        want = [(sf.column, bool(sf.ascending)) for sf in fields]
+        if want != [tuple(p) for p in index_sort[: len(want)]]:
+            return None
+        pred = self._term_pred(rq)
+        if pred is None and not isinstance(rq, MatchAllDocsQuery):
+            return None
+        max_doc = self.index.stats.max_doc
+        bound = max(8 * k, 4096)
+        while True:
+            if pred is not None:
+                m = self._docs_for_term_filter(pred, dedup=True, doc_bound=bound)
             else:
-                order.append(col.asc_nulls_first() if sf.ascending else col.desc_nulls_first())
-        return joined.orderBy(*order, F.asc("doc_id")).limit(k).select("doc_id", *out_names)
+                m = self.index.docs.select("doc_id").filter(F.col("doc_id") < bound)
+            m = self._live(m).persist()
+            if bound >= max_doc or m.count() >= k:
+                return m
+            m.unpersist()
+            bound *= 8
 
     def rescore(
         self, first: Query, second: Query, window: int = 100, weight: float = 1.0, k: int = 10

@@ -210,6 +210,58 @@ avgd AS (SELECT sum_ttf::DOUBLE / n_docs AS avgdl, n_docs FROM nstats)
 """
 
 
+def _syn_searcher64(spark: SparkSession, sf_dir: str):
+    """Searcher over an index built with index-time synonym expansion
+    fast->quick (posIncr=0 overlap): 'quick' is NOT a corpus word, so every
+    quick posting is synonym-emitted — isolates the overlap semantics."""
+    from lucene_kmp_spark.analysis.filters import synonym_analyzer
+    from lucene_kmp_spark.index import build_index
+    from lucene_kmp_spark.search.executor import IndexSearcher
+
+    key = sf_dir + "::syn"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs(spark, sf_dir),
+            text_col="text",
+            analyzer=synonym_analyzer({"fast": ("quick",)}),
+        )
+    return IndexSearcher(_INDEX_CACHE[key], dtype=np.float64)
+
+
+# synonym-index oracle prelude: tok = raw tokens + synonym copies at the SAME
+# position; norms count DISTINCT positions (discountOverlaps) while sum_ttf
+# counts every emitted token (BM25Similarity.kt:53-55 sums per-term ttf) —
+# avgdl shifts, per-doc lengths don't.
+_SYN_PRELUDE = """
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, term, pos FROM raw
+  UNION ALL
+  SELECT doc_id, 'quick' AS term, pos FROM raw WHERE term = 'fast'
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(DISTINCT pos)::BIGINT AS dl FROM tok GROUP BY 1),
+nstats AS (
+  SELECT (SELECT count(*)::BIGINT FROM dl) AS n_docs,
+         (SELECT count(*)::BIGINT FROM tok) AS sum_ttf
+),
+norm AS (
+  SELECT doc_id,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4))
+                     << (length(printf('%b', dl - 24)) - 4))
+    END AS qdl
+  FROM dl
+),
+avgd AS (SELECT sum_ttf::DOUBLE / n_docs AS avgdl, n_docs FROM nstats)
+"""
+
+
 def _mf_searcher64(spark: SparkSession, sf_dir: str):
     from lucene_kmp_spark.search.multifield import MultiFieldSearcher, build_field_indexes
 
@@ -1209,6 +1261,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.withColumn("rank", F.row_number().over(w).cast("int"))
 
     q["index_sorted_topk"] = q_index_sorted
+
+    # ---- index-time synonyms (posIncr=0 overlap) ----
+    def q_synonym_index_term(spark, sf_dir):
+        s = _syn_searcher64(spark, sf_dir)
+        return _ranked_topk(s.execute(TermQuery("quick")))
+
+    def q_synonym_index_phrase(spark, sf_dir):
+        # phrase across a synonym overlap: "quick scan" matches "fast scan"
+        s = _syn_searcher64(spark, sf_dir)
+        return _ranked_topk(s.execute(PhraseQuery(("quick", "scan"))))
+
+    q["synonym_index_term"] = q_synonym_index_term
+    q["synonym_index_phrase"] = q_synonym_index_phrase
 
     return q
 
@@ -2523,6 +2588,33 @@ FROM (
 )
 GROUP BY term
 """
+
+    o["synonym_index_term"] = _SYN_PRELUDE + "," + _sc_cte("sc0", "quick") + _rank_tail("sc0")
+
+    # 'quick' postings are copies of 'fast' at the same positions, so the
+    # phrase freq equals literal ' fast  scan ' adjacency in the raw text
+    o["synonym_index_phrase"] = (
+        _SYN_PRELUDE
+        + """,
+ph AS (
+  SELECT doc_id,
+         ((length(pad) - length(replace(pad, ' fast  scan ', ''))) // length(' fast  scan '))::BIGINT AS freq
+  FROM (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS pad FROM documents)
+),
+idfs AS (
+  SELECT (SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5))
+            FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'quick') d, avgd a)
+       + (SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5))
+            FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'scan') d, avgd a) AS w
+),
+total AS (
+  SELECT ph.doc_id,
+         idfs.w - idfs.w / (1 + ph.freq * (1.0 / (1.2 * (0.25 + 0.75 * norm.qdl / avgd.avgdl)))) AS s
+  FROM ph JOIN norm USING (doc_id) CROSS JOIN avgd CROSS JOIN idfs
+  WHERE ph.freq > 0
+)"""
+        + _rank_tail("total")
+    )
 
     o["english_bm25_term"] = _EN_PRELUDE + "," + _sc_cte("sc0", "custom") + _rank_tail("sc0")
 

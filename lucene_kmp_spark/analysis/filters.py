@@ -44,6 +44,38 @@ def shingle_analyzer(n: int = 2, sep: str = " ", keep_unigrams: bool = False):
     return run
 
 
+def synonym_analyzer(synonyms: dict[str, tuple[str, ...]], stop_words: tuple[str, ...] = ()):
+    """Index-time single-token synonym expansion — the SynonymFilter /
+    SynonymGraphFilter 1:1-rule analog (``analysis/common`` synonym package).
+
+    Each synonym is emitted at its source token's position (posIncr=0
+    overlap), so:
+
+    * phrases match across synonyms ("quick scan" hits "fast scan"),
+    * norms discount the overlap — the engine derives the field length from
+      distinct positions (Similarity.kt discountOverlaps=true), so synonym
+      emission never shortens BM25 norms,
+    * collection sumTotalTermFreq DOES include the extra tokens (it sums
+      per-term ttf, BM25Similarity.kt:53-55), exactly like Lucene — avgdl
+      shifts while per-doc lengths don't.
+    """
+    stop = frozenset(stop_words) if stop_words else None
+
+    def run(text: str):
+        terms, positions, length = analyze(text, stop_set=stop)
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            out_t.append(t)
+            out_p.append(p)
+            for s in synonyms.get(t, ()):
+                out_t.append(s)
+                out_p.append(p)
+        return out_t, out_p, length
+
+    return run
+
+
 def ngram_analyzer(min_n: int = 2, max_n: int = 3):
     """Per-token character n-grams (NGramTokenFilter analog). Every gram
     keeps its source token's position (posIncr=0 for the extra grams —

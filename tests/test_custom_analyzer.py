@@ -83,3 +83,16 @@ def test_overlap_norms_discounted(docs):
     norms = {r["doc_id"]: r["norm"] for r in idx.norms.collect()}
     # every fixture doc has 3 source tokens; keep_unigrams emits 5 tokens/doc
     assert norms == {0: int_to_byte4(3), 1: int_to_byte4(3), 2: int_to_byte4(3)}
+
+
+def test_synonym_analyzer_overlap_semantics():
+    """Index-time synonym emission: posIncr=0 overlap at the source position,
+    norms unaffected (distinct positions), phrases match across synonyms."""
+    from lucene_kmp_spark.analysis.filters import synonym_analyzer
+
+    a = synonym_analyzer({"fast": ("quick", "rapid")})
+    terms, positions, _ = a("fast scan wins")
+    assert terms == ["fast", "quick", "rapid", "scan", "wins"]
+    assert positions == [0, 0, 0, 1, 2]
+    # norm length the builder derives (distinct positions) excludes overlaps
+    assert len(set(positions)) == 3

@@ -407,6 +407,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multiterm_fuzzy"] = q_fuzzy
 
+    # ---- MultiTermQuery scoring rewrite methods (ScoringRewrite.kt /
+    # TopTermsRewrite.kt): expansion scored per-term instead of constant ----
+    q["prefix_scoring_rewrite"] = _bm25_query(
+        lambda: PrefixQuery("s", rewrite_method="scoring_boolean")
+    )
+    q["prefix_top_terms_blended"] = _bm25_query(
+        lambda: PrefixQuery("s", rewrite_method="top_terms_blended_freqs", rewrite_size=4)
+    )
+    q["prefix_top_terms_boost"] = _bm25_query(
+        lambda: PrefixQuery("s", boost=2.0, rewrite_method="top_terms_boost", rewrite_size=3)
+    )
+
     def q_dismax(spark, sf_dir):
         from lucene_kmp_spark.search.query import DisjunctionMaxQuery, TermQuery as TQ
 
@@ -1631,6 +1643,59 @@ total AS (
 
     o["multiterm_fuzzy"] = (
         _PRELUDE + "SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'merge') <= 1"
+    )
+
+    # ---- multiterm scoring rewrites ----
+    # SCORING_BOOLEAN_REWRITE: every expanded term is a SHOULD TermQuery with
+    # its own df-based idf; per-doc score = sum over matched expansions
+    o["prefix_scoring_rewrite"] = (
+        _PRELUDE
+        + """,
+mt AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term LIKE 's%' GROUP BY term),
+mw AS (
+  SELECT mt.term, ln(1 + (a.n_docs - mt.df + 0.5) / (mt.df + 0.5)) AS w
+  FROM mt CROSS JOIN avgd a
+),
+total AS (
+  SELECT tf.doc_id,
+         sum(mw.w - mw.w / (1 + tf.tf * (1.0 / (1.2 * (0.25 + 0.75 * norm.qdl / avgd.avgdl))))) AS s
+  FROM tf JOIN mw USING (term) JOIN norm USING (doc_id) CROSS JOIN avgd
+  GROUP BY tf.doc_id
+)"""
+        + _rank_tail("total")
+    )
+
+    # TOP_TERMS_BLENDED_FREQ_REWRITE size=4: the 4 lexicographically smallest
+    # expansions (constant boost -> term-order tie-break, TopTermsRewrite.kt:95-97),
+    # each scored with df lifted to the max across them, summed per doc
+    o["prefix_top_terms_blended"] = (
+        _PRELUDE
+        + """,
+mt AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term LIKE 's%' GROUP BY term),
+topt AS (SELECT term FROM mt ORDER BY term ASC LIMIT 4),
+dfm AS (SELECT max(df) AS df FROM mt WHERE term IN (SELECT term FROM topt)),
+w AS (SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w FROM dfm d, avgd a),
+total AS (
+  SELECT tf.doc_id,
+         sum(w.w - w.w / (1 + tf.tf * (1.0 / (1.2 * (0.25 + 0.75 * norm.qdl / avgd.avgdl))))) AS s
+  FROM tf JOIN norm USING (doc_id) CROSS JOIN avgd CROSS JOIN w
+  WHERE tf.term IN (SELECT term FROM topt)
+  GROUP BY tf.doc_id
+)"""
+        + _rank_tail("total")
+    )
+
+    # TOP_TERMS_BOOST_REWRITE size=3 boost=2: constant-score clause per
+    # expansion -> score = 2 * (#top-3 expansions present in the doc)
+    o["prefix_top_terms_boost"] = (
+        _PRELUDE
+        + """,
+topt AS (SELECT DISTINCT term FROM tf WHERE term LIKE 's%' ORDER BY term ASC LIMIT 3),
+total AS (
+  SELECT doc_id, 2.0 * count(*) AS s FROM tf
+  WHERE term IN (SELECT term FROM topt) GROUP BY doc_id
+)"""
+        + _rank_tail("total")
     )
 
     o["bm25_dismax"] = (

@@ -78,6 +78,10 @@ from lucene_kmp_spark.search.query import (
     rewrite_query,
 )
 
+# IndexSearcher.maxClauseCount default (IndexSearcher.kt) — boolean rewrites
+# of multi-term expansions refuse to exceed it; top-terms rewrites cap at it
+MAX_CLAUSE_COUNT = 1024
+
 _SCORED_SCHEMA = StructType(
     [
         StructField("term", StringType()),
@@ -566,6 +570,80 @@ class IndexSearcher:
             for r in cand.filter(_matches(F.col("term"))).select("term").distinct().collect()
         )
 
+    # --------------------------------------------- multi-term rewrite methods
+    def _multiterm_terms(self, q: Query) -> list[str]:
+        """Expand a multi-term query against the term dictionary, returning
+        the matching term strings in lexicographic order (the TermsEnum
+        iteration order every RewriteMethod consumes — TopTermsRewrite.kt:88
+        asserts terms arrive sorted). The predicate is pushed into the
+        Parquet scan of the term dict; only matching strings come back to
+        the driver (term dict ≪ corpus — the FuzzyTermsEnum pattern)."""
+        if isinstance(q, RegexpQuery):
+            return self._regexp_terms(q)  # already sorted
+        pred = self._term_pred(q)
+        rows = self.index.term_dict.filter(pred).select("term").distinct().collect()
+        return sorted(r["term"] for r in rows)
+
+    def _exec_multiterm_rewrite(self, q: Query, rw: str) -> DataFrame:
+        """Scoring rewrite methods for the multi-term family
+        (ScoringRewrite.kt:152 SCORING_BOOLEAN_REWRITE / :185
+        CONSTANT_SCORE_BOOLEAN_REWRITE; TopTermsRewrite.kt + the three
+        MultiTermQuery.kt builders). Top-terms selection keeps the
+        ``rewrite_size`` highest-boost terms, ties toward the
+        lexicographically smaller term (TopTermsRewrite.kt:95-97) — the
+        pattern-expansion enums emit constant boost 1.0, so that is the
+        ``rewrite_size`` smallest matching terms."""
+        terms = self._multiterm_terms(q)
+        boost = float(getattr(q, "boost", 1.0))
+        if not terms:
+            return self.index.spark.createDataFrame([], schema="doc_id long, score double")
+        if rw in ("scoring_boolean", "constant_score_boolean"):
+            if len(terms) > MAX_CLAUSE_COUNT:
+                raise ValueError(
+                    f"TooManyClauses: {len(terms)} expanded terms > maxClauseCount "
+                    f"{MAX_CLAUSE_COUNT} (IndexSearcher.kt maxClauseCount); use a "
+                    "constant_score or top_terms rewrite"
+                )
+            if rw == "constant_score_boolean":
+                # SCORING_BOOLEAN then score stripped (ScoringRewrite.kt:185-192)
+                return self._doc_set(q).withColumn(
+                    "score", F.lit(boost).cast("double")
+                )
+        else:
+            size = min(int(getattr(q, "rewrite_size", 50)), MAX_CLAUSE_COUNT)
+            terms = terms[:size]
+        if rw in ("scoring_boolean", "top_terms_scoring_boolean"):
+            # SHOULD boolean of per-term TermQuery, each with its own stats
+            # (ScoringRewrite addClause: BoostQuery(TermQuery(term), boost))
+            bq = BooleanQuery.build(should=[TermQuery(t, boost=boost) for t in terms])
+            return self._exec_boolean(bq)
+        if rw == "top_terms_blended_freqs":
+            return self._exec_blended_terms(terms, boost)
+        if rw == "top_terms_boost":
+            # per-clause ConstantScoreQuery(TermQuery)·boost summed
+            # (MultiTermQuery.kt:149-176): score = #matching expanded terms
+            rows = self._docs_for_term_filter(F.col("term").isin(terms), dedup=False)
+            return rows.groupBy("doc_id").agg(
+                (F.count(F.lit(1)) * F.lit(boost)).cast("double").alias("score")
+            )
+        raise ValueError(f"unknown multi-term rewrite method: {rw}")
+
+    def _exec_blended_terms(self, terms: list[str], boost: float) -> DataFrame:
+        """TOP_TERMS_BLENDED_FREQ_REWRITE scoring (MultiTermQuery.kt:107-139
+        via BlendedTermQuery.kt:225-234): every expanded term is scored with
+        ARTIFICIAL stats — df lifted to the max across the expanded terms,
+        ttf to their sum — so rare expansions can't dominate on idf; the
+        per-term scores then sum per doc (BlendedTermQuery.BOOLEAN_REWRITE,
+        the disjunction the builder installs at :122)."""
+        st = self.term_stats(terms)
+        if not st:
+            return self.index.spark.createDataFrame([], schema="doc_id long, score double")
+        df_max = max(s.df for s in st.values())
+        ttf_sum = sum(s.ttf for s in st.values())
+        blended = {t: TermStats(df_max, ttf_sum) for t in st}
+        sdf = self._scored_terms_df({t: boost for t in st}, stats=blended)
+        return sdf.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
     # ------------------------------------------------------------- execution
     def execute(self, q: Query) -> DataFrame:
         """Full match set with scores: DataFrame(doc_id long, score double)."""
@@ -586,8 +664,12 @@ class IndexSearcher:
         if isinstance(q, PhraseQuery):
             return self._exec_phrase(q)
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery)):
-            # CONSTANT_SCORE rewrite (MultiTermQuery.kt:21-70): match set, score = boost
-            return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
+            rw = getattr(q, "rewrite_method", "constant_score")
+            if rw in ("constant_score", "constant_score_blended"):
+                # CONSTANT_SCORE[_BLENDED] rewrite (MultiTermQuery.kt:21-70,
+                # :247): match set, score = boost — the default
+                return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
+            return self._exec_multiterm_rewrite(q, rw)
         if isinstance(q, FuzzyQuery):
             return self._exec_fuzzy(q)
         if isinstance(q, ConstantScoreQuery):

@@ -67,12 +67,20 @@ class NGramPhraseQuery(Query):
 class PrefixQuery(Query):
     prefix: str
     boost: float = 1.0
+    # MultiTermQuery.RewriteMethod (MultiTermQuery.kt:247 CONSTANT_SCORE_BLENDED
+    # default; ScoringRewrite.kt:152 SCORING_BOOLEAN; TopTermsRewrite.kt):
+    # "constant_score" | "scoring_boolean" | "constant_score_boolean" |
+    # "top_terms_scoring_boolean" | "top_terms_blended_freqs" | "top_terms_boost"
+    rewrite_method: str = "constant_score"
+    rewrite_size: int = 50  # top-terms PQ size (capped at MAX_CLAUSE_COUNT)
 
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
     pattern: str  # `*` any run, `?` single char (WildcardQuery.kt:24)
     boost: float = 1.0
+    rewrite_method: str = "constant_score"
+    rewrite_size: int = 50
 
 
 @dataclass(frozen=True)
@@ -86,6 +94,8 @@ class RegexpQuery(Query):
     boost: float = 1.0
     syntax_flags: int = 0xFF   # regexp_util.ALL
     match_flags: int = 0
+    rewrite_method: str = "constant_score"
+    rewrite_size: int = 50
 
 
 @dataclass(frozen=True)
@@ -105,6 +115,8 @@ class TermRangeQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     boost: float = 1.0
+    rewrite_method: str = "constant_score"
+    rewrite_size: int = 50
 
 
 @dataclass(frozen=True)

@@ -711,6 +711,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_euclidean_filtered"] = q_knn_euclidean
 
+    _BYTE_VEC = "transform(embedding, x -> cast(floor(cast(x as double) * 127) as int))"
+
+    def q_knn_byte(spark, sf_dir):
+        # KnnByteVectorQuery (KnnByteVectorQuery.kt): signed-byte vectors,
+        # dot_product score = 0.5 + v·q/(dim·2^15) (VectorUtil.kt:281-285).
+        # Byte vectors derived deterministically: floor(x*127) per component.
+        from lucene_kmp_spark.search.query import KnnByteVectorQuery
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        bytes_df = emb.select(
+            F.col("vec_id").alias("doc_id"), F.expr(_BYTE_VEC).alias("embedding")
+        )
+        qvec = [int(v) for v in bytes_df.filter(F.col("doc_id") == 0).collect()[0]["embedding"]]
+        s = _searcher64(spark, sf_dir)
+        s.vectors = bytes_df
+        res = s.execute(
+            KnnByteVectorQuery(tuple(qvec), k=TOPK + 20, fn="dot_product",
+                               filter_predicate="doc_id != 0")
+        )
+        return _ranked_topk(res.withColumnRenamed("doc_id", "vec_id"), id_col="vec_id")
+
+    q["knn_byte_dot"] = q_knn_byte
+
+    def q_vector_sim_threshold(spark, sf_dir):
+        # FloatVectorSimilarityQuery (AbstractVectorSimilarityQuery.kt): ALL
+        # docs with (1+cos)/2 >= resultSimilarity, score = similarity;
+        # traversalSimilarity only bounds the reference's graph walk
+        from lucene_kmp_spark.search.query import VectorSimilarityQuery
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        s = _searcher64(spark, sf_dir)
+        s.vectors = emb.withColumnRenamed("vec_id", "doc_id")
+        res = s.execute(
+            VectorSimilarityQuery(tuple(qvec), result_similarity=0.53,
+                                  traversal_similarity=0.5, fn="cosine",
+                                  filter_predicate="doc_id != 0")
+        )
+        return res.select(
+            F.col("doc_id").alias("vec_id"), _q4(F.col("score")).alias("score")
+        )
+
+    q["vector_sim_threshold"] = q_vector_sim_threshold
+
+    def q_seeded_knn(spark, sf_dir):
+        # SeededKnnVectorQuery (SeededKnnVectorQuery.kt, LADR SIGIR'23): the
+        # seed query's matches ('dup' docs) pick the IVF lists to probe —
+        # scan prunes to the partitions the seeds vote for
+        from lucene_kmp_spark.search.query import SeededKnnVectorQuery
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = emb.filter(F.col("vec_id").between(0, 8)).orderBy("vec_id").collect()
+        qvec = tuple(float(v) for v in rows[0]["embedding"])
+        cents = tuple(tuple(float(v) for v in r["embedding"]) for r in rows[1:])
+        s = _searcher64(spark, sf_dir)
+        s.vectors = emb.filter(F.col("vec_id") != 0).withColumnRenamed("vec_id", "doc_id")
+        res = s.execute(
+            SeededKnnVectorQuery(qvec, seed=TermQuery("dup"), centroids=cents,
+                                 k=TOPK + 20, fn="cosine")
+        )
+        return _ranked_topk(res.withColumnRenamed("doc_id", "vec_id"), id_col="vec_id")
+
+    q["seeded_knn_ivf"] = q_seeded_knn
+
     def q_ann_ivf(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -2252,6 +2316,91 @@ scored AS (
 )
 SELECT vec_id, CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, vec_id ASC) AS INT) AS rank,
        floor(s * 10000) / 10000 AS score
+FROM scored QUALIFY rank <= 10
+"""
+
+    # KnnByteVectorQuery dot_product over floor(x*127) byte vectors:
+    # score = 0.5 + v·q / (64 · 2^15) (VectorUtil.kt:281-285 dotProductScore)
+    o["knn_byte_dot"] = """
+WITH bv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127) AS INT)) AS b
+  FROM embeddings
+),
+q AS (SELECT b AS qb FROM bv WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.b)::DOUBLE AS a, unnest(q.qb)::DOUBLE AS b
+  FROM bv e, q WHERE e.vec_id != 0
+),
+scored AS (
+  SELECT vec_id, 0.5 + sum(a * b) / (64 * 32768.0) AS s
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, vec_id ASC) AS INT) AS rank,
+       floor(s * 10000) / 10000 AS score
+FROM scored QUALIFY rank <= 10
+"""
+
+    # FloatVectorSimilarityQuery: EVERY doc with (1+cos)/2 >= 0.53
+    # (AbstractVectorSimilarityQuery.kt VectorSimilarityCollector) — a
+    # threshold SET, not a top-k
+    o["vector_sim_threshold"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+  FROM embeddings e, q WHERE e.vec_id != 0
+),
+dots AS (SELECT vec_id, sum(a * b) AS dot, sum(a * a) AS na FROM pairs GROUP BY vec_id),
+qn AS (SELECT sum(b * b) AS nb FROM (SELECT unnest(qv)::DOUBLE AS b FROM q)),
+scored AS (
+  SELECT vec_id, greatest(0.0, (1 + dot / (sqrt(na) * sqrt(nb))) / 2) AS s
+  FROM dots, qn
+)
+SELECT vec_id, floor(s * 10000) / 10000 AS score FROM scored WHERE s >= 0.53
+"""
+
+    # SeededKnnVectorQuery: seed docs (text contains 'dup') vote for IVF
+    # lists (fixed data-vector centroids vec_id 1..8, assignment tie ->
+    # higher idx = cid DESC); probe = exactly the seed lists; top-k cosine
+    # restricted to them
+    o["seeded_knn_ivf"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+vcp AS (
+  SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS a, unnest(c.cv)::DOUBLE AS b
+  FROM embeddings e, cent c WHERE e.vec_id != 0
+),
+vc AS (
+  SELECT vec_id, cid, sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cos
+  FROM vcp GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+seeds AS (
+  SELECT doc_id FROM documents
+  WHERE list_contains(string_split(text, ' '), 'dup')
+),
+probe_lists AS (
+  SELECT DISTINCT cid FROM assign WHERE vec_id IN (SELECT doc_id FROM seeds)
+),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+  FROM embeddings e, q
+  WHERE e.vec_id IN (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probe_lists))
+),
+dots AS (SELECT vec_id, sum(a * b) AS dot, sum(a * a) AS na FROM pairs GROUP BY vec_id),
+qn AS (SELECT sum(b * b) AS nb FROM (SELECT unnest(qv)::DOUBLE AS b FROM q)),
+scored AS (
+  SELECT vec_id, greatest(0.0, (1 + dot / (sqrt(na) * sqrt(nb))) / 2) AS s
+  FROM dots, qn
+)
+SELECT vec_id, floor(s * 10000) / 10000 AS score,
+       CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, vec_id ASC) AS INT) AS rank
 FROM scored QUALIFY rank <= 10
 """
 

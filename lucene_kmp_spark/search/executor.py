@@ -52,7 +52,10 @@ from lucene_kmp_spark.search.query import (
     FieldExistsQuery,
     FuzzyQuery,
     IndriAndQuery,
+    KnnByteVectorQuery,
     KnnFloatVectorQuery,
+    SeededKnnVectorQuery,
+    VectorSimilarityQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     MultiPhraseQuery,
@@ -684,6 +687,8 @@ class IndexSearcher:
             return self._exec_indri_and(q)
         if isinstance(q, KnnFloatVectorQuery):
             return self._exec_knn(q)
+        if isinstance(q, (KnnByteVectorQuery, VectorSimilarityQuery, SeededKnnVectorQuery)):
+            return self._exec_vector_family(q)
         if isinstance(q, ColumnFilterQuery):
             return self._doc_set(q).withColumn("score", F.lit(0.0))
         if isinstance(q, FieldExistsQuery):
@@ -935,6 +940,48 @@ class IndexSearcher:
             docset=docset,
             boost=q.boost,
         ).select("doc_id", F.col("score").cast("double"))
+
+    def _exec_vector_family(self, q) -> DataFrame:
+        """KnnByteVectorQuery / Float|ByteVectorSimilarityQuery /
+        SeededKnnVectorQuery over the attached vector store — all share the
+        KnnFloatVectorQuery pre-filter + single-columnar-scan shape
+        (see ``search/knn.py`` for the per-query plan notes)."""
+        from lucene_kmp_spark.search.knn import (
+            knn_byte_topk,
+            seeded_ivf_topk,
+            vector_similarity_all,
+        )
+
+        if self.vectors is None:
+            raise ValueError(
+                "vector queries need IndexSearcher(vectors=...) — a "
+                "DataFrame with (doc_id, embedding) columns"
+            )
+        live = self._live(self.vectors)
+        if isinstance(q, KnnByteVectorQuery):
+            docset = self._doc_set(q.filter) if q.filter is not None else None
+            out = knn_byte_topk(
+                live, list(q.vector), k=q.k, fn=q.fn,
+                predicate=q.filter_predicate, docset=docset, boost=q.boost,
+            )
+        elif isinstance(q, VectorSimilarityQuery):
+            docset = self._doc_set(q.filter) if q.filter is not None else None
+            out = vector_similarity_all(
+                live, list(q.vector), q.result_similarity,
+                traversal_similarity=q.traversal_similarity, fn=q.fn,
+                predicate=q.filter_predicate, docset=docset, boost=q.boost,
+                byte_vectors=q.byte_vectors,
+            )
+        else:  # SeededKnnVectorQuery
+            seed_docs = self._doc_set(q.seed)
+            out = seeded_ivf_topk(
+                live, list(q.vector), [list(c) for c in q.centroids],
+                seed_docs, k=q.k, fn=q.fn, id_col="doc_id",
+                fallback_n_probe=q.fallback_n_probe,
+            )
+            if q.boost != 1.0:
+                out = out.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+        return out.select("doc_id", F.col("score").cast("double"))
 
     def _exec_indri_and(self, q: "IndriAndQuery") -> DataFrame:
         """Indri AND (IndriAndScorer.kt:21-46 scoreDoc): match the UNION of

@@ -334,6 +334,63 @@ class KnnFloatVectorQuery(Query):
 
 
 @dataclass(frozen=True)
+class KnnByteVectorQuery(Query):
+    """Exact k-nearest-neighbors over a signed-byte vector column
+    (``search/KnnByteVectorQuery.kt``; byte score overloads
+    ``index/VectorSimilarityFunction.kt:22-71`` — notably dot_product =
+    0.5 + v·q/(dim·2¹⁵), ``util/VectorUtil.kt:281-285``). Same pre-filter
+    semantics and plan shape as :class:`KnnFloatVectorQuery`."""
+
+    vector: tuple[int, ...]
+    k: int = 10
+    fn: str = "dot_product"
+    filter: "Query | None" = None
+    filter_predicate: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class VectorSimilarityQuery(Query):
+    """ALL docs above a similarity threshold —
+    Float/ByteVectorSimilarityQuery (``search/AbstractVectorSimilarityQuery.kt``,
+    ``FloatVectorSimilarityQuery.kt``, ``ByteVectorSimilarityQuery.kt``):
+    score = boost · similarity for every doc with similarity ≥
+    ``result_similarity``; the filter restricts candidates first.
+    ``traversal_similarity`` (≤ result_similarity, enforced) only bounds the
+    reference's HNSW exploration — the exact scan's result set is
+    threshold-defined, so it is accepted and ignored."""
+
+    vector: tuple[float, ...]
+    result_similarity: float = 0.5
+    traversal_similarity: float | None = None
+    fn: str = "cosine"
+    filter: "Query | None" = None
+    filter_predicate: str | None = None
+    boost: float = 1.0
+    byte_vectors: bool = False
+
+
+@dataclass(frozen=True)
+class SeededKnnVectorQuery(Query):
+    """Seeded approximate kNN (``search/SeededKnnVectorQuery.kt``, the LADR
+    pattern): a cheap ``seed`` Query's matches pick the entry points of the
+    approximate search. The reference seeds the HNSW walk; the distributed
+    analog probes exactly the IVF lists containing seed docs
+    (``search/knn.py seeded_ivf_topk``). ``centroids`` are the coarse
+    quantizer; empty seed set falls back to centroid routing with
+    ``fallback_n_probe`` lists (the reference's "format is free to ignore
+    the seed")."""
+
+    vector: tuple[float, ...]
+    seed: "Query"
+    centroids: tuple = ()
+    k: int = 10
+    fn: str = "cosine"
+    fallback_n_probe: int = 1
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class IndriAndQuery(Query):
     """Indri-style AND (search/IndriAndQuery.kt + IndriAndScorer.kt:21-46):
     matches the UNION of clause docs; per doc,

@@ -1338,6 +1338,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["index_sorted_topk"] = q_index_sorted
 
+    def q_index_sort_range(spark, sf_dir):
+        # IndexSortSortedNumericDocValuesRangeQuery analog: n_chars is the
+        # primary index sort, so the match set is one contiguous docID
+        # interval found by two stats-pruned boundary aggregates (the
+        # binary-search step), not a docvalues scan
+        from lucene_kmp_spark.index import assign_doc_ids_sorted, build_index
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import IndexSortRangeQuery
+
+        key = sf_dir + "::isort"
+        if key not in _INDEX_CACHE:
+            d = _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id")
+            dd = assign_doc_ids_sorted(d, (("n_chars", True),), key_cols=("orig_id",))
+            _INDEX_CACHE[key] = build_index(
+                dd, text_col="text", index_sort=(("n_chars", True),)
+            )
+        idx = _INDEX_CACHE[key]
+        s = IndexSearcher(idx)
+        res = s.execute(IndexSortRangeQuery("n_chars", 150, 300))
+        return res.join(idx.docs.select("doc_id", "orig_id"), "doc_id").select(
+            F.col("orig_id").alias("doc_id")
+        )
+
+    q["index_sort_range"] = q_index_sort_range
+
+    def q_index_sort_range_fallback(spark, sf_dir):
+        # same query over an UNSORTED index: delegates to the fallback
+        # (ColumnFilterQuery's Catalyst predicate) — same docset
+        from lucene_kmp_spark.search.query import ColumnFilterQuery, IndexSortRangeQuery
+
+        s = _searcher64(spark, sf_dir)
+        fb = ColumnFilterQuery("n_chars BETWEEN 150 AND 300")
+        return s.execute(IndexSortRangeQuery("n_chars", 150, 300, fallback=fb)).select("doc_id")
+
+    q["index_sort_range_fallback"] = q_index_sort_range_fallback
+
     # ---- index-time synonyms (posIncr=0 overlap) ----
     def q_synonym_index_term(spark, sf_dir):
         s = _syn_searcher64(spark, sf_dir)
@@ -2792,6 +2828,13 @@ WHERE doc_id IN (
 )
 ORDER BY n_chars, doc_id LIMIT 10
 """
+
+    # IndexSortSortedNumericDocValuesRangeQuery: the docset is exactly the
+    # numeric range, sorted path and fallback path alike
+    o["index_sort_range"] = """
+SELECT doc_id FROM documents WHERE n_chars BETWEEN 150 AND 300
+"""
+    o["index_sort_range_fallback"] = o["index_sort_range"]
 
     o["term_vector_doc"] = """
 SELECT term, count(*)::BIGINT AS tf, list(pos ORDER BY pos) AS positions

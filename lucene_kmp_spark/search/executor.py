@@ -51,6 +51,7 @@ from lucene_kmp_spark.search.query import (
     FeatureQuery,
     FieldExistsQuery,
     FuzzyQuery,
+    IndexSortRangeQuery,
     IndriAndQuery,
     KnnByteVectorQuery,
     KnnFloatVectorQuery,
@@ -486,6 +487,8 @@ class IndexSearcher:
             return self._docs_for_term_filter(pred, dedup)
         if isinstance(q, ColumnFilterQuery):
             return self.index.docs.filter(q.sql_predicate).select("doc_id")
+        if isinstance(q, IndexSortRangeQuery):
+            return self._index_sort_range_docset(q)
         if isinstance(q, FieldExistsQuery):
             return self.index.docs.filter(F.col(q.column).isNotNull()).select("doc_id")
         if isinstance(q, MatchAllDocsQuery):
@@ -691,6 +694,8 @@ class IndexSearcher:
             return self._exec_vector_family(q)
         if isinstance(q, ColumnFilterQuery):
             return self._doc_set(q).withColumn("score", F.lit(0.0))
+        if isinstance(q, IndexSortRangeQuery):
+            return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
         if isinstance(q, FieldExistsQuery):
             return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
         if isinstance(q, FeatureQuery):
@@ -1529,6 +1534,42 @@ class IndexSearcher:
         if bounded is not None:
             return finish(bounded)
         return finish(self._live(self._doc_set(rq)))
+
+    def _index_sort_range_docset(self, q: "IndexSortRangeQuery") -> DataFrame:
+        """IndexSortSortedNumericDocValuesRangeQuery.kt: when the query
+        column is the primary ascending index-sort field, matches form one
+        contiguous docID interval. The reference finds it with a per-segment
+        binary search (getDocIdSetIteratorOrNullFromBkd / BoundedDocIdSet);
+        the analog is two stats-pruned boundary aggregates — the docs table
+        is WRITTEN in column-sorted order, so ``col >= lower`` prunes every
+        Parquet row group below the boundary and ``min(doc_id)`` touches only
+        the boundary groups (log-like IO, not a table scan). The match set
+        is then a constant-folded ``doc_id BETWEEN`` predicate. Docs without
+        a value sort first (nulls-first docID assignment) and never match,
+        like the reference's docvalues iterator. Falls back to ``q.fallback``
+        (or the plain Catalyst column predicate) when the sort doesn't apply."""
+        index_sort = self.index.extra.get("index_sort")
+        applies = bool(index_sort) and tuple(index_sort[0]) == (q.column, True)
+        if not applies:
+            if q.fallback is not None:
+                return self._doc_set(q.fallback)
+            col = F.col(q.column)
+            pred = col.isNotNull()
+            if q.lower is not None:
+                pred = pred & (col >= F.lit(q.lower))
+            if q.upper is not None:
+                pred = pred & (col <= F.lit(q.upper))
+            return self.index.docs.filter(pred).select("doc_id")
+        col = F.col(q.column)
+        lo_cond = col.isNotNull() if q.lower is None else (col >= F.lit(q.lower))
+        hi_cond = col.isNotNull() if q.upper is None else (col <= F.lit(q.upper))
+        lo = self.index.docs.filter(lo_cond).agg(F.min("doc_id")).collect()[0][0]
+        hi = self.index.docs.filter(hi_cond).agg(F.max("doc_id")).collect()[0][0]
+        if lo is None or hi is None or lo > hi:
+            return self.index.spark.createDataFrame([], schema="doc_id long")
+        return self.index.docs.select("doc_id").filter(
+            (F.col("doc_id") >= int(lo)) & (F.col("doc_id") <= int(hi))
+        )
 
     def _index_sorted_matches(self, rq: Query, fields: list, k: int) -> DataFrame | None:
         """Early termination on index-sorted segments (TopFieldCollector's

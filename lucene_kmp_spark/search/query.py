@@ -445,6 +445,29 @@ class ColumnFilterQuery(Query):
 
 
 @dataclass(frozen=True)
+class IndexSortRangeQuery(Query):
+    """Numeric range exploiting the index sort
+    (``search/IndexSortSortedNumericDocValuesRangeQuery.kt``): when the
+    query column is the PRIMARY index-sort field (ascending), the matching
+    docs are one contiguous docID interval — the reference binary-searches
+    the sort to find it and iterates a BoundedDocIdSetIterator instead of
+    checking doc values per doc. The Spark analog resolves the interval with
+    one tiny two-value aggregate (the binary-search step) and matches on a
+    constant-folded ``doc_id BETWEEN`` predicate, which Parquet row-group
+    stats on the docID-sorted tables prune directly. When the sort doesn't
+    apply, delegates to ``fallback`` (the reference requires an equivalent
+    fallback query; ours defaults to the plain column predicate —
+    ``ColumnFilterQuery``'s Catalyst path). Matches score ``boost`` (the
+    reference wraps the fallback's ConstantScoreWeight)."""
+
+    column: str
+    lower: float | None = None
+    upper: float | None = None
+    fallback: "Query | None" = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class CombinedFieldQuery(Query):
     """BM25F-style cross-field scoring (search/CombinedFieldQuery.kt:57 +
     MultiNormsLeafSimScorer): the fields are treated as ONE synthetic field —

@@ -111,3 +111,74 @@ def test_index_sort_manifest_roundtrip(env, spark, tmp_path):
     idx.write(path)
     idx2 = InvertedIndex.read(spark, path)
     assert idx2.extra["index_sort"] == (("n_chars", True),)
+
+
+# ---- IndexSortSortedNumericDocValuesRangeQuery analog ----
+
+from lucene_kmp_spark.search.query import ColumnFilterQuery, IndexSortRangeQuery  # noqa: E402
+
+
+def _range_expected(docs, lo, hi):
+    return {
+        r["doc_id"]
+        for r in docs.select("doc_id", "n_chars").collect()
+        if r["n_chars"] is not None
+        and (lo is None or r["n_chars"] >= lo)
+        and (hi is None or r["n_chars"] <= hi)
+    }
+
+
+@pytest.mark.parametrize("lo,hi", [(40, 90), (None, 60), (75, None), (10_000, 20_000)])
+def test_index_sort_range_matches_predicate(env, lo, hi):
+    """Sorted path == plain predicate filter, including empty ranges."""
+    s, docs, _ = env
+    got = {r["doc_id"] for r in s.execute(IndexSortRangeQuery("n_chars", lo, hi)).collect()}
+    assert got == _range_expected(docs, lo, hi)
+
+
+def test_index_sort_range_is_contiguous_and_scores_boost(env):
+    s, docs, _ = env
+    res = s.execute(IndexSortRangeQuery("n_chars", 40, 90, boost=2.5)).collect()
+    ids = sorted(r["doc_id"] for r in res)
+    assert ids == list(range(ids[0], ids[-1] + 1))  # one docID interval
+    assert all(r["score"] == 2.5 for r in res)
+
+
+def test_index_sort_range_fallback_on_unsorted_index(spark):
+    """Index without a matching sort delegates to the fallback (or the plain
+    Catalyst predicate) — same answer, no interval assumption."""
+    from lucene_kmp_spark.index import assign_doc_ids
+
+    base = synth_transcripts(spark, n_convs=15, seed=42).withColumn(
+        "n_chars", F.length("text")
+    )
+    docs = assign_doc_ids(base).persist()
+    docs.count()
+    s = IndexSearcher(build_index(docs))
+    exp = _range_expected(docs, 50, 80)
+    got = {r["doc_id"] for r in s.execute(IndexSortRangeQuery("n_chars", 50, 80)).collect()}
+    assert got == exp
+    fb = ColumnFilterQuery("n_chars BETWEEN 50 AND 80")
+    got_fb = {
+        r["doc_id"]
+        for r in s.execute(IndexSortRangeQuery("n_chars", 50, 80, fallback=fb)).collect()
+    }
+    assert got_fb == exp
+
+
+def test_index_sort_range_nulls_never_match(spark):
+    """Docs without a value sort first under nulls-first assignment and are
+    excluded from every range (the docvalues-iterator semantics)."""
+    base = synth_transcripts(spark, n_convs=15, seed=43).withColumn(
+        "n_chars", F.when(F.col("turn_idx") % 4 == 0, None).otherwise(F.length("text"))
+    )
+    docs = assign_doc_ids_sorted(
+        base, (("n_chars", True),), key_cols=("conv_id", "turn_idx")
+    ).persist()
+    docs.count()
+    s = IndexSearcher(build_index(docs, index_sort=(("n_chars", True),)))
+    got = {r["doc_id"] for r in s.execute(IndexSortRangeQuery("n_chars", None, None)).collect()}
+    assert got == _range_expected(docs, None, None)
+    assert got  # non-empty
+    nulls = {r["doc_id"] for r in docs.filter("n_chars IS NULL").select("doc_id").collect()}
+    assert nulls and not (got & nulls)

@@ -210,6 +210,68 @@ avgd AS (SELECT sum_ttf::DOUBLE / n_docs AS avgdl, n_docs FROM nstats)
 """
 
 
+def _ml_searcher64(spark: SparkSession, sf_dir: str):
+    """Searcher over a MULTILINGUAL index: each document's text is analyzed
+    by the chain registered for its ``lang`` column (analysis/registry.py
+    multilingual_analyzer routed via build_index(analyzer_col=\"lang\") —
+    en=EnglishAnalyzer, fr=FrenchAnalyzer, es=SpanishAnalyzer,
+    de=GermanAnalyzer, zh=CJKAnalyzer). The corpus vocabulary is closed, so
+    the oracle reproduces each language's stemmer + stop set as inline CASE
+    maps (tests/test_lang_analyzers.py asserts map == stemmer over the
+    actual parquet vocabulary)."""
+    from lucene_kmp_spark.analysis.registry import multilingual_analyzer
+    from lucene_kmp_spark.index import build_index
+    from lucene_kmp_spark.search.executor import IndexSearcher
+
+    key = sf_dir + "::ml"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs(spark, sf_dir),
+            text_col="text",
+            analyzer=multilingual_analyzer(),
+            analyzer_col="lang",
+        )
+    return IndexSearcher(_INDEX_CACHE[key], dtype=np.float64)
+
+
+# per-language stem/stop maps over the closed vocab (values computed by the
+# library stemmers, guarded by test_multilang_oracle_maps_match_stemmers)
+_ML_PRELUDE = """
+WITH tok AS (
+  SELECT doc_id,
+    CASE
+      WHEN lang = 'en' THEN CASE raw WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei'
+        WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri' WHEN 'table' THEN 'tabl'
+        WHEN 'value' THEN 'valu' ELSE raw END
+      WHEN lang = 'fr' THEN CASE raw WHEN 'customer' THEN 'custom' WHEN 'filter' THEN 'filt'
+        WHEN 'merge' THEN 'merg' WHEN 'order' THEN 'ord' WHEN 'small' THEN 'smal'
+        WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' WHEN 'vector' THEN 'vecto' ELSE raw END
+      WHEN lang = 'es' THEN CASE raw WHEN 'merge' THEN 'merg' WHEN 'table' THEN 'tabl'
+        WHEN 'value' THEN 'valu' ELSE raw END
+      WHEN lang = 'de' THEN CASE raw WHEN 'customer' THEN 'custom' WHEN 'filter' THEN 'filt'
+        WHEN 'line' THEN 'lin' WHEN 'merge' THEN 'merg' WHEN 'order' THEN 'ord'
+        WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' ELSE raw END
+      ELSE raw END AS term
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS raw FROM documents)
+  WHERE NOT (lang IN ('en', 'zh') AND raw IN ('a', 'the'))
+    AND NOT (lang = 'es' AND raw = 'a')
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+nstats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_ttf FROM dl),
+norm AS (
+  SELECT doc_id,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4))
+                     << (length(printf('%b', dl - 24)) - 4))
+    END AS qdl
+  FROM dl
+),
+avgd AS (SELECT sum_ttf::DOUBLE / n_docs AS avgdl, n_docs FROM nstats)
+"""
+
+
 def _syn_searcher64(spark: SparkSession, sf_dir: str):
     """Searcher over an index built with index-time synonym expansion
     fast->quick (posIncr=0 overlap): 'quick' is NOT a corpus word, so every
@@ -1295,6 +1357,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["english_bm25_term"] = q_english_term
     q["english_stop_phrase"] = q_english_stop_phrase
+
+    # ---- multilingual routing (analysis/registry.py; LANGUAGE_COVERAGE.md) ----
+    def q_multilang_custom(spark, sf_dir):
+        # 'custom' is the stem of 'customer' under the en (Porter), fr
+        # (UniNE light) AND de (UniNE light) chains — es/zh leave it intact,
+        # so matches blend three languages' stemmed streams in one index
+        s = _ml_searcher64(spark, sf_dir)
+        return _ranked_topk(s.execute(TermQuery("custom")))
+
+    def q_multilang_filt(spark, sf_dir):
+        # 'filt' is produced ONLY by the fr/de light stemmers ('filter' is
+        # unchanged under en Porter) — language routing is observable
+        s = _ml_searcher64(spark, sf_dir)
+        return _ranked_topk(s.execute(TermQuery("filt")))
+
+    q["multilang_term_custom"] = q_multilang_custom
+    q["multilang_term_filt"] = q_multilang_filt
 
     # ---- term vectors (Lucene90TermVectorsFormat analog) ----
     def q_term_vector(spark, sf_dir):
@@ -2874,6 +2953,10 @@ total AS (
     )
 
     o["english_bm25_term"] = _EN_PRELUDE + "," + _sc_cte("sc0", "custom") + _rank_tail("sc0")
+
+    # multilingual index: per-lang stem/stop CASE maps (see _ML_PRELUDE)
+    o["multilang_term_custom"] = _ML_PRELUDE + "," + _sc_cte("sc0", "custom") + _rank_tail("sc0")
+    o["multilang_term_filt"] = _ML_PRELUDE + "," + _sc_cte("sc0", "filt") + _rank_tail("sc0")
 
     # phrase freq via adjacency in the RAW token sequence (positions keep
     # stop holes, so 'big the table' is not a match); stats/norms from the

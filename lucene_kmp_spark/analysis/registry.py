@@ -1,0 +1,61 @@
+"""Language-analyzer registry + per-row multilingual routing.
+
+The reference ships one Analyzer class per language (LANGUAGE_COVERAGE.md;
+``analysis/common/.../analysis/<code>/``); a user picks it per field. In a
+multilingual table the language is a COLUMN, so the Spark-first surface is a
+router: ``multilingual_analyzer()`` plugs into
+``build_index(analyzer=..., analyzer_col="lang")`` and dispatches each row's
+text to the chain registered for its language code, falling back to the
+StandardAnalyzer chain for unknown codes — deterministic, picklable, and
+running inside the same Arrow tokenize UDF as every other analyzer.
+
+Registered chains (each a faithful port of the reference's default
+``createComponents``): en (EnglishAnalyzer), fr (FrenchAnalyzer),
+es (SpanishAnalyzer), de (GermanAnalyzer), zh/ja/ko/cjk (CJKAnalyzer — the
+``analysis/common`` default for CJK text; the reference's smartcn/kuromoji/
+nori dictionary models are out of scope, as SURVEY §2.1 records).
+"""
+
+from __future__ import annotations
+
+from lucene_kmp_spark.analysis.cjk import cjk_analyzer
+from lucene_kmp_spark.analysis.de import german_analyzer
+from lucene_kmp_spark.analysis.en import english_analyzer
+from lucene_kmp_spark.analysis.es import spanish_analyzer
+from lucene_kmp_spark.analysis.filters import standard_analyzer
+from lucene_kmp_spark.analysis.fr import french_analyzer
+
+ANALYZER_FACTORIES = {
+    "standard": standard_analyzer,
+    "en": english_analyzer,
+    "fr": french_analyzer,
+    "es": spanish_analyzer,
+    "de": german_analyzer,
+    "zh": cjk_analyzer,
+    "ja": cjk_analyzer,
+    "ko": cjk_analyzer,
+    "cjk": cjk_analyzer,
+}
+
+
+def analyzer_for(lang: str, **kwargs):
+    """The analyzer chain registered for a language code (KeyError if none —
+    use :func:`multilingual_analyzer` for fall-back routing)."""
+    return ANALYZER_FACTORIES[lang](**kwargs)
+
+
+def multilingual_analyzer(default: str = "standard", overrides: dict | None = None):
+    """A ``(text, lang) -> (terms, positions, length)`` router for
+    ``build_index(analyzer=..., analyzer_col=<lang column>)``. Chains are
+    instantiated once per registered language (closure state serialized to
+    executors with the UDF); unknown/None codes route to ``default``.
+    ``overrides`` maps a language code to a ready analyzer callable."""
+    chains = {code: factory() for code, factory in ANALYZER_FACTORIES.items()}
+    if overrides:
+        chains.update(overrides)
+    fallback = chains[default]
+
+    def run(text: str, lang):
+        return chains.get(lang, fallback)(text)
+
+    return run

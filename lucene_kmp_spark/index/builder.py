@@ -105,6 +105,7 @@ def tokenize_to_tokens(
     analyzer=None,
     index_options: str = "positions",
     payload_fn=None,
+    analyzer_col: str | None = None,
 ) -> DataFrame:
     """docs(doc_id, text, ...) -> one row per (doc, distinct term).
 
@@ -121,7 +122,14 @@ def tokenize_to_tokens(
     (PostingsEnum.PAYLOADS analog; Lucene payloads are arbitrary bytes — the
     int surface covers the scoring use, PayloadScoreQuery-style). Offsets
     with a custom analyzer require the analyzer to return 5-tuples
-    ``(terms, positions, starts, ends, length)``."""
+    ``(terms, positions, starts, ends, length)``.
+
+    ``analyzer_col`` names a column routed to the analyzer as a second
+    argument — ``analyzer(text, row_value)`` — the per-document analyzer
+    dispatch a multilingual corpus needs (see
+    ``analysis/registry.py multilingual_analyzer``); the reference's
+    per-field Analyzer choice (PerFieldAnalyzerWrapper) is per-COLUMN here
+    for free, so this covers the per-ROW axis."""
     stop_set = frozenset(stop_words) if stop_words else None
     custom = analyzer
     want_offsets = index_options == "offsets" or payload_fn is not None
@@ -131,12 +139,15 @@ def tokenize_to_tokens(
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "term", "tf", "positions", "norm",
                                    "is_first", "starts", "ends", "payloads")}
-            for doc_id, text in zip(pdf["doc_id"].values, pdf[text_col].values):
+            route = pdf[analyzer_col].values if analyzer_col else None
+            for row_i, (doc_id, text) in enumerate(
+                zip(pdf["doc_id"].values, pdf[text_col].values)
+            ):
                 if text is None:
                     continue
                 starts = ends = None
                 if custom is not None:
-                    res = custom(text)
+                    res = custom(text, route[row_i]) if route is not None else custom(text)
                     if want_offsets:
                         terms, positions, starts, ends, _length = res
                     else:
@@ -204,7 +215,8 @@ def tokenize_to_tokens(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(gen, schema=TOKENS_SCHEMA)
+    cols = ["doc_id", text_col] + ([analyzer_col] if analyzer_col else [])
+    return docs.select(*cols).mapInPandas(gen, schema=TOKENS_SCHEMA)
 
 
 def _competitive_impacts(tfs: np.ndarray, norms: np.ndarray):
@@ -529,6 +541,7 @@ def build_index(
     payload_fn=None,
     term_vectors: bool = False,
     index_sort: tuple | None = None,
+    analyzer_col: str | None = None,
 ) -> InvertedIndex:
     """Build an InvertedIndex from a DataFrame that already has a ``doc_id``
     column (use ``assign_doc_ids`` first for keyed corpora).
@@ -552,6 +565,7 @@ def build_index(
         analyzer=analyzer,
         index_options=index_options,
         payload_fn=payload_fn,
+        analyzer_col=analyzer_col,
     )
     if cache_tokens:
         tokens = tokens.persist()

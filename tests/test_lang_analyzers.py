@@ -1,0 +1,235 @@
+"""Language analyzer chains (analysis/common fr/es/de/cjk packages) vs the
+reference's own test goldens, plus per-row multilingual routing."""
+
+import pytest
+
+from lucene_kmp_spark.analysis.cjk import cjk_analyzer, cjk_width_fold
+from lucene_kmp_spark.analysis.de import german_analyzer, german_light_stem, german_normalize
+from lucene_kmp_spark.analysis.es import spanish_analyzer, spanish_light_stem
+from lucene_kmp_spark.analysis.fr import elision_strip, french_analyzer, french_light_stem
+from lucene_kmp_spark.analysis.registry import analyzer_for, multilingual_analyzer
+
+# TestFrenchLightStemFilter.kt testVocabulary goldens (complete list)
+FR_GOLDENS = [
+    ("chevaux", "cheval"), ("cheval", "cheval"), ("hiboux", "hibou"),
+    ("hibou", "hibou"), ("chantés", "chant"), ("chanter", "chant"),
+    ("chante", "chant"), ("chant", "chant"), ("baronnes", "baron"),
+    ("barons", "baron"), ("baron", "baron"), ("peaux", "peau"),
+    ("peau", "peau"), ("anneaux", "aneau"), ("anneau", "aneau"),
+    ("neveux", "neveu"), ("neveu", "neveu"), ("affreux", "afreu"),
+    ("affreuse", "afreu"), ("investissement", "investi"),
+    ("investir", "investi"), ("assourdissant", "asourdi"),
+    ("assourdir", "asourdi"), ("pratiquement", "pratiqu"),
+    ("pratique", "pratiqu"), ("administrativement", "administratif"),
+    ("administratif", "administratif"), ("justificatrice", "justifi"),
+    ("justificateur", "justifi"), ("justifier", "justifi"),
+    ("educatrice", "eduqu"), ("eduquer", "eduqu"),
+    ("communicateur", "comuniqu"), ("communiquer", "comuniqu"),
+    ("accompagnatrice", "acompagn"), ("accompagnateur", "acompagn"),
+    ("administrateur", "administr"), ("administrer", "administr"),
+    ("productrice", "product"), ("producteur", "product"),
+    ("acheteuse", "achet"), ("acheteur", "achet"), ("planteur", "plant"),
+    ("plante", "plant"), ("poreuse", "poreu"), ("poreux", "poreu"),
+    ("plieuse", "plieu"), ("bijoutière", "bijouti"), ("bijoutier", "bijouti"),
+    ("caissière", "caisi"), ("caissier", "caisi"), ("abrasive", "abrasif"),
+    ("abrasif", "abrasif"), ("folle", "fou"), ("fou", "fou"),
+    ("personnelle", "person"), ("personne", "person"),
+    ("complète", "complet"), ("complet", "complet"),
+    ("aromatique", "aromat"), ("faiblesse", "faibl"), ("faible", "faibl"),
+    ("patinage", "patin"), ("patin", "patin"), ("sonorisation", "sono"),
+    ("ritualisation", "rituel"), ("rituel", "rituel"),
+    ("nomination", "nomin"), ("disposition", "dispos"),
+    ("dispose", "dispos"), ("1234555", "1234555"),
+    ("12333345", "12333345"), ("1234", "1234"), ("abcdeff", "abcdef"),
+    ("abcccddeef", "abcdef"), ("créées", "cre"), ("22hh00", "22h00"),
+]
+
+
+@pytest.mark.parametrize("word,stem", FR_GOLDENS)
+def test_french_light_stem_goldens(word, stem):
+    assert french_light_stem(word) == stem
+
+
+def test_elision_filter():
+    # ElisionFilter.kt: strip "<article>'" (U+0027 or U+2019, case-insensitive)
+    assert elision_strip("l'avion") == "avion"
+    assert elision_strip("L’avion") == "avion"
+    assert elision_strip("qu'il") == "il"
+    assert elision_strip("xyz'abc") == "xyz'abc"  # not an article
+    assert elision_strip("avion") == "avion"
+
+
+def test_french_analyzer_chain():
+    a = french_analyzer()
+    terms, positions, length = a("l'avion des chevaux chantés")
+    assert terms == ["avion", "cheval", "chant"]
+    assert positions == [0, 2, 3]  # 'des' stopped -> position hole
+    assert length == 3
+
+
+# SpanishLightStemmer.kt (CLEF-2001 Savoy): suffix classes the algorithm defines
+ES_GOLDENS = [
+    ("casas", "cas"), ("caminos", "camin"), ("grandes", "grand"),
+    ("meses", "mes"), ("peces", "pez"), ("caminando", "caminand"),
+    ("niños", "niñ"), ("serán", "seran"), ("cuatro", "cuatr"),
+    ("cosas", "cos"), ("abc", "abc"), ("libro", "libr"),
+]
+
+
+@pytest.mark.parametrize("word,stem", ES_GOLDENS)
+def test_spanish_light_stem(word, stem):
+    assert spanish_light_stem(word) == stem
+
+
+def test_spanish_under_5_untouched():
+    assert spanish_light_stem("dos") == "dos"
+    assert spanish_light_stem("tres") == "tres"
+
+
+# TestGermanNormalizationFilter.kt goldens
+DE_NORM_GOLDENS = [
+    ("Schaltflächen", "Schaltflachen"),
+    ("Schaltflaechen", "Schaltflachen"),
+    ("dauer", "dauer"),
+    ("weißbier", "weissbier"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("word,norm", DE_NORM_GOLDENS)
+def test_german_normalization(word, norm):
+    assert german_normalize(word) == norm
+
+
+def test_german_light_stem():
+    # GermanLightStemmer.kt step1+step2 suffix classes
+    assert german_light_stem(german_normalize("häuser")) == "haus"
+    assert german_light_stem("bildern") == "bild"
+    assert german_light_stem("bilder") == "bild"
+    assert german_light_stem("bild") == "bild"
+    assert german_light_stem("kleinen") == "klein"
+    assert german_light_stem(german_normalize("schönste")) == "schon"
+
+
+def test_german_analyzer_chain():
+    a = german_analyzer()
+    terms, _pos, _l = a("die schönen Häuser")
+    assert terms == ["schon", "haus"]  # 'die' stopped
+
+
+# TestCJKAnalyzer.kt goldens (DOUBLE/SINGLE emission)
+CJK_GOLDENS = [
+    ("一二三四五六七八九十",
+     ["一二", "二三", "三四", "四五", "五六", "六七", "七八", "八九", "九十"]),
+    ("一 二三四 五六七八九 十",
+     ["一", "二三", "三四", "五六", "六七", "七八", "八九", "十"]),
+    ("abc defgh ijklmn opqrstu vwxy z",
+     ["abc", "defgh", "ijklmn", "opqrstu", "vwxy", "z"]),
+    ("あい", ["あい"]),
+    ("あいtest", ["あい", "test"]),
+    ("testあい    ", ["test", "あい"]),
+    ("あいうえおabcかきくけこ",
+     ["あい", "いう", "うえ", "えお", "abc", "かき", "きく", "くけ", "けこ"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", CJK_GOLDENS)
+def test_cjk_analyzer_goldens(text, expected):
+    assert cjk_analyzer()(text)[0] == expected
+
+
+def test_cjk_width_fold():
+    # CJKWidthFilter.kt: fullwidth ASCII + halfwidth kana (voice-mark combine)
+    assert cjk_width_fold("Ｔｅｓｔ　１２３") == "Test　123"
+    assert cjk_width_fold("ｶﾀｶﾅ") == "カタカナ"
+    assert cjk_width_fold("ｳﾞｨｯﾂ") == "ヴィッツ"  # U+FF73 + voice mark -> U+30F4
+    assert cjk_width_fold("ﾊﾟﾅｿﾆｯｸ") == "パナソニック"  # half-voiced combine
+
+
+def test_cjk_stop_after_bigrams():
+    terms, positions, _ = cjk_analyzer()("中文 the 字")
+    assert terms == ["中文", "字"]
+    assert positions == [0, 2]  # hole where 'the' was
+
+
+def test_registry_and_multilingual_routing():
+    assert analyzer_for("fr")("chevaux")[0] == ["cheval"]
+    router = multilingual_analyzer()
+    assert router("chevaux", "fr")[0] == ["cheval"]
+    assert router("casas", "es")[0] == ["cas"]
+    assert router("Häuser", "de")[0] == ["haus"]
+    assert router("一二三", "zh")[0] == ["一二", "二三"]
+    assert router("customers", "en")[0] == ["custom"]
+    assert router("customers", None)[0] == ["customers"]  # standard fallback
+
+
+def test_multilingual_build_and_search(spark):
+    """End-to-end: one index over a mixed-language table, analyzer routed by
+    the lang column; per-language stems are queryable."""
+    from lucene_kmp_spark.index import assign_doc_ids, build_index
+    from lucene_kmp_spark.search.executor import IndexSearcher
+    from lucene_kmp_spark.search.query import TermQuery
+
+    rows = [
+        ("c0", 0, "the customers arrived", "en"),
+        ("c1", 0, "les chevaux chantés", "fr"),
+        ("c2", 0, "las casas grandes", "es"),
+        ("c3", 0, "die schönen Häuser", "de"),
+        ("c4", 0, "一二三四", "zh"),
+        ("c5", 0, "plain standard text", "xx"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, lang string")
+    docs = assign_doc_ids(df).persist()
+    docs.count()
+    idx = build_index(docs, analyzer=multilingual_analyzer(), analyzer_col="lang")
+    s = IndexSearcher(idx)
+    by_lang = {r["lang"]: r["doc_id"] for r in docs.select("doc_id", "lang").collect()}
+    for term, lang in [
+        ("custom", "en"), ("cheval", "fr"), ("cas", "es"),
+        ("haus", "de"), ("二三", "zh"), ("standard", "xx"),
+    ]:
+        got = [r["doc_id"] for r in s.execute(TermQuery(term)).collect()]
+        assert got == [by_lang[lang]], (term, got)
+
+
+def test_multilang_oracle_maps_match_stemmers():
+    """The inline CASE maps in __spark_entry__._ML_PRELUDE must equal the
+    library stemmers/stop sets over the ACTUAL parquet vocabulary — vocab
+    drift fails here, not as a silent oracle mismatch."""
+    import duckdb
+
+    from lucene_kmp_spark.analysis.cjk import CJK_STOP_WORDS
+    from lucene_kmp_spark.analysis.de import GERMAN_STOP_WORDS
+    from lucene_kmp_spark.analysis.en import ENGLISH_STOP_WORDS, porter_stem
+    from lucene_kmp_spark.analysis.es import SPANISH_STOP_WORDS
+    from lucene_kmp_spark.analysis.fr import FRENCH_STOP_WORDS
+
+    vocab = [r[0] for r in duckdb.connect().execute(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) "
+        "FROM '/root/testdata/sf0.01/documents.parquet'").fetchall()]
+    expected = {
+        "en": ({w: porter_stem(w) for w in vocab if porter_stem(w) != w},
+               {w for w in vocab if w in ENGLISH_STOP_WORDS}),
+        "fr": ({w: french_light_stem(w) for w in vocab if french_light_stem(w) != w},
+               {w for w in vocab if w in FRENCH_STOP_WORDS}),
+        "es": ({w: spanish_light_stem(w) for w in vocab if spanish_light_stem(w) != w},
+               {w for w in vocab if w in SPANISH_STOP_WORDS}),
+        "de": ({w: german_light_stem(german_normalize(w)) for w in vocab
+                if german_light_stem(german_normalize(w)) != w},
+               {w for w in vocab if w in GERMAN_STOP_WORDS}),
+        "zh": ({}, {w for w in vocab if w in CJK_STOP_WORDS}),
+    }
+    assert expected["en"][0] == {"customer": "custom", "key": "kei", "merge": "merg",
+                                 "query": "queri", "table": "tabl", "value": "valu"}
+    assert expected["en"][1] == {"a", "the"}
+    assert expected["fr"][0] == {"customer": "custom", "filter": "filt", "merge": "merg",
+                                 "order": "ord", "small": "smal", "table": "tabl",
+                                 "value": "valu", "vector": "vecto"}
+    assert expected["fr"][1] == set()
+    assert expected["es"][0] == {"merge": "merg", "table": "tabl", "value": "valu"}
+    assert expected["es"][1] == {"a"}
+    assert expected["de"][0] == {"customer": "custom", "filter": "filt", "line": "lin",
+                                 "merge": "merg", "order": "ord", "table": "tabl",
+                                 "value": "valu"}
+    assert expected["de"][1] == set()
+    assert expected["zh"][1] == {"a", "the"}

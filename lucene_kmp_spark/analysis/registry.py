@@ -24,6 +24,8 @@ from lucene_kmp_spark.analysis.en import english_analyzer
 from lucene_kmp_spark.analysis.es import spanish_analyzer
 from lucene_kmp_spark.analysis.filters import standard_analyzer
 from lucene_kmp_spark.analysis.fr import french_analyzer
+from lucene_kmp_spark.analysis.it import italian_analyzer
+from lucene_kmp_spark.analysis.pt import portuguese_analyzer
 
 ANALYZER_FACTORIES = {
     "standard": standard_analyzer,
@@ -31,6 +33,8 @@ ANALYZER_FACTORIES = {
     "fr": french_analyzer,
     "es": spanish_analyzer,
     "de": german_analyzer,
+    "pt": portuguese_analyzer,
+    "it": italian_analyzer,
     "zh": cjk_analyzer,
     "ja": cjk_analyzer,
     "ko": cjk_analyzer,

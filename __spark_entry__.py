@@ -1453,6 +1453,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["index_sort_range_fallback"] = q_index_sort_range_fallback
 
+    # ---- range fields (document/IntRange + RangeFieldQuery relations) ----
+    def _rng_searcher(spark, sf_dir):
+        from lucene_kmp_spark.index import assign_doc_ids, build_index
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        key = sf_dir + "::rng"
+        if key not in _INDEX_CACHE:
+            d = (
+                _docs(spark, sf_dir)
+                .withColumnRenamed("doc_id", "orig_id")
+                .withColumn("rng_lo", F.expr("CAST((orig_id * 7) % 200 AS DOUBLE)"))
+                .withColumn("rng_hi", F.expr("rng_lo + CAST(orig_id % 260 AS DOUBLE)"))
+            )
+            _INDEX_CACHE[key] = build_index(assign_doc_ids(d, key_cols=("orig_id",)), text_col="text")
+        return IndexSearcher(_INDEX_CACHE[key])
+
+    def _range_field_q(relation):
+        def run(spark, sf_dir):
+            from lucene_kmp_spark.search.query import RangeFieldQuery
+
+            s = _rng_searcher(spark, sf_dir)
+            res = s.execute(RangeFieldQuery("rng_lo", "rng_hi", 120.0, 210.0, relation=relation))
+            return res.join(s.index.docs.select("doc_id", "orig_id"), "doc_id").select(
+                F.col("orig_id").alias("doc_id")
+            )
+
+        return run
+
+    q["range_field_within"] = _range_field_q("within")
+    q["range_field_contains"] = _range_field_q("contains")
+    q["range_field_crosses"] = _range_field_q("crosses")
+
     # ---- index-time synonyms (posIncr=0 overlap) ----
     def q_synonym_index_term(spark, sf_dir):
         s = _syn_searcher64(spark, sf_dir)
@@ -2914,6 +2946,26 @@ ORDER BY n_chars, doc_id LIMIT 10
 SELECT doc_id FROM documents WHERE n_chars BETWEEN 150 AND 300
 """
     o["index_sort_range_fallback"] = o["index_sort_range"]
+
+    # RangeFieldQuery relations over derived [rng_lo, rng_hi] intervals
+    # (same expressions as the Spark side; relation algebra per
+    # RangeFieldQuery.QueryType)
+    _rng_base = """
+WITH rng AS (
+  SELECT doc_id,
+         CAST((doc_id * 7) % 200 AS DOUBLE) AS rng_lo,
+         CAST((doc_id * 7) % 200 AS DOUBLE) + CAST(doc_id % 260 AS DOUBLE) AS rng_hi
+  FROM documents
+)
+SELECT doc_id FROM rng WHERE {pred}
+"""
+    o["range_field_within"] = _rng_base.format(pred="rng_lo >= 120.0 AND rng_hi <= 210.0")
+    o["range_field_contains"] = _rng_base.format(pred="rng_lo <= 120.0 AND rng_hi >= 210.0")
+    o["range_field_crosses"] = _rng_base.format(
+        pred="(rng_lo <= 210.0 AND rng_hi >= 120.0)"
+        " AND NOT (rng_lo >= 120.0 AND rng_hi <= 210.0)"
+        " AND NOT (rng_lo <= 120.0 AND rng_hi >= 210.0)"
+    )
 
     o["term_vector_doc"] = """
 SELECT term, count(*)::BIGINT AS tf, list(pos ORDER BY pos) AS positions

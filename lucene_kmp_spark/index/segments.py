@@ -301,6 +301,80 @@ class SegmentedIndexWriter:
             done.append(self.merge(group))
         return done
 
+    def force_merge(self, max_segments: int = 1) -> list[dict]:
+        """IndexWriter.forceMerge(maxNumSegments) (IndexWriter.kt:2055):
+        merge until at most ``max_segments`` remain, regardless of the merge
+        policy's tiering. Like Lucene, the largest segments are left alone
+        when possible: each pass merges the smallest ``k+1`` segments needed
+        to reduce the count, so bytes rewritten are minimized."""
+        if max_segments < 1:
+            raise ValueError("max_segments must be >= 1")
+        done = []
+        while True:
+            segs = self.manifest()["segments"]
+            if len(segs) <= max_segments:
+                return done
+            by_size = sorted(segs, key=lambda s: s.get("bytes", 0))
+            group = by_size[: len(segs) - max_segments + 1]
+            done.append(self.merge(group))
+
+    def force_merge_deletes(self, pct_allowed: float = 10.0) -> list[dict]:
+        """IndexWriter.forceMergeDeletes / TieredMergePolicy.
+        forceMergeDeletesPctAllowed (TieredMergePolicy.kt:91): rewrite every
+        segment whose deleted-doc percentage exceeds ``pct_allowed``
+        (single-segment merges physically purge the deletes), then compact
+        the global delete set down to the ids still referencing untouched
+        segments — the anti-join shrinks accordingly."""
+        deleted = self._deletes_df()
+        if deleted is None:
+            return []
+        deleted = deleted.persist()
+        done = []
+        for s in list(self.manifest()["segments"]):
+            seg_docs = self.spark.read.parquet(
+                os.path.join(self.root, "segments", s["id"], "docs")
+            )
+            n_del = seg_docs.join(deleted, "doc_id", "semi").count()
+            if n_del and 100.0 * n_del / max(1, s["n_docs"]) > pct_allowed:
+                done.append(self.merge([s]))
+        # consolidate: keep only delete ids that still hit a live segment
+        m = self.manifest()
+        live = None
+        for s in m["segments"]:
+            d = self.spark.read.parquet(
+                os.path.join(self.root, "segments", s["id"], "docs")
+            ).select("doc_id")
+            live = d if live is None else live.unionByName(d)
+        remaining = deleted.join(live, "doc_id", "semi")
+        path = os.path.join(self.root, "deletes", f"del-compact-{m['generation']:05d}")
+        remaining.select("doc_id").distinct().write.mode("overwrite").parquet(path)
+        m["deletes"] = [{"path": path, "created_at": time.time()}]
+        m["generation"] += 1
+        self._write_manifest(m)
+        deleted.unpersist()
+        return done
+
+    def add_indexes(self, *readers: "SegmentedReader") -> list[dict]:
+        """IndexWriter.addIndexes(CodecReader...) (IndexWriter.kt:3040):
+        re-index another index's LIVE documents through the standard add
+        path — docIDs are reassigned against this writer's docBase, exactly
+        like the reference's re-write form (the Directory fast path is a
+        file copy + docBase remap; with delta-encoded doc cells ours would
+        have to rewrite block payloads anyway, so the one honest path is
+        the reader form)."""
+        done = []
+        for i, r in enumerate(readers):
+            docs = r.index.docs
+            if r.deleted is not None:
+                docs = docs.join(r.deleted, "doc_id", "left_anti")
+            rec = self.add_batch(
+                docs.drop("doc_id"),
+                batch_key=f"addindexes-{self.manifest()['generation']:05d}-{i}",
+            )
+            if rec:
+                done.append(rec)
+        return done
+
     # --------------------------------------------- snapshots / deletion policy
     def snapshot(self) -> str:
         """SnapshotDeletionPolicy.kt: pin the CURRENT commit so its segment

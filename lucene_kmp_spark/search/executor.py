@@ -64,6 +64,7 @@ from lucene_kmp_spark.search.query import (
     PhraseQuery,
     PrefixQuery,
     Query,
+    RangeFieldQuery,
     RegexpQuery,
     SpanContainingQuery,
     SpanFirstQuery,
@@ -487,6 +488,8 @@ class IndexSearcher:
             return self._docs_for_term_filter(pred, dedup)
         if isinstance(q, ColumnFilterQuery):
             return self.index.docs.filter(q.sql_predicate).select("doc_id")
+        if isinstance(q, RangeFieldQuery):
+            return self.index.docs.filter(_range_field_pred(q)).select("doc_id")
         if isinstance(q, IndexSortRangeQuery):
             return self._index_sort_range_docset(q)
         if isinstance(q, FieldExistsQuery):
@@ -694,6 +697,8 @@ class IndexSearcher:
             return self._exec_vector_family(q)
         if isinstance(q, ColumnFilterQuery):
             return self._doc_set(q).withColumn("score", F.lit(0.0))
+        if isinstance(q, RangeFieldQuery):
+            return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
         if isinstance(q, IndexSortRangeQuery):
             return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
         if isinstance(q, FieldExistsQuery):
@@ -1702,6 +1707,28 @@ def _wildcard_to_regex(pattern: str) -> str:
         else:
             out.append(_re.escape(ch))
     return "^" + "".join(out) + "$"
+
+
+def _range_field_pred(q: RangeFieldQuery):
+    """Catalyst predicate for a RangeFieldQuery relation
+    (RangeFieldQuery.QueryType semantics; see query.py docstring). Built
+    from plain column comparisons so Parquet min/max stats prune the docs
+    scan — the distributed analog of BKD inner-node cell rejection.
+    ``crosses`` is intersects minus (within OR contains) across all dims
+    jointly, matching the reference's whole-range crossing test."""
+    intersects = within = contains = F.lit(True)
+    for mn, mx, lo, up in q.dimensions():
+        dmin, dmax = F.col(mn), F.col(mx)
+        intersects = intersects & (dmin <= F.lit(up)) & (dmax >= F.lit(lo))
+        within = within & (dmin >= F.lit(lo)) & (dmax <= F.lit(up))
+        contains = contains & (dmin <= F.lit(lo)) & (dmax >= F.lit(up))
+    if q.relation == "intersects":
+        return intersects
+    if q.relation == "within":
+        return within
+    if q.relation == "contains":
+        return contains
+    return intersects & ~within & ~contains  # crosses
 
 
 def _range_pred(q: TermRangeQuery):

@@ -445,6 +445,56 @@ class ColumnFilterQuery(Query):
 
 
 @dataclass(frozen=True)
+class RangeFieldQuery(Query):
+    """Range-field relation query (``document/IntRange.kt`` /
+    ``FloatRange.kt`` / ``DoubleRange.kt`` / ``LongRange.kt`` +
+    ``IntRangeSlowRangeQuery.kt`` / ``BinaryRangeFieldRangeQuery.kt``): each
+    document stores an interval per dimension — here a (min_col, max_col)
+    column pair — and the query interval relates to it by one of Lucene's
+    ``RangeFieldQuery.QueryType`` relations:
+
+    * ``intersects`` — doc.min <= q.upper AND doc.max >= q.lower (per dim)
+    * ``within``     — doc interval inside the query interval (per dim)
+    * ``contains``   — doc interval contains the query interval (per dim)
+    * ``crosses``    — intersects AND NOT (within OR contains), evaluated
+      across ALL dims jointly (the reference's BKD crossing test)
+
+    Spark-first execution: the relation compiles to pure Catalyst predicates
+    over the two columns, so Parquet min/max statistics prune files and
+    row-groups exactly where the reference's BKD inner nodes prune cells.
+    Docs with NULL bounds never match (missing range field). Constant score
+    ``boost`` (the reference wraps a ConstantScoreWeight).
+
+    ``dims``: 1-D ctor sugar — pass ``min_col/max_col/lower/upper`` scalars;
+    for N dims pass tuples of equal length to ``dims``/``lower``/``upper``.
+    """
+
+    min_col: str | None = None
+    max_col: str | None = None
+    lower: float | tuple = 0.0
+    upper: float | tuple = 0.0
+    relation: str = "intersects"
+    dims: tuple[tuple[str, str], ...] | None = None
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.relation not in ("intersects", "within", "contains", "crosses"):
+            raise ValueError(f"unknown relation {self.relation!r}")
+        if self.dims is None and (self.min_col is None or self.max_col is None):
+            raise ValueError("pass min_col/max_col (1-D) or dims")
+
+    def dimensions(self) -> list[tuple[str, str, float, float]]:
+        """Normalized per-dim (min_col, max_col, lower, upper)."""
+        if self.dims is None:
+            return [(self.min_col, self.max_col, float(self.lower), float(self.upper))]
+        lows = self.lower if isinstance(self.lower, tuple) else (self.lower,) * len(self.dims)
+        ups = self.upper if isinstance(self.upper, tuple) else (self.upper,) * len(self.dims)
+        if not (len(self.dims) == len(lows) == len(ups)):
+            raise ValueError("dims/lower/upper length mismatch")
+        return [(mn, mx, float(lo), float(up)) for (mn, mx), lo, up in zip(self.dims, lows, ups)]
+
+
+@dataclass(frozen=True)
 class IndexSortRangeQuery(Query):
     """Numeric range exploiting the index sort
     (``search/IndexSortSortedNumericDocValuesRangeQuery.kt``): when the

@@ -267,3 +267,105 @@ def test_snapshot_deletion_policy(spark, tmp_path):
     # current reader unaffected
     assert w.reader().searcher().count(TermQuery("the")) == pre_count
     corpus.unpersist()
+
+
+def test_force_merge_to_one(spark, writer):
+    """forceMerge(1) (IndexWriter.kt:2055): any segment count collapses to
+    one; answers identical before/after."""
+    for i, seed in enumerate((1, 2, 3)):
+        b = synth_transcripts(spark, n_convs=8, seed=seed).withColumn(
+            "conv_id", F.concat(F.lit(f"b{i}-"), F.col("conv_id"))
+        )
+        writer.add_batch(b, batch_key=f"b{i}")
+    before = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in writer.reader().searcher().top_k(TermQuery("kingdom"), 10).collect()
+    }
+    done = writer.force_merge(1)
+    m = writer.manifest()
+    assert len(m["segments"]) == 1 and done
+    after = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in writer.reader().searcher().top_k(TermQuery("kingdom"), 10).collect()
+    }
+    assert before == after
+    _check_parity(writer)
+
+
+def test_force_merge_respects_max_and_minimizes_rewrite(spark, writer):
+    for i, seed in enumerate((1, 2, 3, 4)):
+        b = synth_transcripts(spark, n_convs=4 * (i + 1), seed=seed).withColumn(
+            "conv_id", F.concat(F.lit(f"b{i}-"), F.col("conv_id"))
+        )
+        writer.add_batch(b, batch_key=f"b{i}")
+    sizes = sorted(s["bytes"] for s in writer.manifest()["segments"])
+    done = writer.force_merge(2)
+    m = writer.manifest()
+    assert len(m["segments"]) == 2
+    assert len(done) == 1  # one pass: 3 smallest merged, largest untouched
+    assert max(s["bytes"] for s in m["segments"]) >= sizes[-1]  # largest kept
+
+
+def test_force_merge_deletes_purges_and_compacts(spark, writer):
+    b1 = synth_transcripts(spark, n_convs=12, seed=1)
+    b2 = synth_transcripts(spark, n_convs=12, seed=2).withColumn(
+        "conv_id", F.concat(F.lit("b2-"), F.col("conv_id"))
+    )
+    writer.add_batch(b1, batch_key="b1")
+    writer.add_batch(b2, batch_key="b2")
+    reader = writer.reader()
+    seg0 = writer.manifest()["segments"][0]
+    n_victims = seg0["n_docs"] // 5 + 1  # >10% of the segment, crossing pct_allowed
+    seg0_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(
+            writer.root + f"/segments/{seg0['id']}/docs"
+        ).select("doc_id").limit(n_victims).collect()
+    ]
+    victims = spark.createDataFrame([(i,) for i in seg0_ids], "doc_id long")
+    writer._append_deletes(victims)
+    expected = {
+        r["doc_id"]
+        for r in writer.reader().searcher().top_k(TermQuery("kingdom"), 50).collect()
+    }
+    done = writer.force_merge_deletes(pct_allowed=10.0)
+    assert done, "segment over the delete pct must be rewritten"
+    m = writer.manifest()
+    # all deleted ids were purged physically -> compacted delete set is empty
+    import os as _os
+
+    compacted = spark.read.parquet(m["deletes"][0]["path"])
+    assert compacted.count() == 0
+    got = {
+        r["doc_id"]
+        for r in writer.reader().searcher().top_k(TermQuery("kingdom"), 50).collect()
+    }
+    assert got == expected
+    _check_parity(writer)
+
+
+def test_add_indexes_reader_form(spark, writer, tmp_path):
+    """addIndexes(CodecReader...) re-write path: live docs of another index
+    are re-added under this writer's docBase; deleted docs don't cross."""
+    other = SegmentedIndexWriter(spark, str(tmp_path / "other"))
+    b = synth_transcripts(spark, n_convs=10, seed=7).withColumn(
+        "conv_id", F.concat(F.lit("o-"), F.col("conv_id"))
+    )
+    other.add_batch(b, batch_key="ob")
+    oreader = other.reader()
+    victim = oreader.index.docs.select("doc_id").limit(3)
+    other._append_deletes(victim)
+
+    base = synth_transcripts(spark, n_convs=5, seed=8)
+    n_base = base.count()
+    writer.add_batch(base, batch_key="base")
+    done = writer.add_indexes(other.reader())
+    assert len(done) == 1
+    reader = writer.reader()
+    n_other_live = other.reader().index.docs.join(
+        other.reader().deleted, "doc_id", "left_anti"
+    ).count()
+    assert reader.index.docs.count() == n_base + n_other_live
+    ids = [r["doc_id"] for r in reader.index.docs.select("doc_id").collect()]
+    assert sorted(ids) == list(range(len(ids)))  # contiguous global docIDs
+    _check_parity(writer)

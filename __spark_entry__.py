@@ -1095,6 +1095,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_offsets_docset"] = q_term_offsets
 
+    def q_matches_term(spark, sf_dir):
+        # Matches API (search/Matches.kt / MatchesIterator.kt): every match
+        # interval of the query over matching docs, (start,end) positions +
+        # offsets — the highlighter-facing surface
+        s = _offsets_searcher64(spark, sf_dir)
+        return s.matches(TermQuery("merge"))
+
+    q["matches_term"] = q_matches_term
+
+    def q_matches_phrase(spark, sf_dir):
+        # exact-phrase intervals: start = lead position, end = last term's
+        # position (ExactPhraseMatcher), offsets span first→last token
+        from lucene_kmp_spark.search.query import PhraseQuery as PQ
+
+        s = _offsets_searcher64(spark, sf_dir)
+        return s.matches(PQ(("order", "sort")))
+
+    q["matches_phrase"] = q_matches_phrase
+
     def q_payload_sum(spark, sf_dir):
         # PayloadScoreQuery(SumFunction, includeSpanScore=false) analog:
         # per-doc sum of the term's occurrence payloads (payload = position)
@@ -2815,6 +2834,46 @@ offs AS (
 SELECT doc_id, pos::INT AS position, so::INT AS start_offset,
        (so + length(term))::INT AS end_offset
 FROM offs WHERE term = 'merge'
+"""
+
+    # Matches API: term intervals (start==end==position) with offsets
+    o["matches_term"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos FROM toks
+),
+offs AS (
+  SELECT doc_id, term, pos,
+         (COALESCE(sum(length(term)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pos) AS so
+  FROM tok
+)
+SELECT doc_id, term AS query, pos::INT AS start_position, pos::INT AS end_position,
+       so::INT AS start_offset, (so + length(term))::INT AS end_offset
+FROM offs WHERE term = 'merge'
+ORDER BY doc_id, start_position
+"""
+
+    # Matches API: exact-phrase intervals via position self-join
+    o["matches_phrase"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos FROM toks
+),
+offs AS (
+  SELECT doc_id, term, pos,
+         (COALESCE(sum(length(term)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pos) AS so
+  FROM tok
+)
+SELECT a.doc_id, 'order sort' AS query,
+       a.pos::INT AS start_position, b.pos::INT AS end_position,
+       a.so::INT AS start_offset, (b.so + length(b.term))::INT AS end_offset
+FROM offs a JOIN offs b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'order' AND b.term = 'sort'
+ORDER BY a.doc_id, start_position
 """
 
     # PAYLOADS flag: payload = occurrence position; score = per-doc sum

@@ -478,6 +478,17 @@ class IndexSearcher:
             (fns[agg]("payload") * F.lit(float(boost))).alias("score")
         )
 
+    def matches(self, q: Query, name: str | None = None) -> DataFrame:
+        """Weight.matches analog (search/Matches.kt / MatchesIterator.kt):
+        every match interval of ``q`` over documents matching the whole
+        query — ``(doc_id, query, start_position, end_position,
+        start_offset, end_offset)`` ordered by (doc, start, end), offsets -1
+        on positions-only indexes. ``name`` = NamedMatches.kt relabeling.
+        See ``search/matches.py`` for the distributed-iterator mapping."""
+        from lucene_kmp_spark.search.matches import matches_df
+
+        return matches_df(self, q, name=name)
+
     # ------------------------------------------------------------ match sets
     def _doc_set(self, q: Query, dedup: bool = True) -> DataFrame:
         """doc_ids matching q (ScoreMode.NO_SCORES path). ``dedup=False``
@@ -1269,6 +1280,36 @@ class IndexSearcher:
         top = scored[: q.max_expansions]
         sub = tuple(TermQuery(term, boost=q.boost * s) for s, term in top)
         return self._exec(BooleanQuery.build(should=sub))
+
+    def _fuzzy_terms(self, q: FuzzyQuery) -> list[str]:
+        """The concrete terms a FuzzyQuery expands to (FuzzyTermsEnum view),
+        for consumers that need the term set rather than scores — the
+        Matches API and span multi-term wrapping. Same candidate pipeline,
+        similarity ordering and expansion cap as ``_exec_fuzzy``."""
+        t = q.term
+        cand = self.index.term_dict.filter(
+            F.length("term").between(len(t) - q.max_edits, len(t) + q.max_edits)
+        )
+        if q.prefix_length > 0:
+            cand = cand.filter(F.col("term").startswith(t[: q.prefix_length]))
+        lev_cap = (2 * q.max_edits) if q.transpositions else q.max_edits
+        rows = (
+            cand.withColumn("_dist", F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("_dist") <= lev_cap)
+            .select("term", "_dist")
+            .collect()
+        )
+        out = []
+        for r in rows:
+            dist = int(r["_dist"])
+            if q.transpositions:
+                dist = _osa_distance(r["term"], t, q.max_edits)
+                if dist > q.max_edits:
+                    continue
+            sim = 1.0 - dist / min(len(t), len(r["term"])) if dist > 0 else 1.0
+            out.append((sim, r["term"]))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return [term for _sim, term in out[: q.max_expansions]]
 
     def _cost_estimate(self, q: Query) -> int:
         if isinstance(q, TermQuery):

@@ -1504,6 +1504,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["range_field_contains"] = _range_field_q("contains")
     q["range_field_crosses"] = _range_field_q("crosses")
 
+    # ---- ASCIIFoldingFilter (analysis/common miscellaneous) ----
+    def q_ascii_fold(spark, sf_dir):
+        # accent every 'merge' occurrence, index through the folding chain:
+        # ranking must equal plain bm25_term over the unaccented text —
+        # end-to-end proof the 1,242-char fold table restores the terms
+        from lucene_kmp_spark.analysis.filters import ascii_folding_analyzer
+        from lucene_kmp_spark.index import build_index
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        key = sf_dir + "::fold"
+        if key not in _INDEX_CACHE:
+            d = _docs(spark, sf_dir).withColumn("text", F.expr("replace(text, 'merge', 'mérgé')"))
+            _INDEX_CACHE[key] = build_index(d, text_col="text", analyzer=ascii_folding_analyzer())
+        s = IndexSearcher(_INDEX_CACHE[key], dtype=np.float64)
+        return _ranked_topk(s.execute(TermQuery("merge")))
+
+    q["ascii_fold_term"] = q_ascii_fold
+
     # ---- index-time synonyms (posIncr=0 overlap) ----
     def q_synonym_index_term(spark, sf_dir):
         s = _syn_searcher64(spark, sf_dir)
@@ -3005,6 +3023,9 @@ ORDER BY n_chars, doc_id LIMIT 10
 SELECT doc_id FROM documents WHERE n_chars BETWEEN 150 AND 300
 """
     o["index_sort_range_fallback"] = o["index_sort_range"]
+
+    # ASCIIFoldingFilter: accented index folds back to the plain ranking
+    o["ascii_fold_term"] = o["bm25_term"]
 
     # RangeFieldQuery relations over derived [rng_lo, rng_hi] intervals
     # (same expressions as the Spark side; relation algebra per

@@ -95,6 +95,44 @@ def ngram_analyzer(min_n: int = 2, max_n: int = 3):
     return run
 
 
+def fold_ascii(text: str) -> str:
+    """ASCIIFoldingFilter.foldToASCII as a string function
+    (``analysis/common/.../miscellaneous/ASCIIFoldingFilter.kt``): every
+    character in the reference's 1,242-entry fold table maps to its ASCII
+    replacement (1→N chars); everything else passes through unchanged.
+    Also useful as a pipeline text-normalization step."""
+    from lucene_kmp_spark.analysis.asciifolding_data import FOLD_MAP
+
+    if all(ord(c) < 0x80 for c in text):
+        return text  # pure-ASCII fast path (the filter's needsFolding check)
+    return "".join(FOLD_MAP.get(c, c) for c in text)
+
+
+def ascii_folding_analyzer(stop_words: tuple[str, ...] = (), preserve_original: bool = False):
+    """StandardTokenizer → LowerCase → Stop → ASCIIFoldingFilter chain.
+
+    ``preserve_original=True`` (setPreserveOriginal) additionally emits the
+    UNFOLDED token at the same position — a posIncr=0 overlap, exactly the
+    filter's second output state; norms discount the overlap (length counts
+    position-incrementing tokens only, the discountOverlaps default)."""
+    stop = frozenset(stop_words) if stop_words else None
+
+    def run(text: str):
+        terms, positions, length = analyze(text, stop_set=stop)
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            folded = fold_ascii(t)
+            out_t.append(folded)
+            out_p.append(p)
+            if preserve_original and folded != t:
+                out_t.append(t)
+                out_p.append(p)
+        return out_t, out_p, length
+
+    return run
+
+
 def edge_ngram_analyzer(min_n: int = 1, max_n: int = 5):
     """Leading-edge grams per token (EdgeNGramTokenFilter analog) — the
     classic search-as-you-type indexing scheme."""

@@ -376,13 +376,14 @@ class SegmentedIndexWriter:
         return done
 
     # --------------------------------------------- snapshots / deletion policy
-    def snapshot(self) -> str:
-        """SnapshotDeletionPolicy.kt: pin the CURRENT commit so its segment
-        files survive later merges/purges. Returns the snapshot id; the
-        pinned manifest copy lives in ``snapshots/`` and can be opened with
-        ``reader(snapshot=...)`` for a true point-in-time view."""
-        m = self.manifest()
-        snap_id = f"snap-{m['generation']:05d}"
+    def snapshot(self, manifest: dict | None = None, prefix: str = "snap") -> str:
+        """SnapshotDeletionPolicy.kt: pin the CURRENT commit (or an explicit
+        older ``manifest`` — the SearcherLifetimeManager record path) so its
+        segment files survive later merges/purges. Returns the snapshot id;
+        the pinned manifest copy lives in ``snapshots/`` and can be opened
+        with ``reader(snapshot=...)`` for a true point-in-time view."""
+        m = manifest if manifest is not None else self.manifest()
+        snap_id = f"{prefix}-{m['generation']:05d}"
         os.makedirs(os.path.join(self.root, "snapshots"), exist_ok=True)
         path = os.path.join(self.root, "snapshots", snap_id + ".json")
         tmp = path + ".tmp"
@@ -440,6 +441,7 @@ class SegmentedReader:
 
     def __init__(self, spark, root, manifest, text_col, key_cols):
         self.generation = manifest["generation"]
+        self.manifest = manifest  # retained for lifetime pinning (record())
         segs = manifest["segments"]
         docs = postings = term_dict = None
         max_doc = doc_count = sum_ttf = sum_df = 0

@@ -1012,6 +1012,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_pipeline_near_dups"] = q_dedup_pipeline
 
+    def q_dedup_clusters(spark, sf_dir):
+        # terminal dedup stage: LSH candidates -> Jaccard verify -> connected
+        # components (min-label propagation) -> (doc_id, canonical_id)
+        d = _docs(spark, sf_dir).filter("doc_id < 2000")
+        cands = dedup.minhash_candidates(d)
+        pairs = dedup.jaccard_pairs(d, threshold=0.9, candidates=cands)
+        return dedup.near_dup_clusters(pairs).select(
+            "doc_id", F.col("canonical_id").cast("long").alias("canonical_id")
+        )
+
+    q["dedup_clusters"] = q_dedup_clusters
+
     def q_span_containing(spark, sf_dir):
         from lucene_kmp_spark.search.query import (
             SpanContainingQuery,
@@ -2740,6 +2752,58 @@ inter AS (
 SELECT i.id_a, i.id_b, floor(i.i * 1.0 / (i.na + i.nb - i.i) * 10000) / 10000 AS jaccard
 FROM inter i JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
 WHERE i.i * 1.0 / (i.na + i.nb - i.i) >= 0.9
+"""
+
+
+    # connected components over the verified pairs (recursive min-reach)
+    o["dedup_clusters"] = """
+WITH RECURSIVE
+ tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 2000
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('s0|' || term)) AS s0, min(md5('s1|' || term)) AS s1,
+         min(md5('s2|' || term)) AS s2, min(md5('s3|' || term)) AS s3
+  FROM tok GROUP BY doc_id
+),
+st AS (
+  SELECT doc_id, 0 AS band_idx, s0 AS v FROM sig
+  UNION ALL SELECT doc_id, 1, s1 FROM sig
+  UNION ALL SELECT doc_id, 2, s2 FROM sig
+  UNION ALL SELECT doc_id, 3, s3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM st a JOIN st b
+    ON a.band_idx = b.band_idx AND a.v = b.v AND a.doc_id < b.doc_id
+),
+toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+  FROM documents WHERE doc_id < 2000
+),
+sized AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM toks),
+ex AS (SELECT doc_id, n, unnest(ts) AS tok FROM sized),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*)::BIGINT AS i
+  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+prs AS (
+SELECT i.id_a, i.id_b, floor(i.i * 1.0 / (i.na + i.nb - i.i) * 10000) / 10000 AS jaccard
+FROM inter i JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE i.i * 1.0 / (i.na + i.nb - i.i) >= 0.9
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM prs UNION SELECT id_b, id_a FROM prs
+),
+reach(node, lab) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, MIN(lab)::BIGINT AS canonical_id FROM reach GROUP BY node
 """
 
     # ordered 2-term near spans are merged-adjacent (merge, join) cross pairs

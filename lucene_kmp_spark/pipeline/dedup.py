@@ -143,11 +143,33 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact token-set Jaccard for pairs (id_a < id_b) with jac >= threshold.
 
-    With ``candidates`` given (e.g. from minhash_candidates), verifies only
-    those pairs; otherwise all-pairs via token inverted join (small corpora)."""
+    With ``candidates`` given (e.g. from minhash_candidates), ONLY those
+    pairs are materialized and verified: two hash joins bring each side's
+    token set onto the pair row and the intersection is a per-row
+    ``array_intersect`` — work ∝ |candidates|, never all-pairs, which is
+    what makes the composed LSH→verify pipeline hold at 100 TB. Without
+    ``candidates``: all-pairs via token inverted join (small corpora /
+    exact mode only)."""
     toks = df.select(
         F.col(id_col), F.array_distinct(tokens_col(text_col)).alias("toks")
     ).withColumn("n", F.size("toks"))
+    if candidates is not None:
+        ta = toks.select(
+            F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"), F.col("n").alias("na")
+        )
+        tb = toks.select(
+            F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"), F.col("n").alias("nb")
+        )
+        paired = candidates.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+        return (
+            paired.withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     ex = toks.select(id_col, "n", F.explode("toks").alias("tok"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -160,14 +182,11 @@ def jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
-    jac = inter.select(
+    return inter.select(
         "id_a",
         "id_b",
         (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
-    if candidates is not None:
-        jac = jac.join(candidates, ["id_a", "id_b"], "left_semi")
-    return jac
 
 
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -193,3 +212,93 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         bit = F.when(F.col(f"b{k}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → ``(doc_id,
+    canonical_id)``, canonical = min doc id of the component. The terminal
+    stage of the 100 TB dedup pipeline: LSH candidates → Jaccard verify →
+    CLUSTER → keep one canonical doc per cluster.
+
+    Algorithm: distributed min-label propagation with pointer jumping —
+    each round every node takes the min of (its own label, its neighbors'
+    labels, its label's label). The neighbor-min step is one join + one
+    min-aggregate shuffled on the node id; the pointer jump
+    (``label := label(label)``) halves chain depth each round, so rounds =
+    O(log diameter) even on adversarial path graphs (same convergence bound
+    as large-star/small-star — Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — with one fewer shuffle per round).
+    Each round ends in ``localCheckpoint(eager=True)``: the iterate is
+    materialized and its lineage TRUNCATED, keeping the Catalyst plan (and
+    driver heap) constant-size across rounds — without it the plan doubles
+    per round and the driver OOMs near round ~10. On a multi-executor
+    cluster swap in reliable ``checkpoint()`` if executor loss must be
+    survivable mid-loop. The driver runs one tiny count() action per round
+    (convergence check), never collecting data rows.
+
+    ``nodes``: optional one-column DataFrame of ALL doc ids; isolated docs
+    (no near-dup pair) then appear mapped to themselves.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    if nodes is not None:
+        labels = (
+            nodes.select(F.col(id_col).alias("node"))
+            .distinct()
+            .join(labels, "node", "left")
+            .select("node", F.coalesce("label", F.col("node")).alias("label"))
+        )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            labels.join(neigh, "node", "left")
+            .select("node", F.least("label", F.coalesce("nlabel", F.col("label"))).alias("label"))
+        )
+        # pointer jump: label := label(label) (min is monotone, so jumping
+        # through the CURRENT table's labels is always sound)
+        ptr = labels.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
+        new_labels = (
+            stepped.join(ptr, stepped.label == ptr.p_node, "left")
+            .select("node", F.least("label", F.coalesce("p_label", F.col("label"))).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
+
+
+def dedup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one canonical row per near-dup cluster (plus every un-paired
+    row): the end-to-end keep-set of the near-dup pipeline."""
+    clusters = near_dup_clusters(pairs, nodes=df.select(id_col), id_col=id_col)
+    keep = clusters.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

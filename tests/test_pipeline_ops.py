@@ -207,3 +207,40 @@ def test_lsh_write_bucketed_reuses_partition(spark, tmp_path):
     pre = [(r["vec_id"], round(r["cosine"], 6))
            for r in sim.lsh_bucketed_topk(bucketed, qvec, 10, n_planes=4).collect()]
     assert pre == fly and len(pre) > 0
+
+
+def test_near_dup_clusters_and_canonical(spark):
+    # components: {0,1,2} via chain 0-1, 1-2 (tests propagation past one
+    # hop), {5,6}, isolated 9 appears only with nodes=
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup.near_dup_clusters(pairs).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (0, 1, 2, 5, 6, 9)], "doc_id long, text string"
+    )
+    with_iso = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup.near_dup_clusters(pairs, nodes=docs.select("doc_id")).collect()
+    }
+    assert (9, 9) in with_iso and len(with_iso) == 6
+
+    kept = {r["doc_id"] for r in dedup.dedup_canonical(docs, pairs).collect()}
+    assert kept == {0, 5, 9}
+
+
+def test_near_dup_clusters_long_chain(spark):
+    # a 12-node path graph: worst-case diameter for min-label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup.near_dup_clusters(pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(12)}

@@ -351,7 +351,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries + oracles
 # --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from lucene_kmp_spark.pipeline import dedup, similarity, textstats
+    from lucene_kmp_spark.pipeline import decontam, dedup, mix, similarity, textstats
     from lucene_kmp_spark.search.query import (
         BooleanQuery,
         ColumnFilterQuery,
@@ -712,6 +712,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.lang_id(_docs(spark, sf_dir)).filter(F.col("doc_id") < 200)
 
     q["text_lang_id"] = q_lang_id
+
+    def q_repetition(spark, sf_dir):
+        return textstats.repetition_signals(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+        )
+
+    q["text_repetition"] = q_repetition
+
+    # ---- training-mix construction ----
+    def q_mix_split(spark, sf_dir):
+        return mix.split_by_hash(_docs(spark, sf_dir)).select("doc_id", "split")
+
+    q["mix_split_by_hash"] = q_mix_split
+
+    def q_mix_strat(spark, sf_dir):
+        return mix.stratified_sample(
+            _docs(spark, sf_dir),
+            {"src0": 0.5, "src1": 0.25, "src2": 0.75},
+            strata_col="source",
+            default_fraction=0.05,
+        ).select("doc_id", "source")
+
+    q["mix_stratified_sample"] = q_mix_strat
+
+    def q_mix_budget(spark, sf_dir):
+        return mix.take_token_budget(
+            _docs(spark, sf_dir), budget=300, group_col="source", order_col="doc_id"
+        ).select("doc_id", "source")
+
+    q["mix_token_budget"] = q_mix_budget
+
+    # ---- benchmark decontamination ----
+    def q_decontam(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        ev = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+        return decontam.contaminated_docs(d, ev, n=5).select("doc_id", "hits")
+
+    q["decontam_hits"] = q_decontam
 
     def q_minhash_candidates(spark, sf_dir):
         return dedup.minhash_candidates(
@@ -2402,6 +2440,75 @@ FROM m
 SELECT doc_id,
        md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ')) AS fingerprint
 FROM documents WHERE doc_id < 100
+"""
+
+    o["text_repetition"] = """
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents WHERE doc_id < 200),
+base AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS nw,
+         len(list_distinct(ts))::BIGINT AS dw,
+         greatest(len(ts) - 2, 0)::BIGINT AS n3,
+         len(list_distinct(CASE WHEN len(ts) >= 3
+             THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+             ELSE []::VARCHAR[] END))::BIGINT AS d3,
+         CASE WHEN len(ts) >= 2
+             THEN list_transform(range(1, len(ts)), i -> array_to_string(ts[i:i+1], ' '))
+             ELSE []::VARCHAR[] END AS two
+  FROM t
+),
+tg AS (SELECT doc_id, unnest(two) AS g FROM base),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+t2 AS (SELECT doc_id, max(c)::BIGINT AS top2, sum(c)::BIGINT AS tot2 FROM cnt GROUP BY doc_id)
+SELECT b.doc_id,
+       floor((nw - dw) * 1.0 / greatest(nw, 1) * 10000) / 10000 AS dup_word_frac,
+       floor((n3 - d3) * 1.0 / greatest(n3, 1) * 10000) / 10000 AS dup_3gram_frac,
+       floor(coalesce(top2 * 1.0 / tot2, 0.0) * 10000) / 10000 AS top_2gram_frac
+FROM base b LEFT JOIN t2 USING (doc_id)
+"""
+
+    # ---- training-mix construction (hash thresholds from the library so the
+    # oracle and the engine share one source of truth) ----
+    from lucene_kmp_spark.pipeline.mix import _hex_threshold, split_weights_to_bounds
+
+    bounds = dict(split_weights_to_bounds({"train": 0.98, "val": 0.01, "test": 0.01}))
+    o["mix_split_by_hash"] = f"""
+SELECT doc_id,
+       CASE WHEN substr(md5('split|' || doc_id), 1, 8) < '{bounds["train"]}' THEN 'train'
+            WHEN substr(md5('split|' || doc_id), 1, 8) < '{bounds["val"]}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+    o["mix_stratified_sample"] = f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5('sample|' || doc_id), 1, 8) <
+      CASE source WHEN 'src0' THEN '{_hex_threshold(0.5)}'
+                  WHEN 'src1' THEN '{_hex_threshold(0.25)}'
+                  WHEN 'src2' THEN '{_hex_threshold(0.75)}'
+                  ELSE '{_hex_threshold(0.05)}' END
+"""
+
+    o["mix_token_budget"] = """
+WITH t AS (SELECT doc_id, source, len(string_split(trim(text), ' '))::BIGINT AS n FROM documents),
+c AS (SELECT doc_id, source,
+             sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+SELECT doc_id, source FROM c WHERE cum <= 300
+"""
+
+    # ---- benchmark decontamination (5-gram overlap vs eval = doc_id%97) ----
+    o["decontam_hits"] = """
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS gram
+  FROM t, unnest(range(1, greatest(len(ts) - 3, 1))) AS u(i)
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT doc_id, count(*)::BIGINT AS hits
+FROM g JOIN ev USING (gram)
+GROUP BY doc_id
 """
 
     # marker-hit language guess; the engine's array_max over (hits, lang)

@@ -1,0 +1,77 @@
+"""Benchmark decontamination: flag (and drop) training documents that share
+long n-grams with an evaluation set — the GPT-3-style 13-gram overlap filter
+every serious pretraining pipeline runs.
+
+Scale notes (100 TB):
+* Eval sets are tiny relative to the corpus, so their distinct n-gram digests
+  are BROADCAST — the corpus side is one narrow pass (tokenize -> slide ->
+  hash -> broadcast-hash-join), zero corpus shuffles until the per-doc hit
+  count aggregate (map-side combinable, output ∝ contaminated docs only).
+* Grams travel as md5 digests, not strings: constant-width join keys
+  regardless of n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ngram_digests(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, gram) — md5 digests of every distinct word n-gram per document.
+    Documents shorter than n words produce no rows (nothing to match on)."""
+    grams = F.expr(
+        f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) >= {n} THEN "
+        f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}), "
+        f"i -> md5(array_join(slice(split(trim({text_col}), '\\\\s+'), i, {n}), ' '))) "
+        "ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, hits): corpus documents sharing >= min_hits distinct word
+    n-grams with the eval set. hits counts distinct contaminated grams."""
+    eval_grams = (
+        ngram_digests(eval_df, n, eval_text_col or text_col, id_col)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        ngram_digests(corpus, n, text_col, id_col)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(F.col(id_col))
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Corpus minus contaminated documents (anti-join on the hit set)."""
+    hits = contaminated_docs(
+        corpus, eval_df, n, min_hits, text_col, id_col, eval_text_col
+    ).select(id_col)
+    return corpus.join(hits, id_col, "left_anti")

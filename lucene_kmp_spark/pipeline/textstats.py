@@ -96,3 +96,57 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fingerprint"),
     )
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition filters (word-level — the corpus is
+    single-line): (id, dup_word_frac, dup_3gram_frac, top_2gram_frac).
+
+    * dup_word_frac   — fraction of token occurrences that repeat an earlier
+      token (1 - distinct/total).
+    * dup_3gram_frac  — same over 3-gram occurrences.
+    * top_2gram_frac  — occurrences of the most frequent 2-gram / total
+      2-grams (ties irrelevant: max count is unique-valued).
+
+    The n-gram mode needs per-(doc, gram) counts: one explode + aggregate,
+    shuffled on (id, gram) with map-side combine — the same shape (and
+    scale story) as the minhash pass."""
+    toks = tokens_col(text_col)
+    two = F.expr(
+        f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) >= 2 THEN "
+        f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - 1), "
+        f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, 2), ' ')) "
+        "ELSE array() END"
+    )
+    three = F.expr(
+        f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) >= 3 THEN "
+        f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - 2), "
+        f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, 3), ' ')) "
+        "ELSE array() END"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_nw"),
+        F.size(F.array_distinct(toks)).alias("_dw"),
+        F.size(three).alias("_n3"),
+        F.size(F.array_distinct(three)).alias("_d3"),
+        two.alias("_two"),
+    )
+    top2 = (
+        base.select(id_col, F.explode("_two").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top2"), F.sum("c").alias("_tot2"))
+    )
+    return (
+        base.drop("_two")
+        .join(top2, id_col, "left")
+        .select(
+            id_col,
+            q4((F.col("_nw") - F.col("_dw")) / F.greatest("_nw", F.lit(1))).alias("dup_word_frac"),
+            q4((F.col("_n3") - F.col("_d3")) / F.greatest("_n3", F.lit(1))).alias("dup_3gram_frac"),
+            q4(F.coalesce(F.col("_top2") / F.col("_tot2"), F.lit(0.0))).alias("top_2gram_frac"),
+        )
+    )

@@ -5,7 +5,7 @@ tests/test_driver_contract.py; these check operator semantics."""
 import pytest
 from pyspark.sql import functions as F
 
-from lucene_kmp_spark.pipeline import dedup, multimodal, similarity, textstats
+from lucene_kmp_spark.pipeline import decontam, dedup, mix, multimodal, similarity, textstats
 
 
 @pytest.fixture(scope="module")
@@ -244,3 +244,69 @@ def test_near_dup_clusters_long_chain(spark):
         for r in dedup.near_dup_clusters(pairs).collect()
     }
     assert got == {(i, 0) for i in range(12)}
+
+
+def test_split_by_hash_deterministic_and_exhaustive(spark):
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s = mix.split_by_hash(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in s.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000          # every row lands somewhere
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # membership depends only on the row's own id: same ids again -> same splits
+    again = mix.split_by_hash(d.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_stratified_sample_respects_fractions(spark):
+    d = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], "doc_id long, source string"
+    )
+    kept = mix.stratified_sample(d, {"a": 1.0, "b": 0.0}, strata_col="source")
+    got = {r["source"] for r in kept.select("source").distinct().collect()}
+    assert got == {"a"} and kept.count() == 1000
+
+
+def test_take_token_budget_two_phase_equals_window(spark):
+    rows = [(i, "g%d" % (i % 3), "w " * (1 + i % 7)) for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    for budget in (5, 37, 100, 10_000):
+        fast = sorted(r["doc_id"] for r in mix.take_token_budget(d, budget, n_buckets=8).collect())
+        exact = sorted(
+            r["doc_id"] for r in mix.take_token_budget(d, budget, exact_window=True).collect()
+        )
+        assert fast == exact, budget
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),     # contains eval 5-gram
+            (1, "one two three four five six"),
+            (2, "alpha beta gamma delta epsilon other tail"),  # shares the 5-gram too
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta epsilon yy")], "doc_id long, text string"
+    )
+    hits = {r["doc_id"]: r["hits"] for r in decontam.contaminated_docs(corpus, ev, n=5).collect()}
+    assert set(hits) == {0, 2} and all(v >= 1 for v in hits.values())
+    clean = {r["doc_id"] for r in decontam.decontaminate(corpus, ev, n=5).collect()}
+    assert clean == {1}
+    # docs shorter than n produce no grams and are never flagged
+    assert decontam.contaminated_docs(corpus, ev, n=50).count() == 0
+
+
+def test_repetition_signals_golden(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "a a a a"),            # fully repetitive
+            (1, "a b c d"),            # no repetition
+            (2, "a b a b a b"),        # periodic: top 2-gram 'a b' = 3/5
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in textstats.repetition_signals(d).collect()}
+    assert r[0]["dup_word_frac"] == 0.75 and r[0]["top_2gram_frac"] == 1.0
+    assert r[1]["dup_word_frac"] == 0.0 and r[1]["dup_3gram_frac"] == 0.0
+    assert r[2]["top_2gram_frac"] == 0.6 and r[2]["dup_3gram_frac"] == 0.5

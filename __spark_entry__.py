@@ -550,6 +550,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rescore_combine"] = q_rescore
 
+    def q_rescore_sort(spark, sf_dir):
+        from lucene_kmp_spark.search.query import TermQuery as TQ
+
+        s = _searcher64(spark, sf_dir)
+        # window >= all matches; the Sort re-order + kept first-pass scores
+        # (SortRescorer semantics) are what's under test
+        out = s.rescore_sort(TQ("merge"), [("n_chars", True)], window=10_000_000, k=10)
+        return out.select("doc_id", "n_chars", _q4(F.col("score")).alias("score"))
+
+    q["rescore_sort"] = q_rescore_sort
+
     # ---- cross-field (per-field postings tables) ----
     def q_combined(spark, sf_dir):
         from lucene_kmp_spark.search.query import CombinedFieldQuery
@@ -1853,6 +1864,17 @@ total AS (
   FROM sc0 LEFT JOIN sc1 USING (doc_id)
 )"""
         + _rank_tail("total")
+    )
+
+    o["rescore_sort"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """
+SELECT d.doc_id, d.n_chars, floor(sc0.s * 10000) / 10000 AS score
+FROM sc0 JOIN documents d USING (doc_id)
+ORDER BY d.n_chars ASC, d.doc_id ASC LIMIT 10
+"""
     )
 
     # ---- cross-field (CombinedFieldQuery.kt merged pseudo-stats) ----

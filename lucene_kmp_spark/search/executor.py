@@ -1556,24 +1556,9 @@ class IndexSearcher:
         rq = rewrite_query(q)
 
         def finish(matches: DataFrame) -> DataFrame:
-            joined = matches.join(self.index.docs, "doc_id")
-            order, out_names = [], []
-            for i, sf in enumerate(fields):
-                key = F.expr(sf.expr) if sf.expr is not None else F.col(sf.column)
-                if sf.selector == "min":
-                    key = F.array_min(key)
-                elif sf.selector == "max":
-                    key = F.array_max(key)
-                name = sf.name or sf.column or f"sort_key_{i}"
-                joined = joined.withColumn(name, key)
-                out_names.append(name)
-                col = F.col(name)
-                if sf.missing_last is None:
-                    order.append(col.asc() if sf.ascending else col.desc())
-                elif sf.missing_last:
-                    order.append(col.asc_nulls_last() if sf.ascending else col.desc_nulls_last())
-                else:
-                    order.append(col.asc_nulls_first() if sf.ascending else col.desc_nulls_first())
+            joined, order, out_names = self._apply_sort_fields(
+                matches.join(self.index.docs, "doc_id"), fields
+            )
             return joined.orderBy(*order, F.asc("doc_id")).limit(k).select("doc_id", *out_names)
 
         bounded = self._index_sorted_matches(rq, fields, k)
@@ -1670,6 +1655,50 @@ class IndexSearcher:
             ),
         )
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _apply_sort_fields(self, joined: DataFrame, fields: list):
+        """Materialize SortField keys as columns and build the ORDER BY list
+        (shared by search_sorted and rescore_sort)."""
+        order, out_names = [], []
+        for i, sf in enumerate(fields):
+            key = F.expr(sf.expr) if sf.expr is not None else F.col(sf.column)
+            if sf.selector == "min":
+                key = F.array_min(key)
+            elif sf.selector == "max":
+                key = F.array_max(key)
+            name = sf.name or sf.column or f"sort_key_{i}"
+            joined = joined.withColumn(name, key)
+            out_names.append(name)
+            col = F.col(name)
+            if sf.missing_last is None:
+                order.append(col.asc() if sf.ascending else col.desc())
+            elif sf.missing_last:
+                order.append(col.asc_nulls_last() if sf.ascending else col.desc_nulls_last())
+            else:
+                order.append(col.asc_nulls_first() if sf.ascending else col.desc_nulls_first())
+        return joined, order, out_names
+
+    def rescore_sort(self, first: Query, sort: list, window: int = 100, k: int = 10) -> DataFrame:
+        """SortRescorer.kt: re-order the top-``window`` first-pass hits by a
+        Sort (TopFieldCollector over exactly those docs, docID-asc tiebreak)
+        while KEEPING each hit's original first-pass score
+        (SortRescorer.kt:77-82 copies the scores back). The window is tiny,
+        so the sort-field join broadcasts it against the docs table."""
+        from lucene_kmp_spark.search.query import SortField
+
+        fields = [
+            sf if isinstance(sf, SortField) else SortField(column=sf[0], ascending=sf[1])
+            for sf in sort
+        ]
+        top = self.top_k(first, window).select("doc_id", "score")
+        joined, order, out_names = self._apply_sort_fields(
+            F.broadcast(top).join(self.index.docs, "doc_id"), fields
+        )
+        return (
+            joined.orderBy(*order, F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", *out_names, "score")
+        )
 
     def count(self, q: Query) -> int:
         """count(query) fast path (IndexSearcher.kt:282-306): term count ==

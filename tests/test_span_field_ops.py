@@ -225,3 +225,17 @@ def test_rescore(env):
     assert [d for d, _ in got] == [d for d, _ in comb[:10]]
     for (d1, v1), (d2, v2) in zip(got, comb[:10]):
         assert abs(v1 - v2) < 1e-5
+
+
+def test_rescore_sort_keeps_first_pass_scores(env):
+    s, naive = env
+    first = TermQuery("hope")
+    got = s.rescore_sort(first, [("ts", True)], window=50, k=10).collect()
+    # oracle: naive top-50 of first re-sorted by ts asc (docID tiebreak),
+    # scores unchanged from the first pass (SortRescorer.kt:77-82)
+    base = dict(naive.top_k(first, 50))
+    ts = {r["doc_id"]: r["ts"] for r in s.index.docs.select("doc_id", "ts").collect()}
+    expect = sorted(base, key=lambda d: (ts[d], d))[:10]
+    assert [r["doc_id"] for r in got] == expect
+    for r in got:
+        assert abs(r["score"] - base[r["doc_id"]]) < 1e-6

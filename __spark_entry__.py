@@ -762,6 +762,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontam_hits"] = q_decontam
 
+    def q_curate(spark, sf_dir):
+        from lucene_kmp_spark.pipeline import curate
+
+        d = _docs(spark, sf_dir)
+        ev = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+        return curate.curate(d, ev, min_quality=0.5, ngram=5).select("doc_id", "split")
+
+    q["curate_pipeline"] = q_curate
+
     def q_minhash_candidates(spark, sf_dir):
         return dedup.minhash_candidates(
             _docs(spark, sf_dir).filter(F.col("doc_id") < 2000),
@@ -2518,6 +2527,48 @@ c AS (SELECT doc_id, source,
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM t)
 SELECT doc_id, source FROM c WHERE cum <= 300
+"""
+
+    # composed curation: quality >= 0.5 -> drop 5-gram eval overlap ->
+    # exact dedup (min id per text) -> hash split
+    o["curate_pipeline"] = f"""
+WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+m AS (
+  SELECT doc_id, len(ts)::BIGINT AS n, len(list_distinct(ts))::BIGINT AS nd,
+         len(list_intersect(list_distinct(ts), {stop_list}))::BIGINT AS stop_hits
+  FROM t0
+),
+quality AS (
+  SELECT doc_id,
+         ((CASE WHEN n >= 5 AND n <= 5000 THEN 0.4 ELSE 0.0 END)
+          + least(stop_hits * 1.0 / greatest(nd, 1) * 2, 1.0) * 0.3
+          + least(nd * 1.0 / greatest(n, 1) * 1.5, 1.0) * 0.3) AS qv
+  FROM m
+),
+kept1 AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN quality q2 USING (doc_id)
+  WHERE floor(q2.qv * 10000) / 10000 >= 0.5
+),
+tse AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+evg AS (
+  SELECT DISTINCT md5(array_to_string(ts[i:i+4], ' ')) AS gram
+  FROM tse, unnest(range(1, greatest(len(ts) - 3, 1))) AS u(i)
+  WHERE doc_id % 97 = 0
+),
+kg AS (
+  SELECT DISTINCT k.doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS gram
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM kept1) k,
+       unnest(range(1, greatest(len(ts) - 3, 1))) AS u(i)
+),
+contaminated AS (SELECT DISTINCT doc_id FROM kg JOIN evg USING (gram)),
+kept2 AS (SELECT * FROM kept1 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+reps AS (SELECT min(doc_id) AS doc_id FROM kept2 GROUP BY md5(text))
+SELECT k.doc_id,
+       CASE WHEN substr(md5('split|' || k.doc_id), 1, 8) < '{bounds["train"]}' THEN 'train'
+            WHEN substr(md5('split|' || k.doc_id), 1, 8) < '{bounds["val"]}' THEN 'val'
+            ELSE 'test' END AS split
+FROM kept2 k JOIN reps USING (doc_id)
 """
 
     # ---- benchmark decontamination (5-gram overlap vs eval = doc_id%97) ----

@@ -201,6 +201,24 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
         similarity.lsh_near_dup_pairs(emb, threshold=0.4, n_planes=3).count()
         times["p_lsh_near_dup"] = round(time.perf_counter() - t, 3)
 
+    t = time.perf_counter()
+    cands = dedup.minhash_candidates(docs_pq, salts=("s0", "s1", "s2", "s3"), bands=4)
+    pairs = dedup.jaccard_pairs(docs_pq, threshold=0.9, candidates=cands)
+    dedup.near_dup_clusters(pairs).count()
+    times["p_dedup_clusters"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    from lucene_kmp_spark.pipeline import decontam as _dc
+    from lucene_kmp_spark.pipeline import mix as _mx
+
+    ev_set = docs_pq.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    _dc.contaminated_docs(docs_pq, ev_set, n=13).count()
+    times["p_decontam"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    _mx.take_token_budget(docs_pq, budget=100_000).count()
+    times["p_token_budget"] = round(time.perf_counter() - t, 3)
+
     ev_path = f"{sf_dir}/events.parquet"
     if os.path.exists(ev_path):
         from lucene_kmp_spark.pipeline.events import sessionize

@@ -310,3 +310,27 @@ def test_repetition_signals_golden(spark):
     assert r[0]["dup_word_frac"] == 0.75 and r[0]["top_2gram_frac"] == 1.0
     assert r[1]["dup_word_frac"] == 0.0 and r[1]["dup_3gram_frac"] == 0.0
     assert r[2]["top_2gram_frac"] == 0.6 and r[2]["dup_3gram_frac"] == 0.5
+
+
+def test_curate_composes_stages(spark):
+    from lucene_kmp_spark.pipeline import curate
+
+    corpus = spark.createDataFrame(
+        [
+            # passes quality (stopwords + distinct + length)
+            (0, "the quick brown fox jumps over the lazy dog with a bone"),
+            (1, "the quick brown fox jumps over the lazy dog with a bone"),  # exact dup of 0
+            (2, "zz zz zz zz"),  # fails quality (no stopwords, low distinct)
+            (3, "it is a truth universally acknowledged that a single man wants a wife"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, "prefix truth universally acknowledged that a suffix")],
+        "doc_id long, text string",
+    )
+    out = curate.curate(corpus, ev, min_quality=0.5, ngram=5)
+    kept = {r["doc_id"] for r in out.collect()}
+    # 2 fails quality; 3 contaminated (shares the 5-gram); 1 deduped into 0
+    assert kept == {0}
+    assert set(out.columns) >= {"doc_id", "text", "split"}

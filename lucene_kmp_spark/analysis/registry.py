@@ -11,14 +11,17 @@ running inside the same Arrow tokenize UDF as every other analyzer.
 
 Registered chains (each a faithful port of the reference's default
 ``createComponents``): en (EnglishAnalyzer), fr (FrenchAnalyzer),
-es (SpanishAnalyzer), de (GermanAnalyzer), zh/ja/ko/cjk (CJKAnalyzer — the
+es (SpanishAnalyzer), de (GermanAnalyzer), ar (ArabicAnalyzer),
+hi (HindiAnalyzer, incl. IndicNormalizer), zh/ja/ko/cjk (CJKAnalyzer — the
 ``analysis/common`` default for CJK text; the reference's smartcn/kuromoji/
 nori dictionary models are out of scope, as SURVEY §2.1 records).
 """
 
 from __future__ import annotations
 
+from lucene_kmp_spark.analysis.ar import arabic_analyzer
 from lucene_kmp_spark.analysis.cjk import cjk_analyzer
+from lucene_kmp_spark.analysis.hi import hindi_analyzer
 from lucene_kmp_spark.analysis.de import german_analyzer
 from lucene_kmp_spark.analysis.en import english_analyzer
 from lucene_kmp_spark.analysis.es import spanish_analyzer
@@ -29,7 +32,9 @@ from lucene_kmp_spark.analysis.pt import portuguese_analyzer
 
 ANALYZER_FACTORIES = {
     "standard": standard_analyzer,
+    "ar": arabic_analyzer,
     "en": english_analyzer,
+    "hi": hindi_analyzer,
     "fr": french_analyzer,
     "es": spanish_analyzer,
     "de": german_analyzer,

@@ -287,3 +287,93 @@ def test_pt_it_in_registry():
     router = multilingual_analyzer()
     assert router("doutores", "pt")[0] == ["doutor"]
     assert router("ragazzi", "it")[0] == ["ragazz"]
+
+
+# ---- Arabic (TestArabicAnalyzer.kt / TestArabicStemFilter.kt goldens) ----
+@pytest.mark.parametrize("text,expected", [
+    ("كبير", ["كبير"]),
+    ("كبيرة", ["كبير"]),            # feminine marker
+    ("مشروبات", ["مشروب"]),          # plural -at
+    ("أمريكيين", ["امريك"]),         # plural -in
+    ("امريكي", ["امريك"]),           # singular with bare alif
+    ("الكتاب", ["كتاب"]),            # definite article
+    ("ما ملكت أيمانكم", ["ملكت", "ايمانكم"]),      # stopwords dropped
+    ("الذين ملكت أيمانكم", ["ملكت", "ايمانكم"]),
+    ("English text.", ["english", "text"]),
+    ("١٢٣٤", ["1234"]),              # DecimalDigitFilter
+])
+def test_arabic_analyzer_goldens(text, expected):
+    from lucene_kmp_spark.analysis.ar import arabic_analyzer
+
+    assert arabic_analyzer()(text)[0] == expected
+
+
+def test_arabic_stem_exclusion():
+    from lucene_kmp_spark.analysis.ar import arabic_analyzer
+
+    a = arabic_analyzer(stop_words=(), stem_exclusions=("ساهدهات",))
+    assert a("كبيرة the quick ساهدهات")[0] == ["كبير", "the", "quick", "ساهدهات"]
+    b = arabic_analyzer(stop_words=())
+    assert b("كبيرة the quick ساهدهات")[0] == ["كبير", "the", "quick", "ساهد"]
+
+
+# ---- Hindi (TestHindi{Analyzer,Normalizer,Stemmer}.kt goldens) ----
+@pytest.mark.parametrize("text,expected", [
+    ("हिन्दी", ["हिंद"]),   # dead-n normalization + stem
+    ("हिंदी", ["हिंद"]),
+    ("१२३४", ["1234"]),
+])
+def test_hindi_analyzer_goldens(text, expected):
+    from lucene_kmp_spark.analysis.hi import hindi_analyzer
+
+    assert hindi_analyzer()(text)[0] == expected
+
+
+@pytest.mark.parametrize("word,norm", [
+    ("अँगरेज़ी", "अंगरेजि"), ("अँग्रेज़ी", "अंगरेजि"), ("अंग्रेजी", "अंगरेजि"),
+    ("क़िताब", "किताब"), ("फ़र्ज़", "फरज"), ("ऱऴख़ग़ड़ढ़य़", "रळखगडढय"),
+    ("शार्‍मा", "शारमा"), ("शार्‌मा", "शारमा"),
+    ("ॅॆॉॊऍऎऑऒॲ", "ेेोोएएओओअ"), ("आईऊॠॡऐऔीूॄॣैौ", "अइउऋऌएओिुृॢेो"),
+])
+def test_hindi_normalizer_goldens(word, norm):
+    from lucene_kmp_spark.analysis.hi import hindi_normalize
+
+    assert hindi_normalize(word) == norm
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("लडका", "लडक"), ("लडके", "लडक"), ("लडकों", "लडक"),
+    ("गुरु", "गुर"), ("गुरुओं", "गुर"), ("दोस्त", "दोस्त"), ("दोस्तों", "दोस्त"),
+    ("लडकियों", "लडक"), ("किताबें", "किताब"), ("किताबों", "किताब"),
+    ("खाना", "खा"), ("खाता", "खा"), ("खा", "खा"),
+    ("कठिनाइयां", "कठिन"), ("कठिन", "कठिन"),
+])
+def test_hindi_stemmer_goldens(word, stem):
+    from lucene_kmp_spark.analysis.hi import hindi_stem
+
+    assert hindi_stem(word) == stem
+
+
+def test_hindi_stem_exclusion():
+    from lucene_kmp_spark.analysis.hi import hindi_analyzer
+
+    a = hindi_analyzer(stem_exclusions=("हिंदी",))
+    assert a("हिंदी")[0] == ["हिंदी"]
+
+
+def test_indic_normalize_compositions():
+    from lucene_kmp_spark.analysis.indic import indic_normalize
+
+    # devanagari: A + AA-matra -> AA; A + candra-E -> candra A;
+    # three-char A + AA + candra-E -> candra O
+    assert indic_normalize("अा") == "आ"
+    assert indic_normalize("अॅ") == "ॲ"
+    assert indic_normalize("अाॅ") == "ऑ"
+    assert indic_normalize("abc") == "abc"
+
+
+def test_registry_routes_ar_hi():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("ar")("الكتاب")[0] == ["كتاب"]
+    assert analyzer_for("hi")("हिन्दी")[0] == ["हिंद"]

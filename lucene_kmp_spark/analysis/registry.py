@@ -12,6 +12,7 @@ running inside the same Arrow tokenize UDF as every other analyzer.
 Registered chains (each a faithful port of the reference's default
 ``createComponents``): en (EnglishAnalyzer), fr (FrenchAnalyzer),
 es (SpanishAnalyzer), de (GermanAnalyzer), ar (ArabicAnalyzer),
+fa (PersianAnalyzer incl. ZWNJ char filter), bn (BengaliAnalyzer),
 hi (HindiAnalyzer, incl. IndicNormalizer), zh/ja/ko/cjk (CJKAnalyzer — the
 ``analysis/common`` default for CJK text; the reference's smartcn/kuromoji/
 nori dictionary models are out of scope, as SURVEY §2.1 records).
@@ -20,12 +21,14 @@ nori dictionary models are out of scope, as SURVEY §2.1 records).
 from __future__ import annotations
 
 from lucene_kmp_spark.analysis.ar import arabic_analyzer
+from lucene_kmp_spark.analysis.bn import bengali_analyzer
 from lucene_kmp_spark.analysis.cjk import cjk_analyzer
 from lucene_kmp_spark.analysis.hi import hindi_analyzer
 from lucene_kmp_spark.analysis.de import german_analyzer
 from lucene_kmp_spark.analysis.en import english_analyzer
 from lucene_kmp_spark.analysis.es import spanish_analyzer
 from lucene_kmp_spark.analysis.filters import standard_analyzer
+from lucene_kmp_spark.analysis.fa import persian_analyzer
 from lucene_kmp_spark.analysis.fr import french_analyzer
 from lucene_kmp_spark.analysis.it import italian_analyzer
 from lucene_kmp_spark.analysis.pt import portuguese_analyzer
@@ -33,6 +36,8 @@ from lucene_kmp_spark.analysis.pt import portuguese_analyzer
 ANALYZER_FACTORIES = {
     "standard": standard_analyzer,
     "ar": arabic_analyzer,
+    "bn": bengali_analyzer,
+    "fa": persian_analyzer,
     "en": english_analyzer,
     "hi": hindi_analyzer,
     "fr": french_analyzer,

@@ -377,3 +377,152 @@ def test_registry_routes_ar_hi():
 
     assert analyzer_for("ar")("الكتاب")[0] == ["كتاب"]
     assert analyzer_for("hi")("हिन्दी")[0] == ["हिंद"]
+
+
+# ---- Persian (TestPersianAnalyzer.kt goldens, verb conjugation sweep) ----
+@pytest.mark.parametrize("text,expected", [
+    ("\u0645\u06cc\u200c\u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u0645\u06cc\u200c\u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u062e\u0648\u0627\u0647\u062f \u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u062f\u0627\u0631\u062f \u0645\u06cc\u200c\u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u062f\u0627\u0634\u062a \u0645\u06cc\u200c\u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u062e\u0648\u0631\u062f\u0647\u200c\u0627\u0633\u062a", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u0645\u06cc\u200c\u062e\u0648\u0631\u062f\u0647\u200c\u0627\u0633\u062a", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0628\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u0645\u06cc\u200c\u062e\u0648\u0631\u062f\u0647 \u0628\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u0645\u06cc\u200c\u062e\u0648\u0631\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0628\u0648\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u0645\u06cc\u200c\u062e\u0648\u0631\u062f\u0647 \u0628\u0648\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u06cc\u200c\u0634\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u06cc\u200c\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u062f\u0647\u200c\u0627\u0633\u062a", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u06cc\u200c\u0634\u062f\u0647\u200c\u0627\u0633\u062a", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u062f\u0647 \u0628\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u06cc\u200c\u0634\u062f\u0647 \u0628\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u062e\u0648\u0627\u0647\u062f \u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062f\u0627\u0631\u062f \u062e\u0648\u0631\u062f\u0647 \u0645\u06cc\u200c\u0634\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062f\u0627\u0634\u062a \u062e\u0648\u0631\u062f\u0647 \u0645\u06cc\u200c\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u06cc\u200c\u0634\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u062f\u0647 \u0628\u0648\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u06cc\u200c\u0634\u062f\u0647 \u0628\u0648\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u0628\u062e\u0648\u0631\u062f", ["\u0628\u062e\u0648\u0631\u062f"]),
+    ("\u0645\u064a \u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u0645\u064a \u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u062e\u0648\u0627\u0647\u062f \u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u062f\u0627\u0631\u062f \u0645\u064a \u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u062f\u0627\u0634\u062a \u0645\u064a \u062e\u0648\u0631\u062f", ["\u062e\u0648\u0631\u062f"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0627\u0633\u062a", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u0645\u064a \u062e\u0648\u0631\u062f\u0647 \u0627\u0633\u062a", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0628\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u0645\u064a \u062e\u0648\u0631\u062f\u0647 \u0628\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u0645\u064a \u062e\u0648\u0631\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0628\u0648\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u0645\u064a \u062e\u0648\u0631\u062f\u0647 \u0628\u0648\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u064a \u0634\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u064a \u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u062f\u0647 \u0627\u0633\u062a", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u064a \u0634\u062f\u0647 \u0627\u0633\u062a", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u062f\u0647 \u0628\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u064a \u0634\u062f\u0647 \u0628\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u062e\u0648\u0627\u0647\u062f \u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062f\u0627\u0631\u062f \u062e\u0648\u0631\u062f\u0647 \u0645\u064a \u0634\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062f\u0627\u0634\u062a \u062e\u0648\u0631\u062f\u0647 \u0645\u064a \u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u0648\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u064a \u0634\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0634\u062f\u0647 \u0628\u0648\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u064a \u0634\u062f\u0647 \u0628\u0648\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u0628\u062e\u0648\u0631\u062f", ["\u0628\u062e\u0648\u0631\u062f"]),
+    ("\u0628\u0631\u06af \u0647\u0627", ["\u0628\u0631\u06af"]),
+    ("\u0628\u0631\u06af\u200c\u0647\u0627", ["\u0628\u0631\u06af"]),
+    ("English test.", ["english", "test"]),
+    ("\u062e\u0648\u0631\u062f\u0647 \u0645\u064a \u0634\u062f\u0647 \u0628\u0648\u062f\u0647 \u0628\u0627\u0634\u062f", ["\u062e\u0648\u0631\u062f\u0647"]),
+    ("\u0628\u0631\u06af\u200c\u0647\u0627", ["\u0628\u0631\u06af"]),
+])
+def test_persian_analyzer_goldens(text, expected):
+    from lucene_kmp_spark.analysis.fa import persian_analyzer
+
+    assert persian_analyzer()(text)[0] == expected
+
+
+# ---- Bengali (TestBengali{Normalizer,Stemmer,Analyzer}.kt goldens) ----
+@pytest.mark.parametrize("word,norm", [
+    ("\u099a\u09be\u0981\u09a6", "\u099a\u09be\u09a6"),
+    ("\u09ac\u09be\u09dc\u09c0", "\u09ac\u09be\u09b0\u09bf"),
+    ("\u09a4\u09c0\u09b0", "\u09a4\u09bf\u09b0"),
+    ("\u09ad\u09c2\u09b2", "\u09ad\u09c1\u09b2"),
+    ("\u0985\u09a8\u09c2\u09aa", "\u0985\u09a8\u09c1\u09aa"),
+    ("\u09ac\u09be\u0999\u09b2\u09be", "\u09ac\u09be\u0982\u09b2\u09be"),
+    ("\u09ac\u09cd\u09af\u09be\u0995\u09cd\u09a4\u09bf", "\u09ac\u09c7\u0995\u09cd\u09a4\u09bf"),
+    ("\u09b8\u09a8\u09cd\u09a7\u09cd\u09af\u09be", "\u09b8\u09a8\u09cd\u09a7\u09be"),
+    ("\u09b8\u09cd\u09ac\u09a6\u09c7\u09b6", "\u09b8\u09a6\u09c7\u09b8"),
+    ("\u09a4\u09a4\u09cd\u09a4\u09cd\u09ac", "\u09a4\u09a4\u09cd\u09a4"),
+    ("\u09ac\u09bf\u09b6\u09cd\u09ac", "\u09ac\u09bf\u09b8\u09b8"),
+    ("\u09a6\u09c1\u0983\u0996", "\u09a6\u09c1\u0996\u0996"),
+    ("\u0989\u0983", "\u0989\u09b9"),
+    ("\u09aa\u09c1\u09a8\u0983", "\u09aa\u09c1\u09a8"),
+    ("\u0995\u09a3\u09be", "\u0995\u09a8\u09be"),
+    ("\u09b6\u09b0\u09c0\u09b0", "\u09b8\u09b0\u09bf\u09b0"),
+    ("\u09ac\u09be\u09dc\u09bf", "\u09ac\u09be\u09b0\u09bf"),
+])
+def test_bengali_normalizer_goldens(word, norm):
+    from lucene_kmp_spark.analysis.bn import bengali_normalize
+
+    assert bengali_normalize(word) == norm
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("\u0995\u09b0\u09c7\u099b\u09bf\u09b2\u09be\u09ae", "\u0995\u09b0"),
+    ("\u0995\u09b0\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09c7", "\u0995\u09b0"),
+    ("\u0996\u09be\u0987\u09a4\u09be\u09ae", "\u0996\u09be\u0987"),
+    ("\u09af\u09be\u0987\u09ac\u09c7", "\u09af\u09be"),
+    ("\u0995\u09b0\u099b\u09bf\u09b2\u09be\u09ae", "\u0995\u09b0"),
+    ("\u0995\u09b0\u099b\u09bf\u09b2\u09c7", "\u0995\u09b0"),
+    ("\u0995\u09b0\u09a4\u09be\u09ae", "\u0995\u09b0"),
+    ("\u09af\u09be\u09ac", "\u09af\u09be"),
+    ("\u09af\u09be\u09ac\u09c7", "\u09af\u09be"),
+    ("\u0995\u09b0\u09bf", "\u0995\u09b0"),
+    ("\u0995\u09b0\u09cb", "\u0995\u09b0"),
+    ("\u09ae\u09c7\u09df\u09c7\u09b0\u09be", "\u09ae\u09c7"),
+    ("\u09ae\u09c7\u09df\u09c7\u09a6\u09c7\u09b0\u0995\u09c7", "\u09ae\u09c7"),
+    ("\u09ae\u09c7\u09df\u09c7\u09a6\u09c7\u09b0", "\u09ae\u09c7"),
+    ("\u098f\u0995\u099f\u09bf", "\u098f\u0995"),
+    ("\u09ae\u09be\u09a8\u09c1\u09b7\u0997\u09c1\u09b2\u09bf", "\u09ae\u09be\u09a8\u09c1\u09b7"),
+])
+def test_bengali_stemmer_goldens(word, stem):
+    from lucene_kmp_spark.analysis.bn import bengali_stem
+
+    assert bengali_stem(word) == stem
+
+
+@pytest.mark.parametrize("text,expected", [
+    ("\u09ac\u09be\u09dc\u09c0", ["\u09ac\u09be\u09b0"]),
+    ("\u09ac\u09be\u09b0\u09c0", ["\u09ac\u09be\u09b0"]),
+    ("\u09e7\u09e8\u09e9\u09ea\u09eb\u09ec\u09ed\u09ee\u09ef\u09e6", ["1234567890"]),
+])
+def test_bengali_analyzer_goldens(text, expected):
+    from lucene_kmp_spark.analysis.bn import bengali_analyzer
+
+    assert bengali_analyzer()(text)[0] == expected
+
+
+def test_persian_custom_stopwords():
+    from lucene_kmp_spark.analysis.fa import persian_analyzer
+
+    a = persian_analyzer(stop_words=("the", "and", "a"))
+    assert a("The quick brown fox.")[0] == ["quick", "brown", "fox"]
+
+
+def test_registry_routes_fa_bn():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("fa")("\u0645\u06cc\u200c\u062e\u0648\u0631\u062f")[0] == ["\u062e\u0648\u0631\u062f"]
+    assert analyzer_for("bn")("\u09ac\u09be\u09dc\u09c0")[0] == ["\u09ac\u09be\u09b0"]

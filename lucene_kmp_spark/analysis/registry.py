@@ -13,6 +13,7 @@ Registered chains (each a faithful port of the reference's default
 ``createComponents``): en (EnglishAnalyzer), fr (FrenchAnalyzer),
 es (SpanishAnalyzer), de (GermanAnalyzer), ar (ArabicAnalyzer),
 fa (PersianAnalyzer incl. ZWNJ char filter), bn (BengaliAnalyzer),
+te (TeluguAnalyzer, no-lowercase chain), id (IndonesianAnalyzer, Tala stemmer),
 hi (HindiAnalyzer, incl. IndicNormalizer), zh/ja/ko/cjk (CJKAnalyzer — the
 ``analysis/common`` default for CJK text; the reference's smartcn/kuromoji/
 nori dictionary models are out of scope, as SURVEY §2.1 records).
@@ -29,15 +30,19 @@ from lucene_kmp_spark.analysis.en import english_analyzer
 from lucene_kmp_spark.analysis.es import spanish_analyzer
 from lucene_kmp_spark.analysis.filters import standard_analyzer
 from lucene_kmp_spark.analysis.fa import persian_analyzer
+from lucene_kmp_spark.analysis.id import indonesian_analyzer
 from lucene_kmp_spark.analysis.fr import french_analyzer
 from lucene_kmp_spark.analysis.it import italian_analyzer
 from lucene_kmp_spark.analysis.pt import portuguese_analyzer
+from lucene_kmp_spark.analysis.te import telugu_analyzer
 
 ANALYZER_FACTORIES = {
     "standard": standard_analyzer,
     "ar": arabic_analyzer,
     "bn": bengali_analyzer,
     "fa": persian_analyzer,
+    "id": indonesian_analyzer,
+    "te": telugu_analyzer,
     "en": english_analyzer,
     "hi": hindi_analyzer,
     "fr": french_analyzer,

@@ -526,3 +526,130 @@ def test_registry_routes_fa_bn():
 
     assert analyzer_for("fa")("\u0645\u06cc\u200c\u062e\u0648\u0631\u062f")[0] == ["\u062e\u0648\u0631\u062f"]
     assert analyzer_for("bn")("\u09ac\u09be\u09dc\u09c0")[0] == ["\u09ac\u09be\u09b0"]
+
+
+# ---- Telugu (TestTelugu{Normalizer,Stemmer,Analyzer}.kt goldens) ----
+@pytest.mark.parametrize("word,norm", [
+    ("\u0c2a\u0c26\u0c3e\u0c32\u0c42", "\u0c2a\u0c26\u0c3e\u0c32\u0c41"),
+    ("\u0c05\u0c2c\u0c4d\u0c2c\u0c3e\u0c2f\u0c40", "\u0c05\u0c2c\u0c4d\u0c2c\u0c3e\u0c2f\u0c3f"),
+    ("\u0c03\u0c4c\u0c48\u0c3e\u0c3f\u0c41", "\u0c4c\u0c48\u0c3e\u0c3f\u0c41"),
+    ("\u0c14\u0c10\u0c06\u0c08\u0c0a", "\u0c13\u0c0f\u0c05\u0c07\u0c09"),
+])
+def test_telugu_normalizer_goldens(word, norm):
+    from lucene_kmp_spark.analysis.te import telugu_normalize
+
+    assert telugu_normalize(word) == norm
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41\u0c32\u0c41", "\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41"),
+    ("\u0c2a\u0c28\u0c4d\u0c28\u0c41\u0c32\u0c41", "\u0c2a\u0c28\u0c4d\u0c28\u0c41"),
+    ("\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28\u0c26\u0c3f", "\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28"),
+    ("\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28\u0c21\u0c41", "\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28"),
+])
+def test_telugu_stemmer_goldens(word, stem):
+    from lucene_kmp_spark.analysis.te import telugu_stem
+
+    assert telugu_stem(word) == stem
+
+
+def test_telugu_analyzer_goldens():
+    from lucene_kmp_spark.analysis.te import telugu_analyzer
+
+    a = telugu_analyzer()
+    assert a("\u0c12\u0c55\u0c28\u0c2e\u0c3e\u0c32")[0] == ["\u0c13\u0c28\u0c2e\u0c3e\u0c32"]
+    assert a("\u0c67\u0c68\u0c69\u0c6a")[0] == ["1234"]
+    # exclusion: telugu filters skipped, indic composition still applies
+    ax = telugu_analyzer(stem_exclusions=("\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41\u0c32\u0c41",))
+    assert ax("\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41\u0c32\u0c41")[0] == ["\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c2e\u0c32\u0c41"]
+
+
+# ---- Indonesian (TestIndonesianStemmer.kt goldens, incl. inflectional-only mode) ----
+@pytest.mark.parametrize("word,stem,deriv", [
+    ("bukukah", "buku", True),
+    ("adalah", "ada", True),
+    ("bukupun", "buku", True),
+    ("bukuku", "buku", True),
+    ("bukumu", "buku", True),
+    ("bukunya", "buku", True),
+    ("mengukur", "ukur", True),
+    ("menyapu", "sapu", True),
+    ("menduga", "duga", True),
+    ("menuduh", "uduh", True),
+    ("membaca", "baca", True),
+    ("merusak", "rusak", True),
+    ("pengukur", "ukur", True),
+    ("penyapu", "sapu", True),
+    ("penduga", "duga", True),
+    ("pembaca", "baca", True),
+    ("diukur", "ukur", True),
+    ("tersapu", "sapu", True),
+    ("kekasih", "kasih", True),
+    ("berlari", "lari", True),
+    ("belajar", "ajar", True),
+    ("bekerja", "kerja", True),
+    ("perjelas", "jelas", True),
+    ("pelajar", "ajar", True),
+    ("pekerja", "kerja", True),
+    ("tarikkan", "tarik", True),
+    ("ambilkan", "ambil", True),
+    ("mengambilkan", "ambil", True),
+    ("makanan", "makan", True),
+    ("janjian", "janji", True),
+    ("perjanjian", "janji", True),
+    ("tandai", "tanda", True),
+    ("dapati", "dapat", True),
+    ("mendapati", "dapat", True),
+    ("pantai", "panta", True),
+    ("penyalahgunaan", "salahguna", True),
+    ("menyalahgunakan", "salahguna", True),
+    ("disalahgunakan", "salahguna", True),
+    ("pertanggungjawaban", "tanggungjawab", True),
+    ("mempertanggungjawabkan", "tanggungjawab", True),
+    ("dipertanggungjawabkan", "tanggungjawab", True),
+    ("pelaksanaan", "laksana", True),
+    ("pelaksana", "laksana", True),
+    ("melaksanakan", "laksana", True),
+    ("dilaksanakan", "laksana", True),
+    ("melibatkan", "libat", True),
+    ("terlibat", "libat", True),
+    ("penculikan", "culik", True),
+    ("menculik", "culik", True),
+    ("diculik", "culik", True),
+    ("penculik", "culik", True),
+    ("perubahan", "ubah", True),
+    ("peledakan", "ledak", True),
+    ("penanganan", "tangan", True),
+    ("kepolisian", "polisi", True),
+    ("kenaikan", "naik", True),
+    ("bersenjata", "senjata", True),
+    ("penyelewengan", "seleweng", True),
+    ("kecelakaan", "celaka", True),
+    ("bukunya", "buku", False),
+    ("bukukah", "buku", False),
+    ("bukunyakah", "buku", False),
+    ("dibukukannya", "dibukukan", False),
+    ("bersenjata", "senjata", True),
+    ("bukukah", "buku", True),
+    ("gigi", "gigi", True),
+    ("", "", True),
+])
+def test_indonesian_stemmer_goldens(word, stem, deriv):
+    from lucene_kmp_spark.analysis.id import indonesian_stem
+
+    assert indonesian_stem(word, stem_derivational=deriv) == stem
+
+
+def test_indonesian_analyzer_chain():
+    from lucene_kmp_spark.analysis.id import indonesian_analyzer
+
+    a = indonesian_analyzer()
+    # stopwords drop, stemming applies (Tala): "peledakan" -> "ledak"
+    assert a("peledakan yang besar")[0] == ["ledak", "besar"]
+
+
+def test_registry_routes_te_id():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("te")("\u0c67\u0c68\u0c69\u0c6a")[0] == ["1234"]
+    assert analyzer_for("id")("peledakan")[0] == ["ledak"]

@@ -14,6 +14,7 @@ Registered chains (each a faithful port of the reference's default
 es (SpanishAnalyzer), de (GermanAnalyzer), ar (ArabicAnalyzer),
 fa (PersianAnalyzer incl. ZWNJ char filter), bn (BengaliAnalyzer),
 te (TeluguAnalyzer, no-lowercase chain), id (IndonesianAnalyzer, Tala stemmer),
+ru (RussianAnalyzer, published Snowball russian algorithm),
 hi (HindiAnalyzer, incl. IndicNormalizer), zh/ja/ko/cjk (CJKAnalyzer — the
 ``analysis/common`` default for CJK text; the reference's smartcn/kuromoji/
 nori dictionary models are out of scope, as SURVEY §2.1 records).
@@ -34,6 +35,7 @@ from lucene_kmp_spark.analysis.id import indonesian_analyzer
 from lucene_kmp_spark.analysis.fr import french_analyzer
 from lucene_kmp_spark.analysis.it import italian_analyzer
 from lucene_kmp_spark.analysis.pt import portuguese_analyzer
+from lucene_kmp_spark.analysis.ru import russian_analyzer
 from lucene_kmp_spark.analysis.te import telugu_analyzer
 
 ANALYZER_FACTORIES = {
@@ -49,6 +51,7 @@ ANALYZER_FACTORIES = {
     "es": spanish_analyzer,
     "de": german_analyzer,
     "pt": portuguese_analyzer,
+    "ru": russian_analyzer,
     "it": italian_analyzer,
     "zh": cjk_analyzer,
     "ja": cjk_analyzer,

@@ -653,3 +653,56 @@ def test_registry_routes_te_id():
 
     assert analyzer_for("te")("\u0c67\u0c68\u0c69\u0c6a")[0] == ["1234"]
     assert analyzer_for("id")("peledakan")[0] == ["ledak"]
+
+
+# ---- Russian (TestRussianAnalyzer.kt goldens; published Snowball algorithm) ----
+def test_russian_analyzer_goldens():
+    from lucene_kmp_spark.analysis.ru import russian_analyzer
+
+    a = russian_analyzer()
+    assert a("text 1000")[0] == ["text", "1000"]
+    assert a(
+        "\u0412\u043c\u0435\u0441\u0442\u0435 \u0441 \u0442\u0435\u043c \u043e "
+        "\u0441\u0438\u043b\u0435 \u044d\u043b\u0435\u043a\u0442\u0440\u043e"
+        "\u043c\u0430\u0433\u043d\u0438\u0442\u043d\u043e\u0439 "
+        "\u044d\u043d\u0435\u0440\u0433\u0438\u0438 \u0438\u043c\u0435\u043b\u0438 "
+        "\u043f\u0440\u0435\u0434\u0441\u0442\u0430\u0432\u043b\u0435\u043d\u0438\u0435 "
+        "\u0435\u0449\u0435"
+    )[0] == [
+        "\u0432\u043c\u0435\u0441\u0442", "\u0441\u0438\u043b",
+        "\u044d\u043b\u0435\u043a\u0442\u0440\u043e\u043c\u0430\u0433\u043d\u0438\u0442\u043d",
+        "\u044d\u043d\u0435\u0440\u0433", "\u0438\u043c\u0435\u043b",
+        "\u043f\u0440\u0435\u0434\u0441\u0442\u0430\u0432\u043b\u0435\u043d",
+    ]
+    assert a("\u041d\u043e \u0437\u043d\u0430\u043d\u0438\u0435 \u044d\u0442\u043e "
+             "\u0445\u0440\u0430\u043d\u0438\u043b\u043e\u0441\u044c \u0432 "
+             "\u0442\u0430\u0439\u043d\u0435")[0] == [
+        "\u0437\u043d\u0430\u043d", "\u044d\u0442", "\u0445\u0440\u0430\u043d",
+        "\u0442\u0430\u0439\u043d",
+    ]
+
+
+def test_russian_stem_exclusion():
+    from lucene_kmp_spark.analysis.ru import russian_analyzer
+
+    word = "\u043f\u0440\u0435\u0434\u0441\u0442\u0430\u0432\u043b\u0435\u043d\u0438\u0435"
+    a = russian_analyzer(stem_exclusions=(word,))
+    assert a(word)[0] == [word]
+
+
+def test_russian_snowball_paths():
+    from lucene_kmp_spark.analysis.ru import russian_snowball_stem as st
+
+    # reflexive + verb: хранилось -> хран; perfective gerund: прочитав -> прочита
+    assert st("\u0445\u0440\u0430\u043d\u0438\u043b\u043e\u0441\u044c") == "\u0445\u0440\u0430\u043d"
+    assert st("\u043f\u0440\u043e\u0447\u0438\u0442\u0430\u0432") == "\u043f\u0440\u043e\u0447\u0438\u0442\u0430"
+    # derivational in R2: видимость -> видим
+    assert st("\u0432\u0438\u0434\u0438\u043c\u043e\u0441\u0442\u044c") == "\u0432\u0438\u0434\u0438\u043c"
+    # noun plural: книгами -> книг
+    assert st("\u043a\u043d\u0438\u0433\u0430\u043c\u0438") == "\u043a\u043d\u0438\u0433"
+
+
+def test_registry_routes_ru():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("ru")("\u043a\u043d\u0438\u0433\u0430\u043c\u0438")[0] == ["\u043a\u043d\u0438\u0433"]

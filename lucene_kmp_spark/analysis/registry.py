@@ -15,6 +15,7 @@ es (SpanishAnalyzer), de (GermanAnalyzer), ar (ArabicAnalyzer),
 fa (PersianAnalyzer incl. ZWNJ char filter), bn (BengaliAnalyzer),
 te (TeluguAnalyzer, no-lowercase chain), id (IndonesianAnalyzer, Tala stemmer),
 ru (RussianAnalyzer, published Snowball russian algorithm),
+ur (UrduAnalyzer incl. presentation-form folding), sw (SwahiliAnalyzer),
 hi (HindiAnalyzer, incl. IndicNormalizer), zh/ja/ko/cjk (CJKAnalyzer — the
 ``analysis/common`` default for CJK text; the reference's smartcn/kuromoji/
 nori dictionary models are out of scope, as SURVEY §2.1 records).
@@ -36,6 +37,8 @@ from lucene_kmp_spark.analysis.fr import french_analyzer
 from lucene_kmp_spark.analysis.it import italian_analyzer
 from lucene_kmp_spark.analysis.pt import portuguese_analyzer
 from lucene_kmp_spark.analysis.ru import russian_analyzer
+from lucene_kmp_spark.analysis.sw import swahili_analyzer
+from lucene_kmp_spark.analysis.ur import urdu_analyzer
 from lucene_kmp_spark.analysis.te import telugu_analyzer
 
 ANALYZER_FACTORIES = {
@@ -52,6 +55,8 @@ ANALYZER_FACTORIES = {
     "de": german_analyzer,
     "pt": portuguese_analyzer,
     "ru": russian_analyzer,
+    "sw": swahili_analyzer,
+    "ur": urdu_analyzer,
     "it": italian_analyzer,
     "zh": cjk_analyzer,
     "ja": cjk_analyzer,

@@ -706,3 +706,41 @@ def test_registry_routes_ru():
     from lucene_kmp_spark.analysis.registry import analyzer_for
 
     assert analyzer_for("ru")("\u043a\u043d\u0438\u0433\u0430\u043c\u0438")[0] == ["\u043a\u043d\u0438\u0433"]
+
+
+# ---- Urdu (analysis:extra TestUrdu{Normalizer,Stemmer,Analyzer}.kt goldens) ----
+def test_urdu_goldens():
+    from lucene_kmp_spark.analysis.ur import urdu_analyzer, urdu_normalize, urdu_stem
+
+    # diacritic strip, presentation-form + ligature folds
+    assert urdu_normalize("\u0634\u06cc\u0631\u0650") == "\u0634\u06cc\u0631"
+    assert urdu_normalize("\u0643") == "\u06a9"
+    assert urdu_normalize("\ufefb") == "\u0644\u0627"
+    assert urdu_normalize("\ufefc") == "\u0644\u0627"
+    # stem: کتابوں -> کتاب, لڑکیاں -> لڑک; short/proper words untouched
+    assert urdu_stem("\u06a9\u062a\u0627\u0628\u0648\u06ba") == "\u06a9\u062a\u0627\u0628"
+    assert urdu_stem("\u0644\u0691\u06a9\u06cc\u0627\u06ba") == "\u0644\u0691\u06a9"
+    assert urdu_stem("\u067e\u0627\u06a9\u0633\u062a\u0627\u0646") == "\u067e\u0627\u06a9\u0633\u062a\u0627\u0646"
+    a = urdu_analyzer()
+    assert a("\u06f1\u06f2\u06f3\u06f4")[0] == ["1234"]
+    assert a("\u067e\u0627\u06a9\u0633\u062a\u0627\u0646")[0] == ["\u067e\u0627\u06a9\u0633\u062a\u0627\u0646"]
+
+
+# ---- Swahili (analysis:extra TestSwahili*.kt goldens) ----
+def test_swahili_goldens():
+    from lucene_kmp_spark.analysis.sw import swahili_analyzer
+
+    a = swahili_analyzer()
+    assert a("Ninasoma")[0] == ["som"]
+    assert a("Vitabu")[0] == ["tabu"]
+    assert a("1234")[0] == ["1234"]
+    assert a("mimi na mtoto ninasoma kitabu")[0] == ["toto", "som", "tabu"]
+    ax = swahili_analyzer(stem_exclusions=("ninasoma",))
+    assert ax("Ninasoma")[0] == ["ninasoma"]
+
+
+def test_registry_routes_ur_sw():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("ur")("\u06f1\u06f2\u06f3\u06f4")[0] == ["1234"]
+    assert analyzer_for("sw")("Vitabu")[0] == ["tabu"]

@@ -37,6 +37,14 @@ from lucene_kmp_spark.analysis.fr import french_analyzer
 from lucene_kmp_spark.analysis.it import italian_analyzer
 from lucene_kmp_spark.analysis.pt import portuguese_analyzer
 from lucene_kmp_spark.analysis.ru import russian_analyzer
+from lucene_kmp_spark.analysis.bg import bulgarian_analyzer
+from lucene_kmp_spark.analysis.cz import czech_analyzer
+from lucene_kmp_spark.analysis.hu import hungarian_analyzer
+from lucene_kmp_spark.analysis.scand import (
+    danish_analyzer,
+    norwegian_analyzer,
+    swedish_analyzer,
+)
 from lucene_kmp_spark.analysis.sw import swahili_analyzer
 from lucene_kmp_spark.analysis.ur import urdu_analyzer
 from lucene_kmp_spark.analysis.te import telugu_analyzer
@@ -58,6 +66,12 @@ ANALYZER_FACTORIES = {
     "sw": swahili_analyzer,
     "ur": urdu_analyzer,
     "it": italian_analyzer,
+    "bg": bulgarian_analyzer,
+    "cs": czech_analyzer,
+    "hu": hungarian_analyzer,
+    "da": danish_analyzer,
+    "no": norwegian_analyzer,
+    "sv": swedish_analyzer,
     "zh": cjk_analyzer,
     "ja": cjk_analyzer,
     "ko": cjk_analyzer,

@@ -744,3 +744,412 @@ def test_registry_routes_ur_sw():
 
     assert analyzer_for("ur")("\u06f1\u06f2\u06f3\u06f4")[0] == ["1234"]
     assert analyzer_for("sw")("Vitabu")[0] == ["tabu"]
+
+
+# ---------------------------------------------------------------- da/no/sv
+
+def test_danish_analyzer_goldens():
+    """TestDanishAnalyzer.kt testBasics + testExclude."""
+    from lucene_kmp_spark.analysis.scand import danish_analyzer
+
+    a = danish_analyzer()
+    assert a("undersøg")[0] == ["undersøg"]
+    assert a("undersøgelse")[0] == ["undersøg"]
+    assert a("på")[0] == []  # stopword
+    ex = danish_analyzer(stem_exclusions=("undersøgelse",))
+    assert ex("undersøgelse")[0] == ["undersøgelse"]
+    assert ex("undersøg")[0] == ["undersøg"]
+
+
+def test_norwegian_analyzer_goldens():
+    """TestNorwegianAnalyzer.kt testBasics + testExclude."""
+    from lucene_kmp_spark.analysis.scand import norwegian_analyzer
+
+    a = norwegian_analyzer()
+    assert a("havnedistriktene")[0] == ["havnedistrikt"]
+    assert a("havnedistrikter")[0] == ["havnedistrikt"]
+    assert a("det")[0] == []
+    ex = norwegian_analyzer(stem_exclusions=("havnedistriktene",))
+    assert ex("havnedistriktene")[0] == ["havnedistriktene"]
+    assert ex("havnedistrikter")[0] == ["havnedistrikt"]
+
+
+def test_swedish_analyzer_goldens():
+    """TestSwedishAnalyzer.kt testBasics + testExclude."""
+    from lucene_kmp_spark.analysis.scand import swedish_analyzer
+
+    a = swedish_analyzer()
+    assert a("jaktkarlarne")[0] == ["jaktkarl"]
+    assert a("jaktkarlens")[0] == ["jaktkarl"]
+    assert a("och")[0] == []
+    ex = swedish_analyzer(stem_exclusions=("jaktkarlarne",))
+    assert ex("jaktkarlarne")[0] == ["jaktkarlarne"]
+    assert ex("jaktkarlens")[0] == ["jaktkarl"]
+
+
+@pytest.mark.parametrize("word,stem", [
+    # hand-derived from the published Snowball danish algorithm
+    ("friskhed", "frisk"),         # main: -hed in R1
+    ("bilen", "bil"),              # main: -en
+    ("huset", "hus"),              # main: -et
+    ("bøgerne", "bøg"),            # main: -erne
+    ("kattens", "kat"),            # main: -ens, then undouble tt->t
+    ("venligst", "ven"),           # other: igst chop + -lig, not via main
+    ("hundene", "hund"),           # main: -ene
+    ("springende", "spring"),      # main: -ende
+    ("ab", "ab"),                  # shorter than 3: no R1, untouched
+    ("sejest", "sejest"),          # -est not a danish suffix
+])
+def test_danish_snowball_cases(word, stem):
+    from lucene_kmp_spark.analysis.scand import danish_snowball_stem
+
+    assert danish_snowball_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("huset", "hus"),              # main: -et
+    ("bilens", "bil"),             # main: -ens
+    ("fisks", "fisk"),             # -s after k preceded by non-vowel
+    ("raks", "raks"),              # -s after k preceded by vowel: kept
+    ("lønnsomhet", "lønnsom"),     # main: -het
+    ("kjøpte", "kjøpt"),           # main: -e
+    ("billigst", "billigst"),      # no igst rule in norwegian
+    ("hyggelig", "hygg"),          # other: -elig
+])
+def test_norwegian_snowball_cases(word, stem):
+    from lucene_kmp_spark.analysis.scand import norwegian_snowball_stem
+
+    assert norwegian_snowball_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("flickorna", "flick"),        # main: -orna
+    ("trädet", "trädet"),          # swedish among has no bare -et
+    ("hemskt", "hemsk"),           # consonant pair -kt drops last letter
+    ("husets", "huset"),           # -ets not in swedish among: only -s strips
+    ("stolen", "stol"),            # main: -en
+    ("dagens", "dag"),             # main: -ens
+    ("fullt", "fullt"),            # 'fullt' starts before R1: untouched
+    ("sorgfullt", "sorgfull"),     # other: fullt -> full inside R1
+    ("kolöst", "kolös"),           # öst -> ös after valid ost-ending
+    ("bäst", "bäst"),              # -ast not matchable (b < R1)
+])
+def test_swedish_snowball_cases(word, stem):
+    from lucene_kmp_spark.analysis.scand import swedish_snowball_stem
+
+    assert swedish_snowball_stem(word) == stem
+
+
+def test_registry_routes_da_no_sv():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("da")("undersøgelse")[0] == ["undersøg"]
+    assert analyzer_for("no")("havnedistriktene")[0] == ["havnedistrikt"]
+    assert analyzer_for("sv")("jaktkarlarne")[0] == ["jaktkarl"]
+
+
+# ---------------------------------------------------------------- cz/bg/hu
+
+# TestCzechStemmer.kt — complete assertAnalyzesTo goldens (via CzechAnalyzer)
+CZ_GOLDENS_A = [
+    ("pán", "pán"),
+    ("páni", "pán"),
+    ("pánové", "pán"),
+    ("pána", "pán"),
+    ("pánů", "pán"),
+    ("pánovi", "pán"),
+    ("pánům", "pán"),
+    ("pány", "pán"),
+    ("páne", "pán"),
+    ("pánech", "pán"),
+    ("pánem", "pán"),
+    ("hrad", "hrad"),
+    ("hradu", "hrad"),
+    ("hrade", "hrad"),
+    ("hradem", "hrad"),
+    ("hrady", "hrad"),
+    ("hradech", "hrad"),
+    ("hradům", "hrad"),
+    ("hradů", "hrad"),
+    ("muž", "muh"),
+    ("muži", "muh"),
+    ("muže", "muh"),
+    ("mužů", "muh"),
+    ("mužům", "muh"),
+    ("mužích", "muh"),
+    ("mužem", "muh"),
+    ("stroj", "stroj"),
+    ("stroje", "stroj"),
+    ("strojů", "stroj"),
+    ("stroji", "stroj"),
+    ("strojům", "stroj"),
+    ("strojích", "stroj"),
+    ("strojem", "stroj"),
+    ("předseda", "předsd"),
+    ("předsedové", "předsd"),
+    ("předsedy", "předsd"),
+    ("předsedů", "předsd"),
+    ("předsedovi", "předsd"),
+    ("předsedům", "předsd"),
+    ("předsedu", "předsd"),
+    ("předsedo", "předsd"),
+    ("předsedech", "předsd"),
+    ("předsedou", "předsd"),
+    ("soudce", "soudk"),
+    ("soudci", "soudk"),
+    ("soudců", "soudk"),
+    ("soudcům", "soudk"),
+    ("soudcích", "soudk"),
+    ("soudcem", "soudk"),
+    ("kost", "kost"),
+    ("kosti", "kost"),
+    ("kostí", "kost"),
+    ("kostem", "kost"),
+    ("kostech", "kost"),
+    ("kostmi", "kost"),
+    ("píseň", "písň"),
+    ("písně", "písn"),
+    ("písni", "písn"),
+    ("písněmi", "písn"),
+    ("písních", "písn"),
+    ("písním", "písn"),
+    ("růže", "růh"),
+    ("růží", "růh"),
+    ("růžím", "růh"),
+    ("růžích", "růh"),
+    ("růžemi", "růh"),
+    ("růži", "růh"),
+    ("žena", "žn"),
+    ("ženy", "žn"),
+    ("žen", "žn"),
+    ("ženě", "žn"),
+    ("ženám", "žn"),
+    ("ženu", "žn"),
+    ("ženo", "žn"),
+    ("ženách", "žn"),
+    ("ženou", "žn"),
+    ("ženami", "žn"),
+    ("město", "měst"),
+    ("města", "měst"),
+    ("měst", "měst"),
+    ("městu", "měst"),
+    ("městům", "měst"),
+    ("městě", "měst"),
+    ("městech", "měst"),
+    ("městem", "měst"),
+    ("městy", "měst"),
+    ("moře", "moř"),
+    ("moří", "moř"),
+    ("mořím", "moř"),
+    ("moři", "moř"),
+    ("mořích", "moř"),
+    ("mořem", "moř"),
+    ("kuře", "kuř"),
+    ("kuřata", "kuř"),
+    ("kuřete", "kuř"),
+    ("kuřat", "kuř"),
+    ("kuřeti", "kuř"),
+    ("kuřatům", "kuř"),
+    ("kuřatech", "kuř"),
+    ("kuřetem", "kuř"),
+    ("kuřaty", "kuř"),
+    ("stavení", "stavn"),
+    ("stavením", "stavn"),
+    ("staveních", "stavn"),
+    ("staveními", "stavn"),
+    ("mladý", "mlad"),
+    ("mladí", "mlad"),
+    ("mladého", "mlad"),
+    ("mladých", "mlad"),
+    ("mladému", "mlad"),
+    ("mladým", "mlad"),
+    ("mladé", "mlad"),
+    ("mladém", "mlad"),
+    ("mladými", "mlad"),
+    ("mladá", "mlad"),
+    ("mladou", "mlad"),
+    ("jarní", "jarn"),
+    ("jarního", "jarn"),
+    ("jarních", "jarn"),
+    ("jarnímu", "jarn"),
+    ("jarním", "jarn"),
+    ("jarními", "jarn"),
+    ("Karlův", "karl"),
+    ("jazykový", "jazyk"),
+    ("český", "česk"),
+    ("čeští", "česk"),
+    ("anglický", "anglick"),
+    ("angličtí", "anglick"),
+    ("kniha", "knih"),
+    ("knize", "knih"),
+    ("mazat", "mah"),
+    ("mažu", "mah"),
+    ("kluk", "kluk"),
+    ("kluci", "kluk"),
+    ("klucích", "kluk"),
+    ("hezký", "hezk"),
+    ("hezčí", "hezk"),
+    ("hůl", "hol"),
+    ("hole", "hol"),
+    ("deska", "desk"),
+    ("desek", "desk"),
+    ("e", "e"),
+    ("zi", "zi"),
+]
+
+# TestBulgarianStemmer.kt — complete goldens (via BulgarianAnalyzer)
+BG_GOLDENS_A = [
+    ("град", "град"),
+    ("града", "град"),
+    ("градът", "град"),
+    ("градове", "град"),
+    ("градовете", "град"),
+    ("народ", "народ"),
+    ("народа", "народ"),
+    ("народът", "народ"),
+    ("народи", "народ"),
+    ("народите", "народ"),
+    ("народе", "народ"),
+    ("път", "път"),
+    ("пътя", "път"),
+    ("пътят", "път"),
+    ("пътища", "път"),
+    ("пътищата", "път"),
+    ("градец", "градец"),
+    ("градеца", "градец"),
+    ("градецът", "градец"),
+    ("градовце", "градовц"),
+    ("градовцете", "градовц"),
+    ("дядо", "дяд"),
+    ("дядото", "дяд"),
+    ("дядовци", "дяд"),
+    ("дядовците", "дяд"),
+    ("мъж", "мъж"),
+    ("мъжа", "мъж"),
+    ("мъже", "мъж"),
+    ("мъжете", "мъж"),
+    ("мъжо", "мъж"),
+    ("мъжът", "мъжът"),
+    ("крак", "крак"),
+    ("крака", "крак"),
+    ("кракът", "крак"),
+    ("краката", "крак"),
+    ("брат", "брат"),
+    ("брата", "брат"),
+    ("братът", "брат"),
+    ("братя", "брат"),
+    ("братята", "брат"),
+    ("брате", "брат"),
+    ("вест", "вест"),
+    ("вестта", "вест"),
+    ("вести", "вест"),
+    ("вестите", "вест"),
+    ("дърво", "дърв"),
+    ("дървото", "дърв"),
+    ("дърва", "дърв"),
+    ("дървета", "дърв"),
+    ("дървата", "дърв"),
+    ("дърветата", "дърв"),
+    ("море", "мор"),
+    ("морето", "мор"),
+    ("морета", "мор"),
+    ("моретата", "мор"),
+    ("изключение", "изключени"),
+    ("изключението", "изключени"),
+    ("изключенията", "изключени"),
+    ("изключения", "изключн"),
+    ("красив", "красив"),
+    ("красивия", "красив"),
+    ("красивият", "красив"),
+    ("красива", "красив"),
+    ("красивата", "красив"),
+    ("красиво", "красив"),
+    ("красивото", "красив"),
+    ("красиви", "красив"),
+    ("красивите", "красив"),
+    ("собственик", "собственик"),
+    ("собственика", "собственик"),
+    ("собственикът", "собственик"),
+    ("собственици", "собственик"),
+    ("собствениците", "собственик"),
+    ("подлог", "подлог"),
+    ("подлога", "подлог"),
+    ("подлогът", "подлог"),
+    ("подлози", "подлог"),
+    ("подлозите", "подлог"),
+    ("кожух", "кожух"),
+    ("кожуха", "кожух"),
+    ("кожухът", "кожух"),
+    ("кожуси", "кожух"),
+    ("кожусите", "кожух"),
+    ("център", "центр"),
+    ("центъра", "центр"),
+    ("центърът", "центр"),
+    ("центрове", "центр"),
+    ("центровете", "центр"),
+    ("промяна", "промян"),
+    ("промяната", "промян"),
+    ("промени", "промян"),
+    ("промените", "промян"),
+    ("песен", "песн"),
+    ("песента", "песн"),
+    ("песни", "песн"),
+    ("песните", "песн"),
+    ("строй", "строй"),
+    ("строеве", "строй"),
+    ("строевете", "строй"),
+    ("строя", "стр"),
+    ("строят", "стр"),
+]
+
+
+@pytest.mark.parametrize("word,stem", CZ_GOLDENS_A)
+def test_czech_stemmer_goldens(word, stem):
+    from lucene_kmp_spark.analysis.cz import czech_analyzer
+
+    assert czech_analyzer()(word)[0] == [stem]
+
+
+def test_czech_keyword_and_stop():
+    """TestCzechStemmer.kt testWithKeywordAttribute + stopword handling."""
+    from lucene_kmp_spark.analysis.cz import czech_analyzer
+
+    ex = czech_analyzer(stem_exclusions=("hole",))
+    assert ex("hole desek")[0] == ["hole", "desk"]
+    assert czech_analyzer()("a")[0] == []  # stopword
+
+
+@pytest.mark.parametrize("word,stem", BG_GOLDENS_A)
+def test_bulgarian_stemmer_goldens(word, stem):
+    from lucene_kmp_spark.analysis.bg import bulgarian_analyzer
+
+    assert bulgarian_analyzer()(word)[0] == [stem]
+
+
+def test_bulgarian_short_and_exclusion():
+    from lucene_kmp_spark.analysis.bg import bulgarian_analyzer, bulgarian_stem
+
+    assert bulgarian_stem("\u0434\u043e\u043c") == "\u0434\u043e\u043c"  # len<4 untouched
+    ex = bulgarian_analyzer(stem_exclusions=("\u0441\u0442\u0440\u0430\u043d\u0430",))
+    assert ex("\u0441\u0442\u0440\u0430\u043d\u0430")[0] == ["\u0441\u0442\u0440\u0430\u043d\u0430"]
+
+
+def test_hungarian_analyzer_goldens():
+    """TestHungarianAnalyzer.kt testBasics + testExclude."""
+    from lucene_kmp_spark.analysis.hu import hungarian_analyzer
+
+    a = hungarian_analyzer()
+    assert a("babakocsi")[0] == ["babakocs"]
+    assert a("babakocsij\u00e1\u00e9rt")[0] == ["babakocs"]
+    assert a("\u00e1ltal")[0] == []  # stopword
+    ex = hungarian_analyzer(stem_exclusions=("babakocsi",))
+    assert ex("babakocsi")[0] == ["babakocsi"]
+    assert ex("babakocsij\u00e1\u00e9rt")[0] == ["babakocs"]
+
+
+def test_registry_routes_cs_bg_hu():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("cs")("p\u00e1nov\u00e9")[0] == ["p\u00e1n"]
+    assert analyzer_for("hu")("babakocsi")[0] == ["babakocs"]
+    assert analyzer_for("bg")("\u0433\u0440\u0430\u0434\u044a\u0442")[0] == ["\u0433\u0440\u0430\u0434"]

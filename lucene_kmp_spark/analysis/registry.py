@@ -38,6 +38,9 @@ from lucene_kmp_spark.analysis.it import italian_analyzer
 from lucene_kmp_spark.analysis.pt import portuguese_analyzer
 from lucene_kmp_spark.analysis.ru import russian_analyzer
 from lucene_kmp_spark.analysis.bg import bulgarian_analyzer
+from lucene_kmp_spark.analysis.ne import nepali_analyzer
+from lucene_kmp_spark.analysis.nl import dutch_analyzer
+from lucene_kmp_spark.analysis.ro import romanian_analyzer
 from lucene_kmp_spark.analysis.cz import czech_analyzer
 from lucene_kmp_spark.analysis.hu import hungarian_analyzer
 from lucene_kmp_spark.analysis.scand import (
@@ -67,6 +70,9 @@ ANALYZER_FACTORIES = {
     "ur": urdu_analyzer,
     "it": italian_analyzer,
     "bg": bulgarian_analyzer,
+    "ne": nepali_analyzer,
+    "nl": dutch_analyzer,
+    "ro": romanian_analyzer,
     "cs": czech_analyzer,
     "hu": hungarian_analyzer,
     "da": danish_analyzer,

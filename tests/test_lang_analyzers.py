@@ -1153,3 +1153,106 @@ def test_registry_routes_cs_bg_hu():
     assert analyzer_for("cs")("p\u00e1nov\u00e9")[0] == ["p\u00e1n"]
     assert analyzer_for("hu")("babakocsi")[0] == ["babakocs"]
     assert analyzer_for("bg")("\u0433\u0440\u0430\u0434\u044a\u0442")[0] == ["\u0433\u0440\u0430\u0434"]
+
+
+# ---------------------------------------------------------------- ne/ro/nl
+
+def test_nepali_analyzer_goldens():
+    """TestNepaliAnalyzer.kt — stemming, stopwords, case/digit fold, excl."""
+    from lucene_kmp_spark.analysis.ne import nepali_analyzer
+
+    a = nepali_analyzer()
+    assert a("मित्र")[0] == ["मित्र"]
+    assert a("मित्रहरु")[0] == ["मित्र"]
+    assert a("FIFA")[0] == ["fifa"]
+    assert a("१२३४")[0] == ["1234"]
+    assert a("सबै व्यक्तिहरू जन्मजात स्वतन्त्र हुन् ती सबैको समान अधिकार र महत्व")[0] == [
+        "व्यक्ति", "जन्मजात", "स्वतन्त्र", "सबै", "समान", "अधिकार", "महत्व"]
+    ex = nepali_analyzer(stem_exclusions=("मित्रहरु",))
+    assert ex("मित्रहरु")[0] == ["मित्रहरु"]
+
+
+def test_romanian_analyzer_goldens():
+    """TestRomanianAnalyzer.kt — stemming, cedilla normalization, stop, excl."""
+    from lucene_kmp_spark.analysis.ro import romanian_analyzer
+
+    a = romanian_analyzer()
+    assert a("absența")[0] == ["absenț"]
+    assert a("absenți")[0] == ["absenț"]
+    assert a("absenţ")[0] == ["absenț"]  # cedilla input folds to comma form
+    assert a("îl")[0] == []
+    ex = romanian_analyzer(stem_exclusions=("absența",))
+    assert ex("absența")[0] == ["absența"]
+    assert ex("absenți")[0] == ["absenț"]
+
+
+# TestDutchAnalyzer.kt — complete check() vocabulary (via DutchAnalyzer)
+NL_GOLDENS = [
+    ("lichaamsziek", "lichaamsziek"), ("lichamelijk", "licham"),
+    ("lichamelijke", "licham"), ("lichamelijkheden", "licham"),
+    ("lichamen", "licham"), ("lichere", "licher"), ("licht", "licht"),
+    ("lichtbeeld", "lichtbeeld"), ("lichtbruin", "lichtbruin"),
+    ("lichtdoorlatende", "lichtdoorlat"), ("lichte", "licht"),
+    ("lichten", "licht"), ("lichtende", "lichtend"),
+    ("lichtenvoorde", "lichtenvoord"), ("lichter", "lichter"),
+    ("lichtere", "lichter"), ("lichters", "lichter"),
+    ("lichtgevoeligheid", "lichtgevoel"), ("lichtgewicht", "lichtgewicht"),
+    ("lichtgrijs", "lichtgrijs"), ("lichthoeveelheid", "lichthoevel"),
+    ("lichtintensiteit", "lichtintensiteit"), ("lichtje", "lichtj"),
+    ("lichtjes", "lichtjes"), ("lichtkranten", "lichtkrant"),
+    ("lichtkring", "lichtkring"), ("lichtkringen", "lichtkring"),
+    ("lichtregelsystemen", "lichtregelsystem"), ("lichtste", "lichtst"),
+    ("lichtstromende", "lichtstrom"), ("lichtte", "licht"),
+    ("lichtten", "licht"), ("lichttoetreding", "lichttoetred"),
+    ("lichtverontreinigde", "lichtverontreinigd"),
+    ("lichtzinnige", "lichtzinn"), ("lid", "lid"), ("lidia", "lidia"),
+    ("lidmaatschap", "lidmaatschap"), ("lidstaten", "lidstat"),
+    ("lidvereniging", "lidveren"), ("opgingen", "opging"),
+    ("opglanzing", "opglanz"), ("opglanzingen", "opglanz"),
+    ("opglimlachten", "opglimlacht"), ("opglimpen", "opglimp"),
+    ("opglimpende", "opglimp"), ("opglimping", "opglimp"),
+    ("opglimpingen", "opglimp"), ("opgraven", "opgrav"),
+    ("opgrijnzen", "opgrijnz"), ("opgrijzende", "opgrijz"),
+    ("opgroeien", "opgroei"), ("opgroeiende", "opgroei"),
+    ("opgroeiplaats", "opgroeiplat"), ("ophaal", "ophal"),
+    ("ophaaldienst", "ophaaldienst"), ("ophaalkosten", "ophaalkost"),
+    ("ophaalsystemen", "ophaalsystem"), ("ophaalt", "ophaalt"),
+    ("ophaaltruck", "ophaaltruck"), ("ophalen", "ophal"),
+    ("ophalend", "ophal"), ("ophalers", "ophaler"), ("ophef", "ophef"),
+    ("opheldering", "ophelder"), ("ophemelde", "ophemeld"),
+    ("ophemelen", "ophemel"), ("opheusden", "opheusd"),
+    ("ophief", "ophief"), ("ophield", "ophield"), ("ophieven", "ophiev"),
+    ("ophoepelt", "ophoepelt"), ("ophoog", "ophog"),
+    ("ophoogzand", "ophoogzand"), ("ophopen", "ophop"),
+    ("ophoping", "ophop"), ("ophouden", "ophoud"),
+]
+
+
+@pytest.mark.parametrize("word,stem", NL_GOLDENS)
+def test_dutch_vocabulary(word, stem):
+    from lucene_kmp_spark.analysis.nl import dutch_analyzer
+
+    assert dutch_analyzer()(word)[0] == [stem]
+
+
+def test_dutch_stem_dict_and_stopwords():
+    """TestDutchAnalyzer.kt stem-dict on/off + stopword casing."""
+    from lucene_kmp_spark.analysis.nl import dutch_analyzer
+
+    a = dutch_analyzer()
+    assert a("fiets")[0] == ["fiets"]        # DEFAULT_STEM_DICT override
+    assert a("bromfiets")[0] == ["bromfiets"]
+    assert a("ei")[0] == ["eier"]
+    assert a("kind")[0] == ["kinder"]
+    assert dutch_analyzer(stem_overrides={})("fiets")[0] == ["fiet"]
+    assert a("Zelf")[0] == []                # stopwords case-insensitive
+    assert a("opheffen")[0] == ["opheff"]
+    assert a("lichamelijkheden")[0] == ["licham"]
+
+
+def test_registry_routes_ne_ro_nl():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("ne")("मित्रहरु")[0] == ["मित्र"]
+    assert analyzer_for("ro")("absenți")[0] == ["absenț"]
+    assert analyzer_for("nl")("lichamen")[0] == ["licham"]

@@ -38,6 +38,7 @@ from lucene_kmp_spark.analysis.it import italian_analyzer
 from lucene_kmp_spark.analysis.pt import portuguese_analyzer
 from lucene_kmp_spark.analysis.ru import russian_analyzer
 from lucene_kmp_spark.analysis.bg import bulgarian_analyzer
+from lucene_kmp_spark.analysis.el import greek_analyzer
 from lucene_kmp_spark.analysis.ne import nepali_analyzer
 from lucene_kmp_spark.analysis.nl import dutch_analyzer
 from lucene_kmp_spark.analysis.ro import romanian_analyzer
@@ -70,6 +71,7 @@ ANALYZER_FACTORIES = {
     "ur": urdu_analyzer,
     "it": italian_analyzer,
     "bg": bulgarian_analyzer,
+    "el": greek_analyzer,
     "ne": nepali_analyzer,
     "nl": dutch_analyzer,
     "ro": romanian_analyzer,

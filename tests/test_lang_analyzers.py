@@ -1256,3 +1256,162 @@ def test_registry_routes_ne_ro_nl():
     assert analyzer_for("ne")("मित्रहरु")[0] == ["मित्र"]
     assert analyzer_for("ro")("absenți")[0] == ["absenț"]
     assert analyzer_for("nl")("lichamen")[0] == ["licham"]
+
+
+# ---------------------------------------------------------------- el
+
+# TestGreekStemmer.kt — complete checkOneTerm goldens (342 pairs)
+EL_GOLDENS = [
+    ("άνθρωπος", "ανθρωπ"), ("ανθρώπου", "ανθρωπ"), ("άνθρωπο", "ανθρωπ"),
+    ("άνθρωπε", "ανθρωπ"), ("άνθρωποι", "ανθρωπ"), ("ανθρώπων", "ανθρωπ"),
+    ("ανθρώπους", "ανθρωπ"), ("άνθρωποι", "ανθρωπ"), ("πελάτης", "πελατ"),
+    ("πελάτη", "πελατ"), ("πελάτες", "πελατ"), ("πελατών", "πελατ"),
+    ("ελέφαντας", "ελεφαντ"), ("ελέφαντα", "ελεφαντ"),
+    ("ελέφαντες", "ελεφαντ"), ("ελεφάντων", "ελεφαντ"),
+    ("μπαμπάς", "μπαμπ"), ("μπαμπά", "μπαμπ"), ("μπαμπάδες", "μπαμπ"),
+    ("μπαμπάδων", "μπαμπ"), ("μπακάλης", "μπακαλ"), ("μπακάλη", "μπακαλ"),
+    ("μπακάληδες", "μπακαλ"), ("μπακάληδων", "μπακαλ"), ("καφές", "καφ"),
+    ("καφέ", "καφ"), ("καφέδες", "καφ"), ("καφέδων", "καφ"),
+    ("γραμματέας", "γραμματε"), ("γραμματέα", "γραμματε"),
+    ("γραμματείς", "γραμματ"), ("γραμματέων", "γραμματ"),
+    ("απόπλους", "αποπλ"), ("απόπλου", "αποπλ"), ("απόπλοι", "αποπλ"),
+    ("απόπλων", "αποπλ"), ("παππούς", "παππ"), ("παππού", "παππ"),
+    ("παππούδες", "παππ"), ("παππούδων", "παππ"), ("λάτρης", "λατρ"),
+    ("λάτρη", "λατρ"), ("λάτρεις", "λατρ"), ("λάτρεων", "λατρ"),
+    ("πέλεκυς", "πελεκ"), ("πέλεκυ", "πελεκ"), ("πελέκεις", "πελεκ"),
+    ("πελέκεων", "πελεκ"), ("μέντωρ", "μεντωρ"), ("μέντορος", "μεντορ"),
+    ("μέντορα", "μεντορ"), ("μέντορες", "μεντορ"), ("μεντόρων", "μεντορ"),
+    ("αγώνας", "αγων"), ("αγώνος", "αγων"), ("αγώνα", "αγων"),
+    ("αγώνα", "αγων"), ("αγώνες", "αγων"), ("αγώνων", "αγων"),
+    ("αέρας", "αερ"), ("αέρα", "αερ"), ("αέρηδες", "αερ"),
+    ("αέρηδων", "αερ"), ("γόης", "γο"), ("γόη", "γοη"), ("γόητες", "γοητ"),
+    ("γοήτων", "γοητ"), ("φορά", "φορ"), ("φοράς", "φορ"),
+    ("φορές", "φορ"), ("φορών", "φορ"), ("αγελάδα", "αγελαδ"),
+    ("αγελάδας", "αγελαδ"), ("αγελάδες", "αγελαδ"), ("αγελάδων", "αγελαδ"),
+    ("ζάχαρη", "ζαχαρ"), ("ζάχαρης", "ζαχαρ"), ("ζάχαρες", "ζαχαρ"),
+    ("ζαχάρεων", "ζαχαρ"), ("τηλεόραση", "τηλεορασ"),
+    ("τηλεόρασης", "τηλεορασ"), ("τηλεοράσεις", "τηλεορασ"),
+    ("τηλεοράσεων", "τηλεορασ"), ("μαμά", "μαμ"), ("μαμάς", "μαμ"),
+    ("μαμάδες", "μαμ"), ("μαμάδων", "μαμ"), ("λεωφόρος", "λεωφορ"),
+    ("λεωφόρου", "λεωφορ"), ("λεωφόρο", "λεωφορ"), ("λεωφόρε", "λεωφορ"),
+    ("λεωφόροι", "λεωφορ"), ("λεωφόρων", "λεωφορ"),
+    ("λεωφόρους", "λεωφορ"), ("αλεπού", "αλεπ"), ("αλεπούς", "αλεπ"),
+    ("αλεπούδες", "αλεπ"), ("αλεπούδων", "αλεπ"),
+    ("γραμματέας", "γραμματε"), ("γραμματέως", "γραμματ"),
+    ("γραμματέα", "γραμματε"), ("γραμματείς", "γραμματ"),
+    ("γραμματέων", "γραμματ"), ("βιβλίο", "βιβλι"), ("βιβλίου", "βιβλ"),
+    ("βιβλία", "βιβλ"), ("βιβλίων", "βιβλ"), ("πουλί", "πουλ"),
+    ("πουλιού", "πουλ"), ("πουλιά", "πουλ"), ("πουλιών", "πουλ"),
+    ("πρόβλημα", "προβλημ"), ("προβλήματος", "προβλημα"),
+    ("προβλήματα", "προβλημα"), ("προβλημάτων", "προβλημα"),
+    ("πέλαγος", "πελαγ"), ("πελάγους", "πελαγ"), ("πελάγη", "πελαγ"),
+    ("πελάγων", "πελαγ"), ("γεγονός", "γεγον"), ("γεγονότος", "γεγον"),
+    ("γεγονότα", "γεγον"), ("γεγονότων", "γεγον"), ("βράδυ", "βραδ"),
+    ("βράδι", "βραδ"), ("βραδιού", "βραδ"), ("βράδια", "βραδ"),
+    ("βραδιών", "βραδ"), ("δόρυ", "δορ"), ("δόρατος", "δορατ"),
+    ("δόρατα", "δορατ"), ("δοράτων", "δορατ"), ("κρέας", "κρε"),
+    ("κρέατος", "κρε"), ("κρέατα", "κρε"), ("κρεάτων", "κρε"),
+    ("λυκόφως", "λυκοφω"), ("λυκόφωτος", "λυκοφω"), ("λυκόφωτα", "λυκοφω"),
+    ("λυκοφώτων", "λυκοφω"), ("μέσον", "μεσον"), ("μέσου", "μεσ"),
+    ("μέσα", "μεσ"), ("μέσων", "μεσ"), ("ενδιαφέρον", "ενδιαφερον"),
+    ("ενδιαφέροντος", "ενδιαφεροντ"), ("ενδιαφέροντα", "ενδιαφεροντ"),
+    ("ενδιαφερόντων", "ενδιαφεροντ"), ("ανακοινωθέν", "ανακοινωθεν"),
+    ("ανακοινωθέντος", "ανακοινωθεντ"), ("ανακοινωθέντα", "ανακοινωθεντ"),
+    ("ανακοινωθέντων", "ανακοινωθεντ"), ("σύμπαν", "συμπ"),
+    ("σύμπαντος", "συμπαντ"), ("σύμπαντα", "συμπαντ"),
+    ("συμπάντων", "συμπαντ"), ("γάλα", "γαλ"), ("γάλακτος", "γαλακτ"),
+    ("γάλατα", "γαλατ"), ("γαλάκτων", "γαλακτ"), ("συνεχής", "συνεχ"),
+    ("συνεχούς", "συνεχ"), ("συνεχή", "συνεχ"), ("συνεχών", "συνεχ"),
+    ("συνεχείς", "συνεχ"), ("συνεχές", "συνεχ"), ("συνήθης", "συνηθ"),
+    ("συνήθους", "συνηθ"), ("συνήθη", "συνηθ"), ("συνήθεις", "συν"),
+    ("συνήθων", "συνηθ"), ("σύνηθες", "συνηθ"), ("βαθύς", "βαθ"),
+    ("βαθέος", "βαθε"), ("βαθύ", "βαθ"), ("βαθείς", "βαθ"),
+    ("βαθέων", "βαθ"), ("βαθιά", "βαθ"), ("βαθιάς", "βαθι"),
+    ("βαθιές", "βαθι"), ("βαθιών", "βαθ"), ("βαθέα", "βαθε"),
+    ("ψηλός", "ψηλ"), ("ψηλότερος", "ψηλ"), ("ψηλότατος", "ψηλ"),
+    ("ωραίος", "ωραι"), ("ωραιότερος", "ωραι"), ("ωραιότατος", "ωραι"),
+    ("επιεικής", "επιεικ"), ("επιεικέστερος", "επιεικ"),
+    ("επιεικέστατος", "επιεικ"), ("ορίζω", "οριζ"), ("όριζα", "οριζ"),
+    ("όριζε", "οριζ"), ("ορίζοντας", "οριζ"), ("ορίζομαι", "οριζ"),
+    ("οριζόμουν", "οριζ"), ("ορίζεσαι", "οριζ"), ("όρισα", "ορισ"),
+    ("ορίσω", "ορισ"), ("όρισε", "ορισ"), ("ορίσει", "ορισ"),
+    ("ορίστηκα", "οριστ"), ("οριστώ", "οριστ"), ("οριστείς", "οριστ"),
+    ("οριστεί", "οριστ"), ("ορισμένο", "ορισμεν"), ("ορισμένη", "ορισμεν"),
+    ("ορισμένος", "ορισμεν"), ("ανοίγω", "ανοιγ"), ("άνοιγα", "ανοιγ"),
+    ("άνοιγε", "ανοιγ"), ("ανοίγοντας", "ανοιγ"), ("ανοίγομαι", "ανοιγ"),
+    ("ανοιγόμουν", "ανοιγ"), ("άνοιξα", "ανοιξ"), ("ανοίξω", "ανοιξ"),
+    ("άνοιξε", "ανοιξ"), ("ανοίξει", "ανοιξ"), ("ανοίχτηκα", "ανοιχτ"),
+    ("ανοιχτώ", "ανοιχτ"), ("ανοίχτηκα", "ανοιχτ"),
+    ("ανοιχτείς", "ανοιχτ"), ("ανοιχτεί", "ανοιχτ"), ("ανοίξου", "ανοιξ"),
+    ("περνώ", "περν"), ("περνάω", "περν"), ("περνούσα", "περν"),
+    ("πέρναγα", "περν"), ("πέρνα", "περν"), ("περνώντας", "περν"),
+    ("πέρασα", "περασ"), ("περάσω", "περασ"), ("πέρασε", "περασ"),
+    ("περάσει", "περασ"), ("περνιέμαι", "περν"), ("περνιόμουν", "περν"),
+    ("περάστηκα", "περαστ"), ("περαστώ", "περαστ"),
+    ("περαστείς", "περαστ"), ("περαστεί", "περαστ"),
+    ("περασμένο", "περασμεν"), ("περασμένη", "περασμεν"),
+    ("περασμένος", "περασμεν"), ("πετώ", "πετ"), ("πετάω", "πετ"),
+    ("πετούσα", "πετ"), ("πέταγα", "πετ"), ("πέτα", "πετ"),
+    ("πετώντας", "πετ"), ("πετιέμαι", "πετ"), ("πετιόμουν", "πετ"),
+    ("πέταξα", "πεταξ"), ("πετάξω", "πεταξ"), ("πέταξε", "πεταξ"),
+    ("πετάξει", "πεταξ"), ("πετάχτηκα", "πεταχτ"), ("πεταχτώ", "πεταχτ"),
+    ("πεταχτείς", "πεταχτ"), ("πεταχτεί", "πεταχτ"),
+    ("πεταμένο", "πεταμεν"), ("πεταμένη", "πεταμεν"),
+    ("πεταμένος", "πεταμεν"), ("καλώ", "καλ"), ("καλούσα", "καλ"),
+    ("καλείς", "καλ"), ("καλώντας", "καλ"), ("καλούμαι", "καλ"),
+    ("καλούμουν", "καλουμ"), ("καλείσαι", "καλεισα"),
+    ("καλέστηκα", "καλεστ"), ("καλεστώ", "καλεστ"),
+    ("καλεστείς", "καλεστ"), ("καλεστεί", "καλεστ"),
+    ("καλεσμένο", "καλεσμεν"), ("καλεσμένη", "καλεσμεν"),
+    ("καλεσμένος", "καλεσμεν"), ("φορώ", "φορ"), ("φοράω", "φορ"),
+    ("φορούσα", "φορ"), ("φόραγα", "φορ"), ("φόρα", "φορ"),
+    ("φορώντας", "φορ"), ("φοριέμαι", "φορ"), ("φοριόμουν", "φορ"),
+    ("φοριέσαι", "φορ"), ("φόρεσα", "φορεσ"), ("φορέσω", "φορεσ"),
+    ("φόρεσε", "φορεσ"), ("φορέσει", "φορεσ"), ("φορέθηκα", "φορεθ"),
+    ("φορεθώ", "φορεθ"), ("φορεθείς", "φορεθ"), ("φορεθεί", "φορεθ"),
+    ("φορεμένο", "φορεμεν"), ("φορεμένη", "φορεμεν"),
+    ("φορεμένος", "φορεμεν"), ("κρατώ", "κρατ"), ("κρατάω", "κρατ"),
+    ("κρατούσα", "κρατ"), ("κράταγα", "κρατ"), ("κράτα", "κρατ"),
+    ("κρατώντας", "κρατ"), ("κράτησα", "κρατ"), ("κρατήσω", "κρατ"),
+    ("κράτησε", "κρατ"), ("κρατήσει", "κρατ"), ("κρατούμαι", "κρατ"),
+    ("κρατιέμαι", "κρατ"), ("κρατούμουν", "κρατουμ"),
+    ("κρατιόμουν", "κρατ"), ("κρατείσαι", "κρατεισα"),
+    ("κρατήθηκα", "κρατ"), ("κρατηθώ", "κρατ"), ("κρατηθείς", "κρατ"),
+    ("κρατηθεί", "κρατ"), ("κρατήσου", "κρατ"), ("κρατημένο", "κρατημεν"),
+    ("κρατημένη", "κρατημεν"), ("κρατημένος", "κρατημεν"),
+    ("κοιμάμαι", "κοιμ"), ("κοιμόμουν", "κοιμ"), ("κοιμάσαι", "κοιμ"),
+    ("κοιμήθηκα", "κοιμ"), ("κοιμηθώ", "κοιμ"), ("κοιμήσου", "κοιμ"),
+    ("κοιμηθεί", "κοιμ"), ("κοιμισμένο", "κοιμισμεν"),
+    ("κοιμισμένη", "κοιμισμεν"), ("κοιμισμένος", "κοιμισμεν"),
+    ("καθεστώτα", "καθεστ"), ("καθεστώτος", "καθεστ"),
+    ("καθεστώς", "καθεστ"), ("καθεστώτων", "καθεστ"), ("χουμε", "χουμ"),
+    ("χουμ", "χουμ"), ("υποταγεσ", "υποταγ"), ("υποταγ", "υποταγ"),
+    ("εμετε", "εμετ"), ("εμετ", "εμετ"), ("αρχοντασ", "αρχοντ"),
+    ("αρχοντων", "αρχοντ"),
+]
+
+
+@pytest.mark.parametrize("word,stem", EL_GOLDENS)
+def test_greek_stemmer_goldens(word, stem):
+    from lucene_kmp_spark.analysis.el import greek_analyzer
+
+    assert greek_analyzer()(word)[0] == [stem]
+
+
+def test_greek_analyzer_sentences():
+    """TestGreekAnalyzer.kt — casing, diaeresis, accents, stop removal."""
+    from lucene_kmp_spark.analysis.el import greek_analyzer
+
+    a = greek_analyzer()
+    assert a("Μία εξαιρετικά καλή και πλούσια σειρά χαρακτήρων της Ελληνικής γλώσσας")[0] == [
+        "μια", "εξαιρετ", "καλ", "πλουσ", "σειρ", "χαρακτηρ", "ελληνικ", "γλωσσ"]
+    assert a("Προϊόντα (και)     [πολλαπλές] - ΑΝΑΓΚΕΣ")[0] == [
+        "προιοντ", "πολλαπλ", "αναγκ"]
+    assert a("ΠΡΟΫΠΟΘΕΣΕΙΣ  Άψογος, ο μεστός και οι άλλοι")[0] == [
+        "προυποθεσ", "αψογ", "μεστ", "αλλ"]
+
+
+def test_registry_routes_el():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("el")("χαρακτήρων")[0] == ["χαρακτηρ"]

@@ -38,7 +38,12 @@ from lucene_kmp_spark.analysis.it import italian_analyzer
 from lucene_kmp_spark.analysis.pt import portuguese_analyzer
 from lucene_kmp_spark.analysis.ru import russian_analyzer
 from lucene_kmp_spark.analysis.bg import bulgarian_analyzer
+from lucene_kmp_spark.analysis.ca import catalan_analyzer
 from lucene_kmp_spark.analysis.el import greek_analyzer
+from lucene_kmp_spark.analysis.ga import irish_analyzer
+from lucene_kmp_spark.analysis.hy import armenian_analyzer
+from lucene_kmp_spark.analysis.lv import latvian_analyzer
+from lucene_kmp_spark.analysis.sr import serbian_analyzer
 from lucene_kmp_spark.analysis.ne import nepali_analyzer
 from lucene_kmp_spark.analysis.nl import dutch_analyzer
 from lucene_kmp_spark.analysis.ro import romanian_analyzer
@@ -72,6 +77,11 @@ ANALYZER_FACTORIES = {
     "it": italian_analyzer,
     "bg": bulgarian_analyzer,
     "el": greek_analyzer,
+    "ca": catalan_analyzer,
+    "ga": irish_analyzer,
+    "hy": armenian_analyzer,
+    "lv": latvian_analyzer,
+    "sr": serbian_analyzer,
     "ne": nepali_analyzer,
     "nl": dutch_analyzer,
     "ro": romanian_analyzer,

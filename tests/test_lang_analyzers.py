@@ -1415,3 +1415,148 @@ def test_registry_routes_el():
     from lucene_kmp_spark.analysis.registry import analyzer_for
 
     assert analyzer_for("el")("χαρακτήρων")[0] == ["χαρακτηρ"]
+
+
+# ------------------------------------------------------- lv/ca/sr/hy/ga
+
+# TestLatvianStemmer.kt — complete checkOneTerm goldens (172 pairs)
+LV_GOLDENS = [
+    ("tēvs", "tēv"), ("tēvi", "tēv"), ("tēva", "tēv"), ("tēvu", "tēv"),
+    ("tēvam", "tēv"), ("tēviem", "tēv"), ("tēvu", "tēv"), ("tēvus", "tēv"),
+    ("tēvā", "tēv"), ("tēvos", "tēv"), ("tēvs", "tēv"), ("tēvi", "tēv"),
+    ("lācis", "lāc"), ("lāči", "lāc"), ("lāča", "lāc"), ("lāču", "lāc"),
+    ("lācim", "lāc"), ("lāčiem", "lāc"), ("lāci", "lāc"), ("lāčus", "lāc"),
+    ("lācī", "lāc"), ("lāčos", "lāc"), ("lāci", "lāc"), ("lāči", "lāc"),
+    ("akmens", "akmen"), ("akmeņi", "akmen"), ("akmens", "akmen"),
+    ("akmeņu", "akmen"), ("akmenim", "akmen"), ("akmeņiem", "akmen"),
+    ("akmeni", "akmen"), ("akmeņus", "akmen"), ("akmenī", "akmen"),
+    ("akmeņos", "akmen"), ("akmens", "akmen"), ("akmeņi", "akmen"),
+    ("kurmis", "kurm"), ("kurmji", "kurm"), ("kurmja", "kurm"),
+    ("kurmju", "kurm"), ("kurmim", "kurm"), ("kurmjiem", "kurm"),
+    ("kurmi", "kurm"), ("kurmjus", "kurm"), ("kurmī", "kurm"),
+    ("kurmjos", "kurm"), ("kurmi", "kurm"), ("kurmji", "kurm"),
+    ("lietus", "liet"), ("lieti", "liet"), ("lietus", "liet"),
+    ("lietu", "liet"), ("lietum", "liet"), ("lietiem", "liet"),
+    ("lietu", "liet"), ("lietus", "liet"), ("lietū", "liet"),
+    ("lietos", "liet"), ("lietus", "liet"), ("lieti", "liet"),
+    ("lapa", "lap"), ("lapas", "lap"), ("lapas", "lap"), ("lapu", "lap"),
+    ("lapai", "lap"), ("lapām", "lap"), ("lapu", "lap"), ("lapas", "lap"),
+    ("lapā", "lap"), ("lapās", "lap"), ("lapa", "lap"), ("lapas", "lap"),
+    ("puika", "puik"), ("puikas", "puik"), ("puikas", "puik"),
+    ("puiku", "puik"), ("puikam", "puik"), ("puikām", "puik"),
+    ("puiku", "puik"), ("puikas", "puik"), ("puikā", "puik"),
+    ("puikās", "puik"), ("puika", "puik"), ("puikas", "puik"),
+    ("egle", "egl"), ("egles", "egl"), ("egles", "egl"), ("egļu", "egl"),
+    ("eglei", "egl"), ("eglēm", "egl"), ("egli", "egl"), ("egles", "egl"),
+    ("eglē", "egl"), ("eglēs", "egl"), ("egle", "egl"), ("egles", "egl"),
+    ("govs", "gov"), ("govis", "gov"), ("govs", "gov"), ("govju", "gov"),
+    ("govij", "gov"), ("govīm", "gov"), ("govi ", "gov"), ("govis", "gov"),
+    ("govi ", "gov"), ("govīm", "gov"), ("govī", "gov"), ("govīs", "gov"),
+    ("govs", "gov"), ("govis", "gov"), ("zils", "zil"), ("zilais", "zil"),
+    ("zili", "zil"), ("zilie", "zil"), ("zila", "zil"), ("zilā", "zil"),
+    ("zilas", "zil"), ("zilās", "zil"), ("zila", "zil"), ("zilā", "zil"),
+    ("zilu", "zil"), ("zilo", "zil"), ("zilas", "zil"), ("zilās", "zil"),
+    ("zilu", "zil"), ("zilo", "zil"), ("zilam", "zil"), ("zilajam", "zil"),
+    ("ziliem", "zil"), ("zilajiem", "zil"), ("zilai", "zil"),
+    ("zilajai", "zil"), ("zilām", "zil"), ("zilajām", "zil"),
+    ("zilu", "zil"), ("zilo", "zil"), ("zilus", "zil"), ("zilos", "zil"),
+    ("zilu", "zil"), ("zilo", "zil"), ("zilās", "zil"), ("zilās", "zil"),
+    ("zilā", "zil"), ("zilajā", "zil"), ("zilos", "zil"),
+    ("zilajos", "zil"), ("zilā", "zil"), ("zilajā", "zil"),
+    ("zilās", "zil"), ("zilajās", "zil"), ("zilais", "zil"),
+    ("zilie", "zil"), ("zilā", "zil"), ("zilās", "zil"),
+    ("krāsns", "krāsn"), ("krāšņu", "krāsn"), ("zvaigzne", "zvaigzn"),
+    ("zvaigžņu", "zvaigzn"), ("kāpslis", "kāpsl"), ("kāpšļu", "kāpsl"),
+    ("zizlis", "zizl"), ("zižļu", "zizl"), ("vilnis", "viln"),
+    ("viļņu", "viln"), ("lelle", "lell"), ("leļļu", "lell"),
+    ("pinne", "pinn"), ("piņņu", "pinn"), ("rīkste", "rīkst"),
+    ("rīkšu", "rīkst"), ("usa", "usa"), ("60ms", "60ms"),
+]
+
+
+@pytest.mark.parametrize("word,stem", LV_GOLDENS)
+def test_latvian_stemmer_goldens(word, stem):
+    from lucene_kmp_spark.analysis.lv import latvian_analyzer
+
+    assert latvian_analyzer()(word)[0] == [stem]
+
+
+def test_latvian_analyzer_basics():
+    from lucene_kmp_spark.analysis.lv import latvian_analyzer
+
+    a = latvian_analyzer()
+    assert a("tirgiem")[0] == ["tirg"]
+    assert a("un")[0] == []
+    ex = latvian_analyzer(stem_exclusions=("tirgiem",))
+    assert ex("tirgiem")[0] == ["tirgiem"]
+    assert ex("tirgus")[0] == ["tirg"]
+
+
+def test_catalan_analyzer_goldens():
+    """TestCatalanAnalyzer.kt — stemming, contractions, stop, exclusion."""
+    from lucene_kmp_spark.analysis.ca import catalan_analyzer
+
+    a = catalan_analyzer()
+    assert a("llengües")[0] == ["llengu"]
+    assert a("llengua")[0] == ["llengu"]
+    assert a("un")[0] == []
+    assert a("Diccionari de l'Institut d'Estudis Catalans")[0] == [
+        "diccion", "inst", "estud", "catalan"]
+    ex = catalan_analyzer(stem_exclusions=("llengües",))
+    assert ex("llengües")[0] == ["llengües"]
+    assert ex("llengua")[0] == ["llengu"]
+
+
+def test_serbian_analyzer_goldens():
+    """TestSerbianAnalyzer.kt — stem + bald-latin normalization, stop, excl."""
+    from lucene_kmp_spark.analysis.sr import serbian_analyzer, serbian_normalize
+
+    a = serbian_analyzer()
+    assert a("abdiciraće")[0] == ["abdicirac"]
+    assert a("decimalnim")[0] == ["decimaln"]
+    assert a("đubrište")[0] == ["djubrist"]
+    assert a("ili")[0] == []
+    ex = serbian_analyzer(stem_exclusions=("decimalnim",))
+    assert ex("decimalnim")[0] == ["decimalnim"]
+    assert ex("decimalni")[0] == ["decimaln"]
+    # cyrillic -> bald latin (TestSerbianNormalizationFilter.kt)
+    assert serbian_normalize("абдицираће") == "abdicirace"
+    assert serbian_normalize("љубав") == "ljubav"
+
+
+def test_armenian_analyzer_goldens():
+    """TestArmenianAnalyzer.kt — stemming, stop, exclusion."""
+    from lucene_kmp_spark.analysis.hy import armenian_analyzer
+
+    a = armenian_analyzer()
+    assert a("արծիվ")[0] == ["արծ"]
+    assert a("արծիվներ")[0] == ["արծ"]
+    assert a("է")[0] == []
+    ex = armenian_analyzer(stem_exclusions=("արծիվներ",))
+    assert ex("արծիվներ")[0] == ["արծիվներ"]
+    assert ex("արծիվ")[0] == ["արծ"]
+
+
+def test_irish_analyzer_goldens():
+    """TestIrishAnalyzer.kt — stemming, elision, hyphenation stop, excl."""
+    from lucene_kmp_spark.analysis.ga import irish_analyzer
+
+    a = irish_analyzer()
+    assert a("siopadóireacht")[0] == ["siopadóir"]
+    assert a("síceapatacha")[0] == ["síceapaite"]
+    assert a("le")[0] == []
+    assert a("b'fhearr m'athair")[0] == ["fearr", "athair"]
+    assert a("n-athair")[0] == ["athair"]
+    ex = irish_analyzer(stem_exclusions=("feirmeoireacht",))
+    assert ex("feirmeoireacht")[0] == ["feirmeoireacht"]
+    assert ex("siopadóireacht")[0] == ["siopadóir"]
+
+
+def test_registry_routes_lv_ca_sr_hy_ga():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("lv")("tirgiem")[0] == ["tirg"]
+    assert analyzer_for("ca")("llengües")[0] == ["llengu"]
+    assert analyzer_for("sr")("đubrište")[0] == ["djubrist"]
+    assert analyzer_for("hy")("արծիվներ")[0] == ["արծ"]
+    assert analyzer_for("ga")("siopadóireacht")[0] == ["siopadóir"]

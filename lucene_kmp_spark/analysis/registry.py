@@ -40,8 +40,11 @@ from lucene_kmp_spark.analysis.ru import russian_analyzer
 from lucene_kmp_spark.analysis.bg import bulgarian_analyzer
 from lucene_kmp_spark.analysis.ca import catalan_analyzer
 from lucene_kmp_spark.analysis.el import greek_analyzer
+from lucene_kmp_spark.analysis.et import estonian_analyzer
+from lucene_kmp_spark.analysis.fi import finnish_analyzer
 from lucene_kmp_spark.analysis.ga import irish_analyzer
 from lucene_kmp_spark.analysis.hy import armenian_analyzer
+from lucene_kmp_spark.analysis.lt import lithuanian_analyzer
 from lucene_kmp_spark.analysis.lv import latvian_analyzer
 from lucene_kmp_spark.analysis.sr import serbian_analyzer
 from lucene_kmp_spark.analysis.ne import nepali_analyzer
@@ -80,6 +83,9 @@ ANALYZER_FACTORIES = {
     "ca": catalan_analyzer,
     "ga": irish_analyzer,
     "hy": armenian_analyzer,
+    "et": estonian_analyzer,
+    "fi": finnish_analyzer,
+    "lt": lithuanian_analyzer,
     "lv": latvian_analyzer,
     "sr": serbian_analyzer,
     "ne": nepali_analyzer,

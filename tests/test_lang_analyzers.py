@@ -1560,3 +1560,83 @@ def test_registry_routes_lv_ca_sr_hy_ga():
     assert analyzer_for("sr")("đubrište")[0] == ["djubrist"]
     assert analyzer_for("hy")("արծիվներ")[0] == ["արծ"]
     assert analyzer_for("ga")("siopadóireacht")[0] == ["siopadóir"]
+
+
+# ---------------------------------------------------------------- lt/fi/et
+
+def test_lithuanian_analyzer_goldens():
+    """TestLithuanianAnalyzer.kt — stop + exclusion, plus spec-derived."""
+    from lucene_kmp_spark.analysis.lt import (
+        lithuanian_analyzer, lithuanian_snowball_stem)
+
+    a = lithuanian_analyzer()
+    assert a("man")[0] == []
+    ex = lithuanian_analyzer(stem_exclusions=("vaikų",))
+    assert ex("vaikų")[0] == ["vaikų"]
+    # hand-derived from the published snowball lithuanian algorithm
+    assert lithuanian_snowball_stem("vaikų") == "vaik"
+    assert lithuanian_snowball_stem("vaikas") == "vaik"
+    assert lithuanian_snowball_stem("knygos") == "knyg"
+    assert lithuanian_snowball_stem("namuose") == "nam"
+    # conflict fix: aitės -> aitė kept as a unit
+    assert lithuanian_snowball_stem("mergaitės") == "mergait"
+
+
+def test_finnish_analyzer_goldens():
+    """TestFinnishAnalyzer.kt — stemming + exclusion."""
+    from lucene_kmp_spark.analysis.fi import (
+        finnish_analyzer, finnish_snowball_stem)
+
+    a = finnish_analyzer()
+    assert a("edeltäjiinsä")[0] == ["edeltäj"]
+    assert a("edeltäjistään")[0] == ["edeltäj"]
+    assert a("olla")[0] == []  # stopword
+    ex = finnish_analyzer(stem_exclusions=("edeltäjistään",))
+    assert ex("edeltäjiinsä")[0] == ["edeltäj"]
+    assert ex("edeltäjistään")[0] == ["edeltäjistään"]
+    # hand-derived from the published snowball finnish algorithm
+    assert finnish_snowball_stem("taloissa") == "talo"
+    assert finnish_snowball_stem("kirjat") == "kirj"
+    assert finnish_snowball_stem("nopeasti") == "nopeast"
+    assert finnish_snowball_stem("kontti") == "kont"
+
+
+# TestEstonianAnalyzer.kt — complete goldens
+ET_GOLDENS = [
+    ("teadaolevalt", "teadaole"), ("teadaolevaid", "teadaole"),
+    ("teadaolevatest", "teadaole"), ("teadaolevail", "teadaole"),
+    ("teadaolevatele", "teadaole"), ("teadaolevatel", "teadaole"),
+    ("teadaolevateks", "teadaole"), ("teadaolevate", "teadaole"),
+    ("teadaolevaks", "teadaole"), ("teadaoleval", "teadaole"),
+    ("teadaolevates", "teadaole"), ("teadaolevat", "teadaole"),
+    ("teadaolevast", "teadaole"), ("teadaoleva", "teadaole"),
+    ("teadaolevais", "teadaole"), ("teadaolevas", "teadaole"),
+    ("teadaolevad", "teadaole"), ("teadaolevale", "teadaole"),
+    ("teadaolevatesse", "teadaole"),
+]
+
+
+@pytest.mark.parametrize("word,stem", ET_GOLDENS)
+def test_estonian_stemmer_goldens(word, stem):
+    from lucene_kmp_spark.analysis.et import estonian_analyzer
+
+    assert estonian_analyzer()(word)[0] == [stem]
+
+
+def test_estonian_verb_exception_and_stop():
+    from lucene_kmp_spark.analysis.et import (
+        estonian_analyzer, estonian_snowball_stem)
+
+    # whole-word verb exceptions short-circuit all other steps
+    assert estonian_snowball_stem("joodakse") == "joo"
+    assert estonian_snowball_stem("nägid") == "nägi"
+    a = estonian_analyzer()
+    assert a("alla")[0] == []  # stopword
+
+
+def test_registry_routes_lt_fi_et():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("lt")("knygos")[0] == ["knyg"]
+    assert analyzer_for("fi")("taloissa")[0] == ["talo"]
+    assert analyzer_for("et")("teadaolevalt")[0] == ["teadaole"]

@@ -41,7 +41,9 @@ from lucene_kmp_spark.analysis.bg import bulgarian_analyzer
 from lucene_kmp_spark.analysis.ca import catalan_analyzer
 from lucene_kmp_spark.analysis.el import greek_analyzer
 from lucene_kmp_spark.analysis.et import estonian_analyzer
+from lucene_kmp_spark.analysis.eu import basque_analyzer
 from lucene_kmp_spark.analysis.fi import finnish_analyzer
+from lucene_kmp_spark.analysis.gl import galician_analyzer
 from lucene_kmp_spark.analysis.ga import irish_analyzer
 from lucene_kmp_spark.analysis.hy import armenian_analyzer
 from lucene_kmp_spark.analysis.lt import lithuanian_analyzer
@@ -84,6 +86,8 @@ ANALYZER_FACTORIES = {
     "ga": irish_analyzer,
     "hy": armenian_analyzer,
     "et": estonian_analyzer,
+    "eu": basque_analyzer,
+    "gl": galician_analyzer,
     "fi": finnish_analyzer,
     "lt": lithuanian_analyzer,
     "lv": latvian_analyzer,

@@ -1640,3 +1640,47 @@ def test_registry_routes_lt_fi_et():
     assert analyzer_for("lt")("knygos")[0] == ["knyg"]
     assert analyzer_for("fi")("taloissa")[0] == ["talo"]
     assert analyzer_for("et")("teadaolevalt")[0] == ["teadaole"]
+
+
+# ---------------------------------------------------------------- gl/eu
+
+def test_galician_analyzer_goldens():
+    """TestGalicianAnalyzer.kt + TestGalicianMinimalStemFilter.kt goldens."""
+    from lucene_kmp_spark.analysis.gl import (
+        galician_analyzer, galician_minimal_stem)
+
+    a = galician_analyzer()
+    assert a("correspondente")[0] == ["correspond"]
+    assert a("corresponderá")[0] == ["correspond"]
+    assert a("e")[0] == []  # stopword
+    ex = galician_analyzer(stem_exclusions=("correspondente",))
+    assert ex("correspondente")[0] == ["correspondente"]
+    assert ex("corresponderá")[0] == ["correspond"]
+    # minimal (Plural step only)
+    assert galician_minimal_stem("elefantes") == "elefante"
+    assert galician_minimal_stem("elefante") == "elefante"
+    assert galician_minimal_stem("kalóres") == "kalór"
+    assert galician_minimal_stem("kalór") == "kalór"
+    assert galician_minimal_stem("mas") == "mas"          # exception list
+    assert galician_minimal_stem("barcelonês") == "barcelonês"
+
+
+def test_basque_analyzer_goldens():
+    """TestBasqueAnalyzer.kt — stemming, stop, exclusion."""
+    from lucene_kmp_spark.analysis.eu import basque_analyzer
+
+    a = basque_analyzer()
+    assert a("zaldi")[0] == ["zaldi"]
+    assert a("zaldiak")[0] == ["zaldi"]
+    assert a("mendiari")[0] == ["mendi"]
+    assert a("izan")[0] == []  # stopword
+    ex = basque_analyzer(stem_exclusions=("zaldiak",))
+    assert ex("zaldiak")[0] == ["zaldiak"]
+    assert ex("mendiari")[0] == ["mendi"]
+
+
+def test_registry_routes_gl_eu():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("gl")("correspondente")[0] == ["correspond"]
+    assert analyzer_for("eu")("zaldiak")[0] == ["zaldi"]

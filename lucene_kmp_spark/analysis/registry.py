@@ -38,6 +38,7 @@ from lucene_kmp_spark.analysis.it import italian_analyzer
 from lucene_kmp_spark.analysis.pt import portuguese_analyzer
 from lucene_kmp_spark.analysis.ru import russian_analyzer
 from lucene_kmp_spark.analysis.bg import bulgarian_analyzer
+from lucene_kmp_spark.analysis.br import brazilian_analyzer
 from lucene_kmp_spark.analysis.ca import catalan_analyzer
 from lucene_kmp_spark.analysis.el import greek_analyzer
 from lucene_kmp_spark.analysis.et import estonian_analyzer
@@ -83,6 +84,8 @@ ANALYZER_FACTORIES = {
     "bg": bulgarian_analyzer,
     "el": greek_analyzer,
     "ca": catalan_analyzer,
+    "pt-br": brazilian_analyzer,
+    "br": brazilian_analyzer,
     "ga": irish_analyzer,
     "hy": armenian_analyzer,
     "et": estonian_analyzer,

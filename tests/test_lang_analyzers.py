@@ -1684,3 +1684,58 @@ def test_registry_routes_gl_eu():
 
     assert analyzer_for("gl")("correspondente")[0] == ["correspond"]
     assert analyzer_for("eu")("zaldiak")[0] == ["zaldi"]
+
+
+# ---------------------------------------------------------------- br
+
+# TestBrazilianAnalyzer.kt — complete check() goldens (86 pairs)
+BR_GOLDENS = [
+    ("boa", "boa"), ("boainain", "boainain"), ("boas", "boas"),
+    ("bôas", "boas"), ("boassu", "boassu"), ("boataria", "boat"),
+    ("boate", "boat"), ("boates", "boat"), ("boatos", "boat"),
+    ("bob", "bob"), ("boba", "bob"), ("bobagem", "bobag"),
+    ("bobagens", "bobagens"), ("bobalhões", "bobalho"), ("bobear", "bob"),
+    ("bobeira", "bobeir"), ("bobinho", "bobinh"), ("bobinhos", "bobinh"),
+    ("bobo", "bob"), ("bobs", "bobs"), ("boca", "boc"), ("bocadas", "boc"),
+    ("bocadinho", "bocadinh"), ("bocado", "boc"), ("bocaiúva", "bocaiuv"),
+    ("boçal", "bocal"), ("bocarra", "bocarr"), ("bocas", "boc"),
+    ("bode", "bod"), ("bodoque", "bodoqu"), ("body", "body"),
+    ("boeing", "boeing"), ("boem", "boem"), ("boemia", "boem"),
+    ("boêmio", "boemi"), ("bogotá", "bogot"), ("boi", "boi"),
+    ("bóia", "boi"), ("boiando", "boi"), ("quiabo", "quiab"),
+    ("quicaram", "quic"), ("quickly", "quickly"), ("quieto", "quiet"),
+    ("quietos", "quiet"), ("quilate", "quilat"), ("quilates", "quilat"),
+    ("quilinhos", "quilinh"), ("quilo", "quil"), ("quilombo", "quilomb"),
+    ("quilométricas", "quilometr"), ("quilométricos", "quilometr"),
+    ("quilômetro", "quilometr"), ("quilômetros", "quilometr"),
+    ("quilos", "quil"), ("quimica", "quimic"), ("quilos", "quil"),
+    ("quimica", "quimic"), ("quimicas", "quimic"), ("quimico", "quimic"),
+    ("quimicos", "quimic"), ("quimioterapia", "quimioterap"),
+    ("quimioterápicos", "quimioterap"), ("quimono", "quimon"),
+    ("quincas", "quinc"), ("quinhão", "quinha"),
+    ("quinhentos", "quinhent"), ("quinn", "quinn"), ("quino", "quin"),
+    ("quinta", "quint"), ("quintal", "quintal"), ("quintana", "quintan"),
+    ("quintanilha", "quintanilh"), ("quintão", "quinta"),
+    ("quintessência", "quintessente"), ("quintino", "quintin"),
+    ("quinto", "quint"), ("quintos", "quint"),
+    ("quintuplicou", "quintuplic"), ("quinze", "quinz"),
+    ("quinzena", "quinzen"), ("quiosque", "quiosqu"), ("Brasil", "brasil"),
+    ("Brasília", "brasil"), ("quimio5terápicos", "quimio5terapicos"),
+    ("áá", "áá"), ("ááá", "aaa"),
+]
+
+
+@pytest.mark.parametrize("word,stem", BR_GOLDENS)
+def test_brazilian_stemmer_goldens(word, stem):
+    from lucene_kmp_spark.analysis.br import brazilian_analyzer
+
+    assert brazilian_analyzer()(word)[0] == [stem]
+
+
+def test_brazilian_exclusion_and_registry():
+    from lucene_kmp_spark.analysis.br import brazilian_analyzer
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    ex = brazilian_analyzer(stem_exclusions=("quintessência",))
+    assert ex("quintessência")[0] == ["quintessência"]
+    assert analyzer_for("pt-br")("quintessência")[0] == ["quintessente"]

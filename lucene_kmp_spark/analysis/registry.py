@@ -61,6 +61,7 @@ from lucene_kmp_spark.analysis.scand import (
     swedish_analyzer,
 )
 from lucene_kmp_spark.analysis.sw import swahili_analyzer
+from lucene_kmp_spark.analysis.th import thai_analyzer
 from lucene_kmp_spark.analysis.ur import urdu_analyzer
 from lucene_kmp_spark.analysis.te import telugu_analyzer
 
@@ -95,6 +96,7 @@ ANALYZER_FACTORIES = {
     "lt": lithuanian_analyzer,
     "lv": latvian_analyzer,
     "sr": serbian_analyzer,
+    "th": thai_analyzer,
     "ne": nepali_analyzer,
     "nl": dutch_analyzer,
     "ro": romanian_analyzer,

@@ -1739,3 +1739,36 @@ def test_brazilian_exclusion_and_registry():
     ex = brazilian_analyzer(stem_exclusions=("quintessência",))
     assert ex("quintessência")[0] == ["quintessência"]
     assert analyzer_for("pt-br")("quintessência")[0] == ["quintessente"]
+
+
+# ---------------------------------------------------------------- th
+
+def test_thai_analyzer_goldens():
+    """TestThaiAnalyzer.kt — dictionary segmentation, stops, digit fold."""
+    from lucene_kmp_spark.analysis.th import thai_analyzer
+
+    empty = thai_analyzer(stop_words=())
+    assert empty("การที่ได้ต้องแสดงว่างานดี")[0] == [
+        "การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี"]
+    assert empty("บริษัทชื่อ XY&Z - คุยกับ xyz@demo.com")[0] == [
+        "บริษัท", "ชื่อ", "xy", "z", "คุย", "กับ", "xyz", "demo.com"]
+    assert empty("")[0] == []
+    # default stop set removes function words but keeps position holes
+    a = thai_analyzer()
+    terms, positions, _ = a("การที่ได้ต้องแสดงว่างานดี")
+    assert terms == ["แสดง", "งาน", "ดี"]
+    assert positions == [4, 6, 7]       # posIncr 5, 2, 1 in the reference
+    # thai digits fold to latin
+    assert a("๑๒๓๔")[0] == ["1234"]
+    # english stopword makes a position hole inside mixed text
+    en = thai_analyzer(stop_words=("the",))
+    terms, positions, _ = en("การที่ได้ต้อง the แสดงว่างานดี")
+    assert terms == ["การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี"]
+    assert positions == [0, 1, 2, 3, 5, 6, 7, 8]
+
+
+def test_registry_routes_th():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("th")("การที่ได้ต้องแสดงว่างานดี")[0] == [
+        "แสดง", "งาน", "ดี"]

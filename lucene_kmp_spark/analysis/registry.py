@@ -62,6 +62,7 @@ from lucene_kmp_spark.analysis.scand import (
 )
 from lucene_kmp_spark.analysis.sw import swahili_analyzer
 from lucene_kmp_spark.analysis.th import thai_analyzer
+from lucene_kmp_spark.analysis.tr import turkish_analyzer
 from lucene_kmp_spark.analysis.ur import urdu_analyzer
 from lucene_kmp_spark.analysis.te import telugu_analyzer
 
@@ -97,6 +98,7 @@ ANALYZER_FACTORIES = {
     "lv": latvian_analyzer,
     "sr": serbian_analyzer,
     "th": thai_analyzer,
+    "tr": turkish_analyzer,
     "ne": nepali_analyzer,
     "nl": dutch_analyzer,
     "ro": romanian_analyzer,

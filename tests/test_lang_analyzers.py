@@ -1772,3 +1772,54 @@ def test_registry_routes_th():
 
     assert analyzer_for("th")("การที่ได้ต้องแสดงว่างานดี")[0] == [
         "แสดง", "งาน", "ดี"]
+
+
+# ---------------------------------------------------------------- tr
+
+def test_turkish_analyzer_goldens():
+    """TestTurkishAnalyzer.kt — stemming, apostrophe, stop, exclusion."""
+    from lucene_kmp_spark.analysis.tr import turkish_analyzer
+
+    a = turkish_analyzer()
+    assert a("ağacı")[0] == ["ağaç"]
+    assert a("ağaç")[0] == ["ağaç"]
+    assert a("dolayı")[0] == []                  # stopword
+    assert a("Kıbrıs'ta")[0] == ["kıbrıs"]       # apostrophe strip
+    assert a("Van Gölü'ne")[0] == ["van", "göl"]
+    ex = turkish_analyzer(stem_exclusions=("ağacı",))
+    assert ex("ağacı")[0] == ["ağacı"]
+    assert ex("ağaç")[0] == ["ağaç"]
+
+
+def test_turkish_lowercase_filter():
+    """TestTurkishLowerCaseFilter.kt — dotted/dotless I handling."""
+    from lucene_kmp_spark.analysis.tr import turkish_lowercase
+
+    assert turkish_lowercase("İSTANBUL") == "istanbul"
+    assert turkish_lowercase("ISPARTA") == "ısparta"
+    assert turkish_lowercase("I") == "ı"
+    assert turkish_lowercase("İ") == "i"
+    # I + combining dot above composes to plain i
+    assert turkish_lowercase("İSTANBUL") == "istanbul"
+
+
+def test_turkish_snowball_paths():
+    """Hand-derived from the snowball turkish algorithm: harmony suffix
+    stripping, final devoicing, d/g vowel append, reserved words."""
+    from lucene_kmp_spark.analysis.tr import turkish_snowball_stem as s
+
+    assert s("kitapları") == "kitap"
+    assert s("kitabı") == "kitap"        # b -> p devoicing
+    assert s("evlerinde") == "ev"
+    assert s("çocuklarımızın") == "çocuk"
+    assert s("güzelliği") == "güzellik"  # ğ -> k devoicing
+    assert s("arabalarla") == "araba"
+    assert s("ad") == "ad"               # reserved word
+    assert s("soyad") == "soyad"
+    assert s("tek") == "tek"             # single syllable: untouched
+
+
+def test_registry_routes_tr():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("tr")("ağacı")[0] == ["ağaç"]

@@ -61,6 +61,7 @@ from lucene_kmp_spark.analysis.scand import (
     swedish_analyzer,
 )
 from lucene_kmp_spark.analysis.sw import swahili_analyzer
+from lucene_kmp_spark.analysis.ta import tamil_analyzer
 from lucene_kmp_spark.analysis.th import thai_analyzer
 from lucene_kmp_spark.analysis.tr import turkish_analyzer
 from lucene_kmp_spark.analysis.ur import urdu_analyzer
@@ -97,6 +98,7 @@ ANALYZER_FACTORIES = {
     "lt": lithuanian_analyzer,
     "lv": latvian_analyzer,
     "sr": serbian_analyzer,
+    "ta": tamil_analyzer,
     "th": thai_analyzer,
     "tr": turkish_analyzer,
     "ne": nepali_analyzer,

@@ -1823,3 +1823,34 @@ def test_registry_routes_tr():
     from lucene_kmp_spark.analysis.registry import analyzer_for
 
     assert analyzer_for("tr")("ağacı")[0] == ["ağaç"]
+
+
+# ---------------------------------------------------------------- ta
+
+def test_tamil_analyzer_goldens():
+    """TestTamilAnalyzer (BibleTamil base) — stemming, digits, case, excl."""
+    from lucene_kmp_spark.analysis.ta import tamil_analyzer
+
+    a = tamil_analyzer()
+    assert a("நண்பன்")[0] == ["நண்"]
+    assert a("நண்பர்கள்")[0] == ["நண்"]
+    assert a("௧௨௩௪")[0] == ["1234"]
+    assert a("FIFA")[0] == ["fifa"]
+    ex = tamil_analyzer(stem_exclusions=("நண்பர்கள்",))
+    assert ex("நண்பர்கள்")[0] == ["நண்பர்கள்"]
+
+
+def test_tamil_snowball_paths():
+    """Hand-derived from the snowball tamil algorithm."""
+    from lucene_kmp_spark.analysis.ta import tamil_snowball_stem as s
+
+    assert s("புத்தகங்கள்") == "புத்தகம்"   # plural ங்+கள் -> ம்
+    assert s("வீடுகள்") == "வீடு"             # plural கள் removal
+    assert s("படித்தேன்") == "படி"            # tense ேன் -> ் + fixups
+    assert s("நண்") == "நண்"                  # <= 4 chars untouched
+
+
+def test_registry_routes_ta():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("ta")("நண்பர்கள்")[0] == ["நண்"]

@@ -24,6 +24,14 @@ nori dictionary models are out of scope, as SURVEY §2.1 records).
 from __future__ import annotations
 
 from lucene_kmp_spark.analysis.ar import arabic_analyzer
+from lucene_kmp_spark.analysis.as_ import assamese_analyzer
+from lucene_kmp_spark.analysis.gu import gujarati_analyzer
+from lucene_kmp_spark.analysis.kn import kannada_analyzer
+from lucene_kmp_spark.analysis.ml import malayalam_analyzer
+from lucene_kmp_spark.analysis.mr import marathi_analyzer
+from lucene_kmp_spark.analysis.or_ import odia_analyzer
+from lucene_kmp_spark.analysis.pa import punjabi_analyzer
+from lucene_kmp_spark.analysis.si import sinhala_analyzer
 from lucene_kmp_spark.analysis.bn import bengali_analyzer
 from lucene_kmp_spark.analysis.cjk import cjk_analyzer
 from lucene_kmp_spark.analysis.hi import hindi_analyzer
@@ -99,6 +107,14 @@ ANALYZER_FACTORIES = {
     "lv": latvian_analyzer,
     "sr": serbian_analyzer,
     "ta": tamil_analyzer,
+    "as": assamese_analyzer,
+    "gu": gujarati_analyzer,
+    "kn": kannada_analyzer,
+    "ml": malayalam_analyzer,
+    "mr": marathi_analyzer,
+    "or": odia_analyzer,
+    "pa": punjabi_analyzer,
+    "si": sinhala_analyzer,
     "th": thai_analyzer,
     "tr": turkish_analyzer,
     "ne": nepali_analyzer,

@@ -1854,3 +1854,132 @@ def test_registry_routes_ta():
     from lucene_kmp_spark.analysis.registry import analyzer_for
 
     assert analyzer_for("ta")("நண்பர்கள்")[0] == ["நண்"]
+
+
+# ----------------------------------------- extra module: indic family
+
+def test_punjabi_analyzer_goldens():
+    """TestPunjabiAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.pa import punjabi_analyzer
+
+    a = punjabi_analyzer()
+    assert a("ਭੱਜਣਾ")[0] == ["ਭੱਜ"]
+    assert a("ਪੜਾਉਂਦਾ")[0] == ["ਪੜਾ"]
+    assert a("੧੨੩੪")[0] == ["1234"]
+    assert a("ਇਹ ਇੱਕ ਉਦਾਹਰਣ ਵਾਕ ਹੈ")[0] == ["ਉਦਾਹਰਣ", "ਵਾਕ"]
+    ex = punjabi_analyzer(stem_exclusions=("ਭੱਜਣਾ",))
+    assert ex("ਭੱਜਣਾ")[0] == ["ਭੱਜਣਾ"]
+
+
+def test_marathi_analyzer_goldens():
+    """TestMarathiAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.mr import marathi_analyzer
+
+    a = marathi_analyzer()
+    assert a("पुस्तके")[0] == ["पुसतक"]
+    assert a("मुली")[0] == ["मुल"]
+    assert a("१२३४")[0] == ["1234"]
+    ex = marathi_analyzer(stem_exclusions=("मुली",))
+    assert ex("मुली")[0] == ["मुली"]
+
+
+def test_gujarati_analyzer_goldens():
+    """TestGujaratiAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.gu import gujarati_analyzer
+
+    a = gujarati_analyzer()
+    assert a("ગુજરાતી")[0] == ["ગુજરાતી"]
+    assert a("ગુજરાતીઓ")[0] == ["ગુજરાતી"]
+    assert a("૧૨૩૪")[0] == ["1234"]
+    ex = gujarati_analyzer(stem_exclusions=("ગુજરાતીઓ",))
+    assert ex("ગુજરાતીઓ")[0] == ["ગુજરાતીઓ"]
+
+
+def test_odia_analyzer_goldens():
+    """TestOdiaAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.or_ import odia_analyzer
+
+    a = odia_analyzer()
+    assert a("ଘରକୁ")[0] == ["ଘର"]
+    assert a("ପିଲାମାନଙ୍କର")[0] == ["ପିଲା"]
+    assert a("୧୨୩୪")[0] == ["1234"]
+    assert a("ଏହି ଓ ଘରକୁ")[0] == ["ଘର"]
+    assert a("ରାମ ଓ ସୀତା ଆମକୁ ଆଶୀର୍ବାଦ ଦେଇଛନ୍ତି")[0] == [
+        "ରାମ", "ସୀତା", "ଆମ", "ଆଶୀର୍ବାଦ"]
+    assert a("ଏହା ପାଇଁ ଦେଇଛନ୍ତି")[0] == []
+    ex = odia_analyzer(stem_exclusions=("ଘରକୁ",))
+    assert ex("ଘରକୁ")[0] == ["ଘରକୁ"]
+
+
+def test_malayalam_analyzer_goldens():
+    """TestMalayalamAnalyzer.kt + normalization filter goldens."""
+    from lucene_kmp_spark.analysis.indic import indic_normalize
+    from lucene_kmp_spark.analysis.ml import (
+        malayalam_analyzer, malayalam_normalize)
+
+    a = malayalam_analyzer()
+    assert a("പുസ്തകങ്ങൾ")[0] == ["പുസ്തക"]
+    assert a("രാജ്യത്തിൽ")[0] == ["രാജ്യ"]
+    assert a("൧൨൩൪")[0] == ["1234"]
+    assert a("ഈ പുസ്തകങ്ങൾ ആണ്")[0] == ["പുസ്തക"]
+    assert a("കുട്ടികളുടെ")[0] == ["കുട്ടി"]
+    # chillu composition happens in the indic layer before the ml layer
+    assert malayalam_normalize(indic_normalize("അവന്‍")) == "അവൻ"
+    assert malayalam_normalize("മ‌ലയാളം") == "മലയാളം"  # zwnj removed
+    ex = malayalam_analyzer(stem_exclusions=("പുസ്തകങ്ങൾ",))
+    assert ex("പുസ്തകങ്ങൾ")[0] == ["പുസ്തകങ്ങൾ"]
+
+
+def test_kannada_analyzer_goldens():
+    """TestKannadaAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.kn import kannada_analyzer
+
+    a = kannada_analyzer()
+    assert a("ಮನೆಗೆ")[0] == ["ಮನೆ"]
+    assert a("ಪುಸ್ತಕಗಳನ್ನು")[0] == ["ಪುಸ್ತಕ"]
+    assert a("ಕನ್ನಡದಲ್ಲಿ")[0] == ["ಕನ್ನಡ"]
+    assert a("೧೨೩೪")[0] == ["1234"]
+    assert a("ಈ ಮತ್ತು ಮನೆಗೆ")[0] == ["ಮನೆ"]
+    ex = kannada_analyzer(stem_exclusions=("ಮನೆಗೆ",))
+    assert ex("ಮನೆಗೆ")[0] == ["ಮನೆಗೆ"]
+
+
+def test_assamese_analyzer_goldens():
+    """TestAssameseAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.as_ import assamese_analyzer
+
+    a = assamese_analyzer()
+    assert a("ঘৰলৈ")[0] == ["ঘৰ"]
+    assert a("মানুহবোৰৰ")[0] == ["মানুহ"]
+    assert a("কিতাপখনত")[0] == ["কিতাপ"]
+    assert a("১২৩৪")[0] == ["1234"]
+    assert a("এই আৰু ঘৰলৈ")[0] == ["ঘৰ"]
+    ex = assamese_analyzer(stem_exclusions=("ঘৰলৈ",))
+    assert ex("ঘৰলৈ")[0] == ["ঘৰলৈ"]
+
+
+def test_sinhala_analyzer_goldens():
+    """TestSinhalaAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.si import sinhala_analyzer
+
+    a = sinhala_analyzer()
+    assert a("ගෙදරට")[0] == ["ගෙදර"]
+    assert a("පොත්වලට")[0] == ["පොත්"]
+    assert a("කතාවෙන්")[0] == ["කතා"]
+    assert a("෦෧෨෩")[0] == ["0123"]
+    assert a("මේ සහ ගෙදරට")[0] == ["ගෙදර"]
+    ex = sinhala_analyzer(stem_exclusions=("ගෙදරට",))
+    assert ex("ගෙදරට")[0] == ["ගෙදරට"]
+
+
+def test_registry_routes_extra_indic():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("pa")("ਭੱਜਣਾ")[0] == ["ਭੱਜ"]
+    assert analyzer_for("mr")("पुस्तके")[0] == ["पुसतक"]
+    assert analyzer_for("gu")("ગુજરાતીઓ")[0] == ["ગુજરાતી"]
+    assert analyzer_for("or")("ଘରକୁ")[0] == ["ଘର"]
+    assert analyzer_for("ml")("പുസ്തകങ്ങൾ")[0] == ["പുസ്തക"]
+    assert analyzer_for("kn")("ಮನೆಗೆ")[0] == ["ಮನೆ"]
+    assert analyzer_for("as")("ঘৰলৈ")[0] == ["ঘৰ"]
+    assert analyzer_for("si")("ගෙදරට")[0] == ["ගෙදර"]

@@ -28,7 +28,13 @@ from lucene_kmp_spark.analysis.as_ import assamese_analyzer
 from lucene_kmp_spark.analysis.gu import gujarati_analyzer
 from lucene_kmp_spark.analysis.kn import kannada_analyzer
 from lucene_kmp_spark.analysis.ml import malayalam_analyzer
+from lucene_kmp_spark.analysis.ceb import cebuano_analyzer
+from lucene_kmp_spark.analysis.jv import javanese_analyzer
 from lucene_kmp_spark.analysis.mr import marathi_analyzer
+from lucene_kmp_spark.analysis.ms import malay_analyzer
+from lucene_kmp_spark.analysis.su import sundanese_analyzer
+from lucene_kmp_spark.analysis.tl import tagalog_analyzer
+from lucene_kmp_spark.analysis.vi import vietnamese_analyzer
 from lucene_kmp_spark.analysis.or_ import odia_analyzer
 from lucene_kmp_spark.analysis.pa import punjabi_analyzer
 from lucene_kmp_spark.analysis.si import sinhala_analyzer
@@ -115,6 +121,12 @@ ANALYZER_FACTORIES = {
     "or": odia_analyzer,
     "pa": punjabi_analyzer,
     "si": sinhala_analyzer,
+    "ceb": cebuano_analyzer,
+    "jv": javanese_analyzer,
+    "ms": malay_analyzer,
+    "su": sundanese_analyzer,
+    "tl": tagalog_analyzer,
+    "vi": vietnamese_analyzer,
     "th": thai_analyzer,
     "tr": turkish_analyzer,
     "ne": nepali_analyzer,

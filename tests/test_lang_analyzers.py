@@ -1983,3 +1983,97 @@ def test_registry_routes_extra_indic():
     assert analyzer_for("kn")("ಮನೆಗೆ")[0] == ["ಮನೆ"]
     assert analyzer_for("as")("ঘৰলৈ")[0] == ["ঘৰ"]
     assert analyzer_for("si")("ගෙදරට")[0] == ["ගෙදර"]
+
+
+# ------------------------------------- extra module: SEA family
+
+def test_malay_analyzer_goldens():
+    """TestMalayAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.ms import malay_analyzer
+
+    a = malay_analyzer()
+    assert a("Membaca")[0] == ["baca"]
+    assert a("Dituliskan")[0] == ["tulis"]
+    assert a("dan yang kepada")[0] == []
+    assert a("١٢٣٤")[0] == ["1234"]
+    ex = malay_analyzer(stem_exclusions=("membaca",))
+    assert ex("Membaca")[0] == ["membaca"]
+
+
+def test_javanese_analyzer_goldens():
+    """TestJavaneseAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.jv import javanese_analyzer
+
+    a = javanese_analyzer()
+    assert a("Ditulisake")[0] == ["tulis"]
+    assert a("Buku")[0] == ["buku"]
+    assert a("aku lan dheweke ditulisake buku")[0] == ["tulis", "buku"]
+    assert a("1234")[0] == ["1234"]
+    ex = javanese_analyzer(stem_exclusions=("ditulisake",))
+    assert ex("Ditulisake")[0] == ["ditulisake"]
+
+
+def test_sundanese_analyzer_goldens():
+    """TestSundaneseAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.su import sundanese_analyzer
+
+    a = sundanese_analyzer()
+    assert a("Dibacakeun")[0] == ["baca"]
+    assert a("Buku")[0] == ["buku"]
+    assert a("abdi jeung anjeunna dibacakeun buku")[0] == ["baca", "buku"]
+    assert a("١٢٣٤")[0] == ["1234"]
+    ex = sundanese_analyzer(stem_exclusions=("dibacakeun",))
+    assert ex("Dibacakeun")[0] == ["dibacakeun"]
+
+
+def test_tagalog_analyzer_goldens():
+    """TestTagalogAnalyzer.kt goldens + stemmer paths."""
+    from lucene_kmp_spark.analysis.tl import tagalog_analyzer, tagalog_stem
+
+    a = tagalog_analyzer()
+    assert a("Pilipino")[0] == ["pilipino"]
+    assert a("Tagalog")[0] == ["tagalog"]
+    assert a("1234")[0] == ["1234"]
+    # affix paths from the stemmer: prefix, infix, reduplication, suffix
+    assert tagalog_stem("nagluto") == "luto"
+    assert tagalog_stem("sumulat") == "sulat"
+    assert tagalog_stem("araw-araw") == "araw"
+
+
+def test_cebuano_analyzer_goldens():
+    """TestCebuanoAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.ceb import cebuano_analyzer
+
+    a = cebuano_analyzer()
+    assert a("Mopalit")[0] == ["palit"]
+    assert a("Gipalitan")[0] == ["palit"]
+    assert a("Ang mga tawo sa Cebu ug Pransiya")[0] == ["tawo", "cebu"]
+    assert a("१२३४")[0] == ["1234"]
+    ex = cebuano_analyzer(stem_exclusions=("mopalit",))
+    assert ex("Mopalit")[0] == ["mopalit"]
+
+
+def test_vietnamese_analyzer_goldens():
+    """TestVietnameseAnalyzer.kt goldens — bigram compounds, URLs, folds."""
+    from lucene_kmp_spark.analysis.vi import (
+        vietnamese_analyzer, vietnamese_tokenize)
+
+    assert vietnamese_tokenize("công nghệ thông tin Việt Nam") == [
+        "công nghệ", "thông tin", "việt nam"]
+    a = vietnamese_analyzer()
+    assert a("công nghệ thông tin Việt Nam")[0] == [
+        "cong nghe", "thong tin", "viet nam"]
+    assert a("Công nghệ thông tin Việt Nam https://duydo.me")[0] == [
+        "cong nghe", "thong tin", "viet nam", "https", "duydo", "me"]
+    assert a("điện thoại Việt")[0] == ["dien thoai", "viet"]
+
+
+def test_registry_routes_sea():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("ms")("Membaca")[0] == ["baca"]
+    assert analyzer_for("jv")("Ditulisake")[0] == ["tulis"]
+    assert analyzer_for("su")("Dibacakeun")[0] == ["baca"]
+    assert analyzer_for("tl")("Pilipino")[0] == ["pilipino"]
+    assert analyzer_for("ceb")("Mopalit")[0] == ["palit"]
+    assert analyzer_for("vi")("điện thoại Việt")[0] == ["dien thoai", "viet"]

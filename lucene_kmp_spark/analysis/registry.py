@@ -29,7 +29,12 @@ from lucene_kmp_spark.analysis.gu import gujarati_analyzer
 from lucene_kmp_spark.analysis.kn import kannada_analyzer
 from lucene_kmp_spark.analysis.ml import malayalam_analyzer
 from lucene_kmp_spark.analysis.ceb import cebuano_analyzer
+from lucene_kmp_spark.analysis.ha import hausa_analyzer
+from lucene_kmp_spark.analysis.ig import igbo_analyzer
 from lucene_kmp_spark.analysis.jv import javanese_analyzer
+from lucene_kmp_spark.analysis.km import khmer_analyzer
+from lucene_kmp_spark.analysis.my import burmese_analyzer
+from lucene_kmp_spark.analysis.yo import yoruba_analyzer
 from lucene_kmp_spark.analysis.mr import marathi_analyzer
 from lucene_kmp_spark.analysis.ms import malay_analyzer
 from lucene_kmp_spark.analysis.su import sundanese_analyzer
@@ -122,6 +127,11 @@ ANALYZER_FACTORIES = {
     "pa": punjabi_analyzer,
     "si": sinhala_analyzer,
     "ceb": cebuano_analyzer,
+    "ha": hausa_analyzer,
+    "ig": igbo_analyzer,
+    "km": khmer_analyzer,
+    "my": burmese_analyzer,
+    "yo": yoruba_analyzer,
     "jv": javanese_analyzer,
     "ms": malay_analyzer,
     "su": sundanese_analyzer,

@@ -2077,3 +2077,90 @@ def test_registry_routes_sea():
     assert analyzer_for("tl")("Pilipino")[0] == ["pilipino"]
     assert analyzer_for("ceb")("Mopalit")[0] == ["palit"]
     assert analyzer_for("vi")("điện thoại Việt")[0] == ["dien thoai", "viet"]
+
+
+# --------------------------------- extra module: km/my/ha/yo/ig
+
+def test_hausa_analyzer_goldens():
+    """TestHausaAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.ha import hausa_analyzer
+
+    a = hausa_analyzer()
+    assert a("Nakarantawa")[0] == ["karanta"]
+    assert a("ƙasa")[0] == ["kasa"]
+    assert a("ni da su nakarantawa")[0] == ["karanta"]
+    assert a("١٢٣٤")[0] == ["1234"]
+    ex = hausa_analyzer(stem_exclusions=("nakarantawa",))
+    assert ex("Nakarantawa")[0] == ["nakarantawa"]
+
+
+def test_yoruba_analyzer_goldens():
+    """TestYorubaAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.yo import yoruba_analyzer
+
+    a = yoruba_analyzer()
+    assert a("Yorùbá")[0] == ["yoruba"]
+    assert a("ìkọwé")[0] == ["kowe"]
+    assert a("àwọn ọmọ ní ilé ìkọwé")[0] == ["omo", "ile", "kowe"]
+    assert a("١٢٣٤")[0] == ["1234"]
+
+
+def test_igbo_analyzer_goldens():
+    """TestIgboAnalyzer.kt goldens."""
+    from lucene_kmp_spark.analysis.ig import igbo_analyzer
+
+    a = igbo_analyzer()
+    assert a("Ikwughi")[0] == ["kwu"]
+    assert a("Akwụkwọ")[0] == ["akwukwo"]
+    assert a("anyi na ha ikwughi akwukwo")[0] == ["kwu", "akwukwo"]
+    assert a("١٢٣٤")[0] == ["1234"]
+    ex = igbo_analyzer(stem_exclusions=("ikwughi",))
+    assert ex("Ikwughi")[0] == ["ikwughi"]
+
+
+def test_khmer_analyzer_goldens():
+    """TestKhmerAnalyzer.kt goldens — reorder, stopwords, numbers."""
+    from lucene_kmp_spark.analysis.km import khmer_analyzer
+
+    a = khmer_analyzer()
+    assert a("ខ្ញុំ")[0] == ["ខ្ញុំ"]
+    assert a("សើុ")[0] == ["ស៊ើ"]       # reorder + triisap upshift
+    assert a("ប្តី")[0] == ["ប្ដី"]       # coeng da -> ta replacement
+    st = khmer_analyzer(enable_stopwords=True)
+    assert st("ខ្ញុំ")[0] == []
+    assert st("ទេ")[0] == []
+    num = khmer_analyzer(khmer_number=True)
+    assert num("១២៣៤៥")[0] == ["12345"]
+    assert num("១២៣.៤៥")[0] == ["123", "45"]
+    both = khmer_analyzer(enable_stopwords=True, khmer_number=True)
+    assert both("ខ្ញុំ ១២៣៤៥")[0] == ["12345"]
+    assert num("ស៉")[0] == ["ស៉"]
+
+
+def test_burmese_analyzer_goldens():
+    """TestBurmeseAnalyzer.kt goldens — segmentation, particles, digits."""
+    from lucene_kmp_spark.analysis.my import (
+        burmese_analyzer, burmese_normalize, burmese_stem)
+
+    a = burmese_analyzer()
+    assert a("မြန်မာစာ")[0] == ["မြန်", "မာ", "စာ"]
+    assert a("သူသည်စာအုပ်တွေဖတ်သည်")[0] == ["စာ", "အုပ်", "ဖတ်"]
+    assert a("၁၂၃၄")[0] == ["1234"]
+    assert a("သူတို့က မြန်မာစာကို ဖတ်သည်")[0] == ["မြန်", "မာ", "စာ", "ဖတ်"]
+    ex = burmese_analyzer(stop_words=(), stem_exclusions=("စာအုပ်တွေ",))
+    assert ex("စာအုပ်တွေ")[0] == ["စာ", "အုပ်", "တွေ"]
+    # filter-level goldens
+    assert burmese_normalize("၁၂​၃၄") == "1234"
+    assert burmese_stem("စာအုပ်တွေ") == "စာအုပ်"
+    assert burmese_stem("လူများ") == "လူ"
+    assert burmese_stem("မြန်မာတို့") == "မြန်မာ"
+
+
+def test_registry_routes_km_my_ha_yo_ig():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("ha")("Nakarantawa")[0] == ["karanta"]
+    assert analyzer_for("yo")("ìkọwé")[0] == ["kowe"]
+    assert analyzer_for("ig")("Ikwughi")[0] == ["kwu"]
+    assert analyzer_for("km")("ប្តី")[0] == ["ប្ដី"]
+    assert analyzer_for("my")("မြန်မာစာ")[0] == ["မြန်", "မာ", "စာ"]

@@ -85,6 +85,11 @@ from lucene_kmp_spark.analysis.th import thai_analyzer
 from lucene_kmp_spark.analysis.tr import turkish_analyzer
 from lucene_kmp_spark.analysis.ur import urdu_analyzer
 from lucene_kmp_spark.analysis.te import telugu_analyzer
+from lucene_kmp_spark.analysis.be import belarusian_analyzer
+from lucene_kmp_spark.analysis.ht import haitian_analyzer
+from lucene_kmp_spark.analysis.ilo import ilocano_analyzer
+from lucene_kmp_spark.analysis.ti import tigrinya_analyzer
+from lucene_kmp_spark.analysis.uz import uzbek_analyzer
 
 ANALYZER_FACTORIES = {
     "standard": standard_analyzer,
@@ -137,6 +142,11 @@ ANALYZER_FACTORIES = {
     "su": sundanese_analyzer,
     "tl": tagalog_analyzer,
     "vi": vietnamese_analyzer,
+    "be": belarusian_analyzer,
+    "ht": haitian_analyzer,
+    "ilo": ilocano_analyzer,
+    "ti": tigrinya_analyzer,
+    "uz": uzbek_analyzer,
     "th": thai_analyzer,
     "tr": turkish_analyzer,
     "ne": nepali_analyzer,

@@ -2164,3 +2164,83 @@ def test_registry_routes_km_my_ha_yo_ig():
     assert analyzer_for("ig")("Ikwughi")[0] == ["kwu"]
     assert analyzer_for("km")("ប្តី")[0] == ["ប្ដី"]
     assert analyzer_for("my")("မြန်မာစာ")[0] == ["မြန်", "မာ", "စာ"]
+
+
+# --------------------------------- extra module: be/ht/ilo/ti/uz
+
+def test_belarusian_analyzer_goldens():
+    """TestBelarusianAnalyzer.kt goldens — stem, apostrophe fold, digits."""
+    from lucene_kmp_spark.analysis.be import belarusian_analyzer
+
+    a = belarusian_analyzer()
+    assert a("Мінску")[0] == ["мінск"]
+    assert a("пʼе")[0] == ["п'е"]
+    assert a("١٢٣٤")[0] == ["1234"]
+    assert a("я і ты ў мінску")[0] == ["мінск"]
+    ex = belarusian_analyzer(stem_exclusions=("мінску",))
+    assert ex("Мінску")[0] == ["мінску"]
+
+
+def test_haitian_analyzer_goldens():
+    """TestHaitianCreoleAnalyzer.kt goldens — diacritic fold, -man strip."""
+    from lucene_kmp_spark.analysis.ht import haitian_analyzer
+
+    a = haitian_analyzer()
+    assert a("Kreyòl")[0] == ["kreyol"]
+    assert a("rapidman")[0] == ["rapid"]
+    assert a("١٢٣٤")[0] == ["1234"]
+    assert a("Mwen ap pale ak timoun yo rapidman")[0] == \
+        ["pale", "timoun", "rapid"]
+    ex = haitian_analyzer(stem_exclusions=("rapidman",))
+    assert ex("rapidman")[0] == ["rapidman"]
+
+
+def test_ilocano_analyzer_goldens():
+    """TestIlocanoAnalyzer.kt goldens — affix strip, stopwords."""
+    from lucene_kmp_spark.analysis.ilo import ilocano_analyzer
+
+    a = ilocano_analyzer()
+    assert a("Ilokáno")[0] == ["ilokano"]
+    assert a("nagadal")[0] == ["adal"]
+    assert a("١٢٣٤")[0] == ["1234"]
+    assert a("dagiti ubing ket agbasa iti libro")[0] == \
+        ["ubing", "basa", "libro"]
+    ex = ilocano_analyzer(stem_exclusions=("nagadal",))
+    assert ex("nagadal")[0] == ["nagadal"]
+
+
+def test_tigrinya_analyzer_goldens():
+    """TestTigrinyaAnalyzer.kt goldens — Ethiopic normalize, plural strip."""
+    from lucene_kmp_spark.analysis.ti import tigrinya_analyzer
+
+    a = tigrinya_analyzer()
+    assert a("መፅሐፍታት")[0] == ["መጽሀፍ"]
+    assert a("ሠላም")[0] == ["ሰላም"]
+    assert a("١٢٣٤")[0] == ["1234"]
+    assert a("እቲ ኣብ መፅሐፍታት እዩ")[0] == ["መጽሀፍ"]
+    ex = tigrinya_analyzer(stem_exclusions=("መፅሐፍታት",))
+    assert ex("መፅሐፍታት")[0] == ["መፅሐፍታት"]
+
+
+def test_uzbek_analyzer_goldens():
+    """TestUzbekAnalyzer.kt goldens — apostrophe-aware tokens, suffix loop."""
+    from lucene_kmp_spark.analysis.uz import uzbek_analyzer
+
+    a = uzbek_analyzer()
+    assert a("Oʻzbekistonda")[0] == ["o'zbekiston"]
+    assert a("kitoblardan")[0] == ["kitob"]
+    assert a("uylarimizdan")[0] == ["uy"]
+    assert a("١٢٣٤")[0] == ["1234"]
+    assert a("bu kitoblar va uylar")[0] == ["kitob", "uy"]
+    ex = uzbek_analyzer(stem_exclusions=("kitoblardan",))
+    assert ex("kitoblardan")[0] == ["kitoblardan"]
+
+
+def test_registry_routes_be_ht_ilo_ti_uz():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("be")("Мінску")[0] == ["мінск"]
+    assert analyzer_for("ht")("rapidman")[0] == ["rapid"]
+    assert analyzer_for("ilo")("nagadal")[0] == ["adal"]
+    assert analyzer_for("ti")("ሠላም")[0] == ["ሰላም"]
+    assert analyzer_for("uz")("kitoblardan")[0] == ["kitob"]

@@ -90,6 +90,8 @@ from lucene_kmp_spark.analysis.ht import haitian_analyzer
 from lucene_kmp_spark.analysis.ilo import ilocano_analyzer
 from lucene_kmp_spark.analysis.ti import tigrinya_analyzer
 from lucene_kmp_spark.analysis.uz import uzbek_analyzer
+from lucene_kmp_spark.analysis.am import amharic_analyzer
+from lucene_kmp_spark.analysis.om import oromo_analyzer
 
 ANALYZER_FACTORIES = {
     "standard": standard_analyzer,
@@ -147,6 +149,8 @@ ANALYZER_FACTORIES = {
     "ilo": ilocano_analyzer,
     "ti": tigrinya_analyzer,
     "uz": uzbek_analyzer,
+    "am": amharic_analyzer,
+    "om": oromo_analyzer,
     "th": thai_analyzer,
     "tr": turkish_analyzer,
     "ne": nepali_analyzer,

@@ -2244,3 +2244,53 @@ def test_registry_routes_be_ht_ilo_ti_uz():
     assert analyzer_for("ilo")("nagadal")[0] == ["adal"]
     assert analyzer_for("ti")("ሠላም")[0] == ["ሰላም"]
     assert analyzer_for("uz")("kitoblardan")[0] == ["kitob"]
+
+
+# --------------------------------- horn module: am/om
+
+def test_amharic_analyzer_goldens():
+    """TestAmharicAnalyzer.kt + TestAmharicStemmer.kt goldens."""
+    from lucene_kmp_spark.analysis.am import amharic_analyzer, amharic_stem
+
+    a = amharic_analyzer()
+    assert a("የማያስፈልጋትስ")[0] == ["አስፈለገ"]
+    assert a("አይደለችም")[0] == ["ነው"]
+    assert a("ይመጣሉ")[0] == ["መጣ"]
+    assert a("መጽሐፎችን")[0] == ["መፅሀፍ"]      # normalized then light-stemmed
+    assert a("ለዘመዶቻችንም")[0] == ["ዘመድ"]
+    assert a("ሀገር")[0] == ["hager"]          # Ge'ez -> SERA lexicon hit
+    assert a("na")[0] == ["mT'"]
+    assert a("yehagerocn")[0] == ["hager"]
+    ex = amharic_analyzer(stem_exclusions=("ይመጣሉ",))
+    assert ex("ይመጣሉ")[0] == ["ይመጣሉ"]
+    # stemmer-level (pre-normalization) goldens
+    assert amharic_stem("መጽሐፎችን") == "መጽሐፍ"
+    assert amharic_stem("x") == "x"
+    assert amharic_stem("zzzzzz") == "zzzzzz"
+
+
+def test_oromo_analyzer_goldens():
+    """TestOromoAnalyzer.kt + TestOromoStemmer.kt goldens."""
+    from lucene_kmp_spark.analysis.om import oromo_analyzer, oromo_stem
+
+    a = oromo_analyzer()
+    assert a("afeeramaniiru")[0] == ["afeeramuu"]
+    assert a("dubbanne")[0] == ["dubbachuu"]
+    assert a("Namoota")[0] == ["nama"]
+    assert a("manaan")[0] == ["mana"]
+    assert a("fedhi")[0] == ["fedh"]
+    assert a("Ameerikaanummaa")[0] == ["ameerikaanummaa"]
+    assert a("Ameerikaatti")[0] == ["ameerikaa"]
+    ex = oromo_analyzer(stem_exclusions=("namoota",))
+    assert ex("Namoota")[0] == ["namoota"]
+    assert oromo_stem("galmeewwan") == "galmee"
+    assert oromo_stem("manatti") == "mana"
+    assert oromo_stem("ab") == "ab"
+    assert oromo_stem("zzzzzz") == "zzzzzz"
+
+
+def test_registry_routes_am_om():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("am")("ይመጣሉ")[0] == ["መጣ"]
+    assert analyzer_for("om")("Namoota")[0] == ["nama"]

@@ -91,6 +91,7 @@ from lucene_kmp_spark.analysis.ilo import ilocano_analyzer
 from lucene_kmp_spark.analysis.ti import tigrinya_analyzer
 from lucene_kmp_spark.analysis.uz import uzbek_analyzer
 from lucene_kmp_spark.analysis.am import amharic_analyzer
+from lucene_kmp_spark.analysis.ckb import sorani_analyzer
 from lucene_kmp_spark.analysis.om import oromo_analyzer
 
 ANALYZER_FACTORIES = {
@@ -151,6 +152,7 @@ ANALYZER_FACTORIES = {
     "uz": uzbek_analyzer,
     "am": amharic_analyzer,
     "om": oromo_analyzer,
+    "ckb": sorani_analyzer,
     "th": thai_analyzer,
     "tr": turkish_analyzer,
     "ne": nepali_analyzer,

@@ -2294,3 +2294,41 @@ def test_registry_routes_am_om():
 
     assert analyzer_for("am")("ይመጣሉ")[0] == ["መጣ"]
     assert analyzer_for("om")("Namoota")[0] == ["nama"]
+
+
+def test_sorani_analyzer_goldens():
+    """TestSoraniAnalyzer/StemFilter/NormalizationFilter goldens (ckb)."""
+    from lucene_kmp_spark.analysis.ckb import (
+        sorani_analyzer, sorani_normalize)
+
+    a = sorani_analyzer()
+    assert a("ئەم پیاوە")[0] == ["پیاو"]          # stopword drop + stem
+    assert a("١٢٣٤")[0] == ["1234"]
+    for text, exp in [
+        ("پیاوێک", "پیاو"), ("دەرگایەک", "دەرگا"), ("پیاوەكە", "پیاو"),
+        ("دەرگاكە", "دەرگا"), ("کتاویە", "کتاوی"), ("دەرگایە", "دەرگا"),
+        ("پیاوان", "پیاو"), ("دەرگایان", "دەرگا"), ("پیاوەکان", "پیاو"),
+        ("دەرگاکان", "دەرگا"), ("پیاوانە", "پیاو"), ("دەرگایانە", "دەرگا"),
+        ("هۆتیلی", "هۆتیل"), ("هۆتیلێکی", "هۆتیل"), ("هۆتیلانی", "هۆتیل"),
+        ("دوورەوە", "دوور"), ("نیوەشەودا", "نیوەشەو"), ("سۆرانا", "سۆران"),
+        ("پارەمان", "پارە"), ("پارەتان", "پارە"), ("پارەیان", "پارە"),
+    ]:
+        assert a(text)[0] == [exp], (text, a(text)[0], exp)
+    ex = sorani_analyzer(stem_exclusions=("پیاوەکان",))
+    assert ex("پیاوەکان")[0] == ["پیاوەکان"]
+    # normalizer-level goldens (TestSoraniNormalizationFilter.kt)
+    for src, exp in [
+        ("ي", "ی"), ("ى", "ی"), ("ی", "ی"), ("ك", "ک"), ("ک", "ک"),
+        ("ه‌", "ە"), ("ه‌ک", "ەک"), ("ھ", "ه"), ("ة", "ە"),
+        ("ههه", "ههە"), ("ڒ", "ڕ"), ("ررر", "ڕرر"),
+        ("ـ", ""), ("ً", ""), ("ٌ", ""), ("ٍ", ""),
+        ("َ", ""), ("ُ", ""), ("ِ", ""), ("ّ", ""),
+        ("ْ", ""), ("‌", ""),
+    ]:
+        assert sorani_normalize(src) == exp, (src, sorani_normalize(src))
+
+
+def test_registry_routes_ckb():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("ckb")("پیاوەکان")[0] == ["پیاو"]

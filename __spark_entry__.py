@@ -1605,6 +1605,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["synonym_index_term"] = q_synonym_index_term
     q["synonym_index_phrase"] = q_synonym_index_phrase
 
+    # ---- HTMLStripCharFilter (charfilter/HTMLStripCharFilter.kt): the
+    # pure-column strip over deterministically wrapped HTML; the oracle
+    # derives the expected text from first principles ----
+    def q_html_strip(spark, sf_dir):
+        from lucene_kmp_spark.analysis.charfilter import html_strip_col
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+        wrapped = F.concat(
+            F.lit('<div class="x">'), F.col("text"),
+            F.lit('</div> <a href="#f">link</a> &amp; <!-- c -->tail'))
+        return d.select("doc_id", html_strip_col(wrapped).alias("stripped"))
+
+    q["html_strip_pipeline"] = q_html_strip
+
+    # ---- UAX29URLEmailTokenizer (email/UAX29URLEmailTokenizerImpl.kt):
+    # URL + EMAIL single-token extraction over synthesized addresses; the
+    # oracle reconstructs both from doc_id directly ----
+    def q_url_email(spark, sf_dir):
+        from lucene_kmp_spark.analysis.urlemail import (
+            EMAIL_TYPE, URL_TYPE, uax29_url_email_tokenize)
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+            "doc_id",
+            F.concat(
+                F.lit("contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or https://site"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit(".org/p/"), F.col("doc_id").cast("string"),
+                F.lit(" now")).alias("msg"))
+
+        def _first_of(kind):
+            def f(s):
+                return s.map(lambda t: next(
+                    (tok.term for tok in uax29_url_email_tokenize(t)
+                     if tok.type == kind), None))
+            return F.pandas_udf(f, "string")
+
+        return d.select(
+            "doc_id",
+            _first_of(URL_TYPE)(F.col("msg")).alias("url"),
+            _first_of(EMAIL_TYPE)(F.col("msg")).alias("email"))
+
+    q["url_email_tokens"] = q_url_email
+
     return q
 
 
@@ -3285,6 +3329,21 @@ SELECT doc_id FROM rng WHERE {pred}
 """
     o["range_field_within"] = _rng_base.format(pred="rng_lo >= 120.0 AND rng_hi <= 210.0")
     o["range_field_contains"] = _rng_base.format(pred="rng_lo <= 120.0 AND rng_hi >= 210.0")
+    # HTMLStripCharFilter column path: expected text derived directly
+    o["html_strip_pipeline"] = """
+SELECT doc_id, chr(10) || text || chr(10) || ' link & tail' AS stripped
+FROM documents WHERE doc_id < 100
+"""
+
+    # UAX29URLEmailTokenizer: URL/EMAIL reconstructed from doc_id
+    o["url_email_tokens"] = """
+SELECT doc_id,
+       'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.org/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+       'user' || CAST(doc_id AS VARCHAR) || '@example.com' AS email
+FROM documents WHERE doc_id < 200
+"""
+
     o["range_field_crosses"] = _rng_base.format(
         pred="(rng_lo <= 210.0 AND rng_hi >= 120.0)"
         " AND NOT (rng_lo >= 120.0 AND rng_hi <= 210.0)"

@@ -1649,6 +1649,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_email_tokens"] = q_url_email
 
+    # ---- WordDelimiterGraphFilter (miscellaneous/WordDelimiterGraphFilter.kt)
+    # case/number splits over synthesized model strings; oracle rebuilds the
+    # expected parts from doc_id directly ----
+    def q_word_delimiter(spark, sf_dir):
+        from lucene_kmp_spark.analysis.worddelimiter import (
+            word_delimiter_graph_filter)
+
+        wdf = word_delimiter_graph_filter(catenate_all=True)
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+            "doc_id",
+            F.concat(F.lit("PowerShot"),
+                     F.col("doc_id").cast("string")).alias("model"))
+
+        def f(s):
+            def parts(t):
+                terms, _ = wdf([t], [0])
+                return "|".join(terms)
+            return s.map(parts)
+
+        return d.select(
+            "doc_id",
+            F.pandas_udf(f, "string")(F.col("model")).alias("parts"))
+
+    q["word_delimiter_parts"] = q_word_delimiter
+
+    # ---- ClassicTokenizer (classic/ClassicTokenizerImpl.jflex grammar):
+    # HOST and NUM tokens over synthesized text; oracle rebuilds both ----
+    def q_classic(spark, sf_dir):
+        from lucene_kmp_spark.analysis.classic import classic_tokenize
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+            "doc_id",
+            F.concat(
+                F.lit("visit www.site"), (F.col("doc_id") % 10).cast("string"),
+                F.lit(".org ref "), F.col("doc_id").cast("string"),
+                F.lit("-0-"), (F.col("doc_id") * 3).cast("string"),
+            ).alias("msg"))
+
+        def _typed(kind):
+            def f(s):
+                return s.map(lambda t: next(
+                    (term for term, ty, _p in classic_tokenize(t)
+                     if ty == kind), None))
+            return F.pandas_udf(f, "string")
+
+        return d.select(
+            "doc_id",
+            _typed("<HOST>")(F.col("msg")).alias("host"),
+            _typed("<NUM>")(F.col("msg")).alias("num"))
+
+    q["classic_tokens"] = q_classic
+
     return q
 
 
@@ -3341,6 +3393,24 @@ SELECT doc_id,
        'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.org/p/'
            || CAST(doc_id AS VARCHAR) AS url,
        'user' || CAST(doc_id AS VARCHAR) || '@example.com' AS email
+FROM documents WHERE doc_id < 200
+"""
+
+    # WordDelimiterGraphFilter: PowerShot<N> with catenate_all sorts the
+    # catenation first (startPart 0, longest span), then Power, Shot, N
+    o["word_delimiter_parts"] = """
+SELECT doc_id,
+       'PowerShot' || CAST(doc_id AS VARCHAR) || '|Power|Shot|'
+           || CAST(doc_id AS VARCHAR) AS parts
+FROM documents WHERE doc_id < 200
+"""
+
+    # ClassicTokenizer: first HOST and first NUM reconstructed from doc_id
+    o["classic_tokens"] = """
+SELECT doc_id,
+       'www.site' || CAST(doc_id % 10 AS VARCHAR) || '.org' AS host,
+       CAST(doc_id AS VARCHAR) || '-0-'
+           || CAST(doc_id * 3 AS VARCHAR) AS num
 FROM documents WHERE doc_id < 200
 """
 

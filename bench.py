@@ -312,8 +312,20 @@ def main():
         n_convs_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "16000"))
         hi_cores = lo_cores * 4
         try:
-            lo = _scaling_subprocess(lo_cores, n_convs_scaling)
-            hi = _scaling_subprocess(hi_cores, n_convs_scaling)
+            # INTERLEAVED lo/hi rounds: outside-tenant noise on this box comes
+            # in multi-minute epochs, so back-to-back "all lo then all hi"
+            # samples different epochs and skews the ratio either way;
+            # alternating pairs + per-level max estimates each level's
+            # uncontended capability from the same noise regime
+            rounds = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+            lo = hi = None
+            for _ in range(max(1, rounds)):
+                cand_lo = _scaling_subprocess(lo_cores, n_convs_scaling, repeats=1)
+                cand_hi = _scaling_subprocess(hi_cores, n_convs_scaling, repeats=1)
+                if lo is None or cand_lo["turns_per_sec"] > lo["turns_per_sec"]:
+                    lo = cand_lo
+                if hi is None or cand_hi["turns_per_sec"] > hi["turns_per_sec"]:
+                    hi = cand_hi
             result["scaling"] = {
                 "n_turns": hi["n_turns"],
                 "n_cores": lo_cores,

@@ -510,3 +510,54 @@ def stop_analyzer(stop_words, **kw):
     """core/StopAnalyzer.kt: LetterTokenizer + LowerCase + Stop."""
     return filter_analyzer(letter_tokenize, lowercase=True,
                            stop_words=tuple(stop_words), **kw)
+
+
+def protected_term_filter(protected_words, inner):
+    """miscellaneous/ProtectedTermFilter.kt (a ConditionalTokenFilter):
+    ``inner`` (a (terms, positions) filter) runs only over tokens NOT in
+    the protected set; protected tokens pass through in place."""
+    protected = frozenset(protected_words)
+
+    def run(terms, positions):
+        out_t = list(terms)
+        idx = [i for i, t in enumerate(terms) if t not in protected]
+        sub_t, _sub_p = inner([terms[i] for i in idx],
+                              [positions[i] for i in idx])
+        if len(sub_t) != len(idx):
+            raise ValueError(
+                "protected_term_filter requires a 1:1 inner filter")
+        for i, t in zip(idx, sub_t):
+            out_t[i] = t
+        return out_t, list(positions)
+
+    return run
+
+
+def keyword_repeat_stemmer(stem_fn):
+    """miscellaneous/KeywordRepeatFilter.kt + stemmer +
+    RemoveDuplicatesTokenFilter composition: each token is emitted as its
+    original (keyword-protected) plus its stem at the same position; the
+    duplicate collapses when the stem is a no-op."""
+    def run(terms, positions):
+        out_t, out_p = [], []
+        for t, p in zip(terms, positions):
+            stemmed = stem_fn(t)
+            out_t.append(t)
+            out_p.append(p)
+            if stemmed != t:
+                out_t.append(stemmed)
+                out_p.append(p)
+        return out_t, out_p
+
+    return run
+
+
+def concatenate_filter(separator: str = ""):
+    """miscellaneous/ConcatenateGraphFilter.kt (flattened): the whole
+    stream joins into one token in stream order (suggester input shape)."""
+    def run(terms, positions):
+        if not terms:
+            return [], []
+        return [separator.join(terms)], [positions[0]]
+
+    return run

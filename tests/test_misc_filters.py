@@ -239,6 +239,29 @@ def test_fingerprint_filter():
     assert tiny(["aaa", "bbb"], [0, 1]) == ([], [])
 
 
+def test_protected_term_filter():
+    from lucene_kmp_spark.analysis.misc import (
+        protected_term_filter, truncate_filter)
+    f = protected_term_filter(("friends",), truncate_filter(4))
+    t, p = f(["hello", "friends", "forever"], [0, 1, 2])
+    assert t == ["hell", "friends", "fore"] and p == [0, 1, 2]
+
+
+def test_keyword_repeat_stemmer():
+    from lucene_kmp_spark.analysis.en import porter_stem
+    from lucene_kmp_spark.analysis.misc import keyword_repeat_stemmer
+    f = keyword_repeat_stemmer(porter_stem)
+    t, p = f(["running", "run"], [0, 1])
+    assert t == ["running", "run", "run"] and p == [0, 0, 1]
+
+
+def test_concatenate_filter():
+    from lucene_kmp_spark.analysis.misc import concatenate_filter
+    f = concatenate_filter(" ")
+    assert f(["a", "b", "c"], [0, 1, 2]) == (["a b c"], [0])
+    assert f([], []) == ([], [])
+
+
 def test_filter_analyzer_composition():
     a = filter_analyzer(
         whitespace_tokenize,

@@ -112,9 +112,11 @@ class QueryParser:
     def _parse_query(self, toks, depth: int = 0) -> tuple[Query, list]:
         must, should, must_not = [], [], []
         pending_op = None  # 'and' | 'or'
+        exit_boost = 1.0  # boost attached to the closing paren: (a b)^2
         while toks:
             kind, val, boost = toks[0]
             if kind == "rparen":
+                exit_boost = boost
                 toks = toks[1:]
                 break
             if kind in ("and", "or"):
@@ -152,10 +154,18 @@ class QueryParser:
                 should.append(q)
             pending_op = None
         if len(should) == 1 and not must and not must_not:
-            return should[0], toks
-        if not should and not must and not must_not:
-            return MatchAllDocsQuery(), toks
-        return BooleanQuery.build(must=tuple(must), should=tuple(should), must_not=tuple(must_not)), toks
+            q = should[0]
+        elif not should and not must and not must_not:
+            q = MatchAllDocsQuery()
+        else:
+            q = BooleanQuery.build(
+                must=tuple(must), should=tuple(should), must_not=tuple(must_not)
+            )
+        if exit_boost != 1.0:
+            import dataclasses
+
+            q = dataclasses.replace(q, boost=q.boost * exit_boost)
+        return q, toks
 
     def _parse_atom(self, toks, depth) -> tuple[Query | None, list]:
         kind, val, boost = toks[0]

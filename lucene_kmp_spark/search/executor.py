@@ -754,6 +754,14 @@ class IndexSearcher:
                 pred = F.col("term").isin(self._regexp_terms(inner))
             elif isinstance(inner, TermRangeQuery):
                 pred = _range_pred(inner)
+            elif isinstance(inner, FuzzyQuery):
+                # FuzzyTermsEnum expansion (same candidates / similarity
+                # ordering / cap as _exec_fuzzy) — ComplexPhraseQueryParser
+                # wraps fuzzy phrase elements this way
+                return SpanOrQuery(
+                    tuple(SpanTermQuery(t) for t in self._fuzzy_terms(inner)),
+                    boost=q.boost,
+                )
             else:
                 raise NotImplementedError(
                     f"SpanMultiTermWrapper over {type(inner).__name__}"

@@ -509,6 +509,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_first_docset"] = q_span_first
 
+    # ---- ComplexPhraseQueryParser (queryparser/complexPhrase/
+    # ComplexPhraseQueryParser.kt): embedded boolean group / wildcard /
+    # negation inside a quoted phrase, compiled onto the span algebra ----
+    def q_complex_phrase(spark, sf_dir):
+        from lucene_kmp_spark.queryparser.complexphrase import parse_complex
+
+        s = _searcher64(spark, sf_dir)
+        q_ast = parse_complex('"(merge OR join) order"')
+        return s.execute(q_ast).select("doc_id").distinct()
+
+    q["complex_phrase_docset"] = q_complex_phrase
+
+    def q_complex_phrase_neg(spark, sf_dir):
+        from lucene_kmp_spark.queryparser.complexphrase import parse_complex
+
+        s = _searcher64(spark, sf_dir)
+        q_ast = parse_complex('"(sc* -scan) join"')
+        return s.execute(q_ast).select("doc_id").distinct()
+
+    q["complex_phrase_neg_docset"] = q_complex_phrase_neg
+
     # ---- stored-field / feature / sort / rescore operators ----
     def q_feature(spark, sf_dir):
         from lucene_kmp_spark.search.query import FeatureQuery
@@ -1955,6 +1976,24 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
     o["span_first_docset"] = """
 SELECT doc_id FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
 WHERE list_position(ts, 'merge') BETWEEN 1 AND 3
+"""
+
+    # ComplexPhraseQueryParser '"(merge OR join) order"': a token in the OR
+    # group immediately followed by 'order' (SpanNear(SpanOr, term), slop 0,
+    # ordered)
+    o["complex_phrase_docset"] = """
+SELECT doc_id FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+WHERE len(list_filter(range(1, len(ts)),
+          i -> ts[i] IN ('merge', 'join') AND ts[i + 1] = 'order')) > 0
+"""
+
+    # ComplexPhraseQueryParser '"(sc* -scan) join"': a 'sc'-prefixed token
+    # other than 'scan' immediately followed by 'join'
+    # (SpanNear(SpanNot(prefix, term), term))
+    o["complex_phrase_neg_docset"] = """
+SELECT doc_id FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+WHERE len(list_filter(range(1, len(ts)),
+          i -> ts[i] LIKE 'sc%' AND ts[i] <> 'scan' AND ts[i + 1] = 'join')) > 0
 """
 
     o["rescore_combine"] = (

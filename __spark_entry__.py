@@ -1722,6 +1722,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["classic_tokens"] = q_classic
 
+    # ---- Morfologik dictionary lemmatization (morfologik/stemming/
+    # DictionaryLookup.kt over the FSA5 test dictionary embedded in the
+    # reference's TestMorfologikFilterFactory.kt) ----
+    def q_morfologik(spark, sf_dir):
+        import base64
+
+        from lucene_kmp_spark.analysis.morfologik import (
+            load_dictionary, morfologik_analyzer)
+
+        dict_b = base64.b64decode(
+            "XGZzYQVfKwIAAABeBmkGbgZmBmwGZQZjBnQGZQZkBjG4ATIGOwZBBkQGRgZtBm0"
+            "GYQYyBjsGdAZhBmcGMgMAOwZBBkQGRgZtBm0GYQYxBjsGdAZhBmcGMQMA")
+        info_b = b"fsa.dict.separator=;\nfsa.dict.encoding=UTF-8\nfsa.dict.encoder=INFIX\n"
+        an = morfologik_analyzer(load_dictionary(dict_b, info_b))
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+            "doc_id",
+            F.concat(F.lit("inflected"),
+                     ((F.col("doc_id") % 2) + 1).cast("string")).alias("w"))
+
+        def f(s):
+            return s.map(lambda t: "|".join(an(t)[0]))
+
+        return d.select(
+            "doc_id", F.pandas_udf(f, "string")(F.col("w")).alias("lemma"))
+
+    q["morfologik_lemmas"] = q_morfologik
+
+    # ---- HebMorph lemmatizer cascade (Lemmatizer.kt:28-60: exact /
+    # prefix-mask stripping over a DictHebMorph-shaped dictionary) ----
+    def q_hebrew(spark, sf_dir):
+        from lucene_kmp_spark.analysis.hebrew import (
+            HebrewDictionary, hebrew_analyzer)
+
+        d_heb = HebrewDictionary(
+            entries={"ספר": (63, [("ספר", 63)]), "בית": (1, [("בית", 1)])},
+            prefixes={"ה": 1},
+        )
+        an = hebrew_analyzer(d_heb)
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("הבית"))
+             .otherwise(F.lit("ספר")).alias("w"))
+
+        def f(s):
+            return s.map(lambda t: "|".join(an(t)[0]))
+
+        return d.select(
+            "doc_id", F.pandas_udf(f, "string")(F.col("w")).alias("lemma"))
+
+    q["hebrew_lemmas"] = q_hebrew
+
     return q
 
 
@@ -3450,6 +3502,18 @@ SELECT doc_id,
        'www.site' || CAST(doc_id % 10 AS VARCHAR) || '.org' AS host,
        CAST(doc_id AS VARCHAR) || '-0-'
            || CAST(doc_id * 3 AS VARCHAR) AS num
+FROM documents WHERE doc_id < 200
+"""
+
+    # Morfologik FSA5 test dictionary: inflected1->lemma1, inflected2->lemma2
+    o["morfologik_lemmas"] = """
+SELECT doc_id, 'lemma' || CAST((doc_id % 2) + 1 AS VARCHAR) AS lemma
+FROM documents WHERE doc_id < 200
+"""
+
+    # HebMorph cascade: even ids carry הבית (prefix ה + בית), odd ספר (exact)
+    o["hebrew_lemmas"] = """
+SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'בית' ELSE 'ספר' END AS lemma
 FROM documents WHERE doc_id < 200
 """
 

@@ -1080,6 +1080,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merged_segments_term"] = q_merged_segments
 
+    def q_soft_deletes(spark, sf_dir):
+        """soft-delete visibility (PendingSoftDeletes / SoftDeletesDirectory-
+        ReaderWrapper): docs with orig_id % 7 == 0 soft-delete; the default
+        reader's match set for a term excludes them while the docs stay
+        physically present (asserted by the unwrapped reader in pytest)."""
+        import os
+        import shutil
+        import tempfile
+
+        from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+
+        root = os.path.join(
+            tempfile.gettempdir(), "spark_graft_softdel_" + sf_dir.strip("/").replace("/", "_")
+        )
+        done = os.path.join(root, "_soft_ok")
+        if not os.path.exists(done):
+            shutil.rmtree(root, ignore_errors=True)
+            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+            base = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000).withColumnRenamed(
+                "doc_id", "orig_id"
+            )
+            w.add_batch(base, batch_key="b0")
+            w.soft_delete_by_keys(base.filter(F.col("orig_id") % 7 == 0).select("orig_id"))
+            with open(done, "w") as fh:
+                fh.write("ok")
+        else:
+            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+        reader = w.reader()
+        s = reader.searcher()
+        hits = s.execute(TermQuery("merge")).select("doc_id")
+        return (
+            hits.join(reader.index.docs.select("doc_id", "orig_id"), "doc_id")
+            .select(F.col("orig_id").alias("doc_id"))
+            .distinct()
+        )
+
+    q["soft_delete_docset"] = q_soft_deletes
+
     def q_dedup_pipeline(spark, sf_dir):
         """the composed 100 TB near-dup pipeline: banded LSH candidates ->
         exact Jaccard verify restricted to those pairs (never all-pairs)."""
@@ -2028,6 +2066,14 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
     o["span_first_docset"] = """
 SELECT doc_id FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
 WHERE list_position(ts, 'merge') BETWEEN 1 AND 3
+"""
+
+    # soft deletes: docs containing 'merge' minus the soft-deleted id % 7 set
+    o["soft_delete_docset"] = """
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 2000)
+WHERE term = 'merge' AND doc_id % 7 <> 0
 """
 
     # ComplexPhraseQueryParser '"(merge OR join) order"': a token in the OR

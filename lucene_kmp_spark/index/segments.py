@@ -79,6 +79,7 @@ class SegmentedIndexWriter:
         text_col="text",
         merge_policy: str = "tiered",
         merge_factor: int = LOG_MERGE_FACTOR,
+        soft_deletes_retention=None,
     ):
         assert merge_policy in ("tiered", "log_doc", "log_bytes", "none")
         self.spark = spark
@@ -87,6 +88,11 @@ class SegmentedIndexWriter:
         self.text_col = text_col
         self.merge_policy = merge_policy
         self.merge_factor = int(merge_factor)
+        # SoftDeletesRetentionMergePolicy.kt: merges PHYSICALLY KEEP
+        # soft-deleted docs that match this query (None = keep all of them);
+        # hard deletes always purge. Soft-deleted docs stay invisible to
+        # normal readers either way — retention is about recoverability.
+        self.soft_deletes_retention = soft_deletes_retention
         os.makedirs(os.path.join(root, "segments"), exist_ok=True)
         if not os.path.exists(self._manifest_path()):
             self._write_manifest({"generation": 0, "segments": [], "deletes": [], "batches": {}})
@@ -171,12 +177,50 @@ class SegmentedIndexWriter:
         doc_ids = s._doc_set(query)
         self._append_deletes(doc_ids)
 
-    def _append_deletes(self, doc_ids: DataFrame):
+    # ---------------------------------------------------------- soft deletes
+    def soft_delete_by_keys(self, keys: DataFrame):
+        """Soft delete (index/PendingSoftDeletes.kt analog): the docs become
+        invisible to normal readers but stay physically recoverable — merges
+        retain them per ``soft_deletes_retention`` and ``undelete_by_keys``
+        reverses the mark. The doc-values-field mechanism maps to a separate
+        manifest list instead of a per-doc column: same visibility algebra,
+        no segment rewrite to mark."""
+        reader = self.reader(include_soft_deleted=True)
+        doc_ids = reader.index.docs.join(keys, list(self.key_cols), "left_semi").select("doc_id")
+        self._append_deletes(doc_ids, soft=True)
+
+    def soft_delete_by_query(self, query):
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        reader = self.reader(include_soft_deleted=True)
+        doc_ids = IndexSearcher(reader.index)._doc_set(query)
+        self._append_deletes(doc_ids, soft=True)
+
+    def undelete_by_keys(self, keys: DataFrame):
+        """Reverse a soft delete (the point of soft deletes — rollback /
+        NRT-replication recovery): compact the soft list minus the keys."""
+        soft = self._soft_deletes_df()
+        if soft is None:
+            return
+        reader = self.reader(include_soft_deleted=True)
+        ids = reader.index.docs.join(keys, list(self.key_cols), "left_semi").select("doc_id")
+        remaining = soft.join(ids, "doc_id", "left_anti")
+        m = self.manifest()
+        path = os.path.join(self.root, "deletes", f"sdel-compact-{m['generation']:05d}")
+        remaining.select("doc_id").distinct().write.mode("overwrite").parquet(path)
+        m["soft_deletes"] = [{"path": path, "generation": m["generation"]}]
+        m["generation"] += 1
+        self._write_manifest(m)
+
+    def _append_deletes(self, doc_ids: DataFrame, soft: bool = False):
         m = self.manifest()
         gen = m["generation"]
-        path = os.path.join(self.root, "deletes", f"del-{gen:05d}")
+        prefix = "sdel" if soft else "del"
+        path = os.path.join(self.root, "deletes", f"{prefix}-{gen:05d}")
         doc_ids.select("doc_id").write.mode("overwrite").parquet(path)
-        m["deletes"].append({"path": path, "generation": gen})
+        m.setdefault("soft_deletes" if soft else "deletes", []).append(
+            {"path": path, "generation": gen}
+        )
         m["generation"] += 1
         self._write_manifest(m)
 
@@ -187,11 +231,18 @@ class SegmentedIndexWriter:
         return self.add_batch(df, batch_key=batch_key)
 
     # --------------------------------------------------------------- reader
-    def reader(self, snapshot: str | None = None) -> "SegmentedReader":
+    def reader(
+        self, snapshot: str | None = None, include_soft_deleted: bool = False
+    ) -> "SegmentedReader":
         """Point-in-time reader over the current commit, or over a pinned
-        snapshot's manifest (SnapshotDeletionPolicy.getSnapshot view)."""
+        snapshot's manifest (SnapshotDeletionPolicy.getSnapshot view).
+        The default hides soft-deleted docs (SoftDeletesDirectoryReaderWrapper
+        view); ``include_soft_deleted=True`` is the unwrapped reader."""
         m = self._snapshot_manifest(snapshot) if snapshot else self.manifest()
-        return SegmentedReader(self.spark, self.root, m, self.text_col, self.key_cols)
+        return SegmentedReader(
+            self.spark, self.root, m, self.text_col, self.key_cols,
+            include_soft_deleted=include_soft_deleted,
+        )
 
     # ---------------------------------------------------------------- merge
     def find_merges(self) -> list[list[dict]]:
@@ -272,6 +323,17 @@ class SegmentedIndexWriter:
         deleted = self._deletes_df()
         if deleted is not None:
             live_docs = live_docs.join(deleted, "doc_id", "left_anti")  # physical purge
+        soft = self._soft_deletes_df()
+        if soft is not None and self.soft_deletes_retention is not None:
+            # SoftDeletesRetentionMergePolicy.kt: soft-deleted docs matching
+            # the retention query survive the rewrite; the rest purge like
+            # hard deletes. (retention=None keeps every soft-deleted doc.)
+            from lucene_kmp_spark.search.executor import IndexSearcher
+
+            full = self.reader(include_soft_deleted=True)
+            keep = IndexSearcher(full.index)._doc_set(self.soft_deletes_retention)
+            purge_soft = soft.join(keep.select("doc_id"), "doc_id", "left_anti")
+            live_docs = live_docs.join(purge_soft, "doc_id", "left_anti")
         idx = build_index(live_docs, text_col=self.text_col, cache=True)
         seg_id = f"seg-merged-{m['generation']:05d}"
         seg_path = os.path.join(self.root, "segments", seg_id)
@@ -349,6 +411,15 @@ class SegmentedIndexWriter:
         path = os.path.join(self.root, "deletes", f"del-compact-{m['generation']:05d}")
         remaining.select("doc_id").distinct().write.mode("overwrite").parquet(path)
         m["deletes"] = [{"path": path, "created_at": time.time()}]
+        soft = self._soft_deletes_df()
+        if soft is not None:
+            # soft ids whose docs were physically purged (retention miss)
+            # drop from the manifest too
+            spath = os.path.join(self.root, "deletes", f"sdel-compact-{m['generation']:05d}")
+            soft.join(live, "doc_id", "semi").select("doc_id").distinct().write.mode(
+                "overwrite"
+            ).parquet(spath)
+            m["soft_deletes"] = [{"path": spath, "created_at": time.time()}]
         m["generation"] += 1
         self._write_manifest(m)
         deleted.unpersist()
@@ -434,12 +505,25 @@ class SegmentedIndexWriter:
             out = df if out is None else out.unionByName(df)
         return out.distinct()
 
+    def _soft_deletes_df(self) -> DataFrame | None:
+        m = self.manifest()
+        if not m.get("soft_deletes"):
+            return None
+        out = None
+        for d in m["soft_deletes"]:
+            df = self.spark.read.parquet(d["path"])
+            out = df if out is None else out.unionByName(df)
+        return out.distinct()
+
 
 class SegmentedReader:
     """Point-in-time composite reader over a manifest generation
     (``index/DirectoryReader.kt`` / ``BaseCompositeReader.kt``)."""
 
-    def __init__(self, spark, root, manifest, text_col, key_cols):
+    def __init__(
+        self, spark, root, manifest, text_col, key_cols,
+        include_soft_deleted: bool = False,
+    ):
         self.generation = manifest["generation"]
         self.manifest = manifest  # retained for lifetime pinning (record())
         segs = manifest["segments"]
@@ -473,15 +557,26 @@ class SegmentedReader:
             stats=IndexStats(max_doc, doc_count, sum_ttf, sum_df, num_terms),
             key_cols=tuple(key_cols),
         )
-        # liveDocs: deletes anti-joined at query time
-        deletes = manifest["deletes"]
-        self.deleted: DataFrame | None = None
-        if deletes:
+        # liveDocs: deletes anti-joined at query time; soft deletes join the
+        # live filter unless this is the unwrapped (include_soft_deleted) view
+        def _load(entries):
             out = None
-            for dd in deletes:
+            for dd in entries:
                 df = spark.read.parquet(dd["path"])
                 out = df if out is None else out.unionByName(df)
-            self.deleted = out.distinct().persist()
+            return out.distinct() if out is not None else None
+
+        hard = _load(manifest["deletes"])
+        self.soft_deleted: DataFrame | None = _load(manifest.get("soft_deletes", []))
+        self.deleted: DataFrame | None = hard
+        if not include_soft_deleted and self.soft_deleted is not None:
+            self.deleted = (
+                self.soft_deleted
+                if self.deleted is None
+                else self.deleted.unionByName(self.soft_deleted).distinct()
+            )
+        if self.deleted is not None:
+            self.deleted = self.deleted.persist()
 
     def searcher(self, **kw):
         from lucene_kmp_spark.search.executor import IndexSearcher

@@ -530,6 +530,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["complex_phrase_neg_docset"] = q_complex_phrase_neg
 
+    # ---- PII scrubbing + paragraph dedup (pipeline/scrub.py) ----
+    def q_pii_scrub(spark, sf_dir):
+        from lucene_kmp_spark.pipeline.scrub import scrub_pii
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select(
+            "doc_id",
+            F.concat(
+                F.lit("mail user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com ip 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(" done"),
+            ).alias("text"))
+        return scrub_pii(d).select("doc_id", "text")
+
+    q["pii_scrub"] = q_pii_scrub
+
+    def q_para_dedup_within(spark, sf_dir):
+        from lucene_kmp_spark.pipeline.scrub import remove_repeated_paragraphs
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n",
+                F.concat(F.lit("p"), F.col("doc_id").cast("string")),
+                F.concat(F.lit("p"), F.col("doc_id").cast("string")),
+                F.concat(F.lit("q"), F.col("doc_id").cast("string")),
+            ).alias("text"))
+        return remove_repeated_paragraphs(d).select("doc_id", "text")
+
+    q["para_dedup_within"] = q_para_dedup_within
+
+    def q_para_dedup_cross(spark, sf_dir):
+        from lucene_kmp_spark.pipeline.scrub import paragraph_dedup
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n",
+                F.concat(F.lit("shared"), (F.col("doc_id") % 5).cast("string")),
+                F.concat(F.lit("uniq"), F.col("doc_id").cast("string")),
+            ).alias("text"))
+        return paragraph_dedup(d).select("doc_id", "text")
+
+    q["para_dedup_cross"] = q_para_dedup_cross
+
     # ---- stored-field / feature / sort / rescore operators ----
     def q_feature(spark, sf_dir):
         from lucene_kmp_spark.search.query import FeatureQuery
@@ -2066,6 +2110,31 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
     o["span_first_docset"] = """
 SELECT doc_id FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
 WHERE list_position(ts, 'merge') BETWEEN 1 AND 3
+"""
+
+    # PII scrub: the synthesized email + ipv4 both redact
+    o["pii_scrub"] = """
+SELECT doc_id, 'mail [PII] ip [PII] done' AS text
+FROM documents WHERE doc_id < 500
+"""
+
+    # within-doc paragraph dedup: [p, p, q] -> [p, q]
+    o["para_dedup_within"] = """
+SELECT doc_id,
+       'p' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+           || 'q' || CAST(doc_id AS VARCHAR) AS text
+FROM documents WHERE doc_id < 500
+"""
+
+    # cross-doc paragraph dedup: sharedK survives only in doc_id = K (the
+    # min id of its class); every doc keeps its unique paragraph
+    o["para_dedup_cross"] = """
+SELECT doc_id,
+       CASE WHEN doc_id < 5
+            THEN 'shared' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10)
+                 || 'uniq' || CAST(doc_id AS VARCHAR)
+            ELSE 'uniq' || CAST(doc_id AS VARCHAR) END AS text
+FROM documents WHERE doc_id < 500
 """
 
     # soft deletes: docs containing 'merge' minus the soft-deleted id % 7 set

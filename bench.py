@@ -224,7 +224,10 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     times["p_decontam"] = round(time.perf_counter() - t, 3)
 
     t = time.perf_counter()
-    _mx.take_token_budget(docs_pq, budget=100_000).count()
+    # budget below the per-source token totals (~14k at sf0.1) so the
+    # boundary-bucket window path actually runs (a fitting budget
+    # short-circuits)
+    _mx.take_token_budget(docs_pq, budget=8_000).count()
     times["p_token_budget"] = round(time.perf_counter() - t, 3)
 
     ev_path = f"{sf_dir}/events.parquet"

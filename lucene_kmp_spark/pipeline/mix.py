@@ -192,6 +192,12 @@ def take_token_budget(
                 break
         keep_below[g], seed[g] = kb, sd
 
+    if all(keep_below[g] == n_buckets for g in per_group):
+        # every group's total already fits the budget: nothing to trim —
+        # skip the bucket filter + boundary window plan entirely (the
+        # common case when the budget is sized for many epochs)
+        return df
+
     kb_expr, seed_expr = None, None
     for g in per_group:
         cond = F.col(group_col) == g

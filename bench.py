@@ -230,6 +230,18 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     _mx.take_token_budget(docs_pq, budget=8_000).count()
     times["p_token_budget"] = round(time.perf_counter() - t, 3)
 
+    from lucene_kmp_spark.pipeline import scrub as _scrub
+
+    t = time.perf_counter()
+    _scrub.scrub_pii(docs_pq).agg(F.sum(F.length("text"))).collect()
+    times["p_pii_scrub"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    _scrub.paragraph_dedup(
+        docs_pq.withColumn("text", F.regexp_replace("text", r"\. ", "\n\n"))
+    ).count()
+    times["p_para_dedup"] = round(time.perf_counter() - t, 3)
+
     ev_path = f"{sf_dir}/events.parquet"
     if os.path.exists(ev_path):
         from lucene_kmp_spark.pipeline.events import sessionize

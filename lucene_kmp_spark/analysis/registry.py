@@ -94,8 +94,18 @@ from lucene_kmp_spark.analysis.am import amharic_analyzer
 from lucene_kmp_spark.analysis.ckb import sorani_analyzer
 from lucene_kmp_spark.analysis.om import oromo_analyzer
 
+def _hebrew_factory(dictionary=None, **kw):
+    """he: HebMorph tokenizer + niqqud strip; lemmatization activates when a
+    DictHebMorph-shaped dictionary is supplied (hspell data is external —
+    DEVIATIONS #10)."""
+    from lucene_kmp_spark.analysis.hebrew import hebrew_analyzer
+
+    return hebrew_analyzer(dictionary, **kw)
+
+
 ANALYZER_FACTORIES = {
     "standard": standard_analyzer,
+    "he": _hebrew_factory,
     "ar": arabic_analyzer,
     "bn": bengali_analyzer,
     "fa": persian_analyzer,

@@ -1856,6 +1856,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hebrew_lemmas"] = q_hebrew
 
+    # ---- LatLonPoint / InetAddressPoint family (document/LatLonPoint.kt
+    # box/distance/polygon over the 32-bit quantized grid of
+    # geo/GeoEncodingUtils.kt; document/InetAddressPoint.kt 16-byte ranges;
+    # document/LatLonPointDistanceFeatureQuery.kt proximity scoring).
+    # Coordinates/IPs synthesized deterministically from doc_id with
+    # integer-exact arithmetic both engines reproduce bit-for-bit. ----
+    def _geo_searcher(spark, sf_dir):
+        from lucene_kmp_spark.index import assign_doc_ids, build_index
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        key = sf_dir + "::geo"
+        if key not in _INDEX_CACHE:
+            d = (
+                _docs(spark, sf_dir)
+                .withColumnRenamed("doc_id", "orig_id")
+                .withColumn(
+                    "lat", F.expr("CAST((orig_id * 9973) % 1700000 AS DOUBLE) / 10000.0 - 85.0")
+                )
+                .withColumn(
+                    "lon", F.expr("CAST((orig_id * 7919) % 3500000 AS DOUBLE) / 10000.0 - 175.0")
+                )
+                .withColumn(
+                    "ip",
+                    F.expr(
+                        "concat(CAST(10 + orig_id % 190 AS STRING), '.',"
+                        " CAST((orig_id * 3) % 256 AS STRING), '.',"
+                        " CAST((orig_id * 7) % 256 AS STRING), '.',"
+                        " CAST(orig_id % 256 AS STRING))"
+                    ),
+                )
+            )
+            _INDEX_CACHE[key] = build_index(
+                assign_doc_ids(d, key_cols=("orig_id",)), text_col="text"
+            )
+        return IndexSearcher(_INDEX_CACHE[key])
+
+    def _geo_docset_q(make_query):
+        def run(spark, sf_dir):
+            s = _geo_searcher(spark, sf_dir)
+            res = s.execute(make_query())
+            return res.join(s.index.docs.select("doc_id", "orig_id"), "doc_id").select(
+                F.col("orig_id").alias("doc_id")
+            )
+
+        return run
+
+    from lucene_kmp_spark.search.geo import GeoPolygon
+    from lucene_kmp_spark.search.query import (
+        InetAddressRangeQuery,
+        LatLonBoxQuery,
+        LatLonDistanceFeatureQuery,
+        LatLonDistanceQuery,
+        LatLonPolygonQuery,
+    )
+
+    q["geo_box_docset"] = _geo_docset_q(
+        lambda: LatLonBoxQuery("lat", "lon", -20.0, 35.5, -60.25, 90.0)
+    )
+    q["geo_box_dateline_docset"] = _geo_docset_q(
+        lambda: LatLonBoxQuery("lat", "lon", -80.0, 80.0, 150.0, -150.0)
+    )
+    q["geo_distance_docset"] = _geo_docset_q(
+        lambda: LatLonDistanceQuery("lat", "lon", 12.0, -30.0, 3_000_000.0)
+    )
+    q["geo_polygon_docset"] = _geo_docset_q(
+        lambda: LatLonPolygonQuery(
+            "lat",
+            "lon",
+            (GeoPolygon(lats=(-40.0, -35.0, 20.0, 45.0), lons=(-100.0, 30.0, 80.0, -20.0)),),
+        )
+    )
+    q["inet_range_docset"] = _geo_docset_q(
+        lambda: InetAddressRangeQuery("ip", "50.0.0.0", "99.255.255.255")
+    )
+    q["inet_prefix_docset"] = _geo_docset_q(
+        lambda: InetAddressRangeQuery.prefix("ip", "64.33.7.200", 10)
+    )
+
+    def q_geo_feature(spark, sf_dir):
+        s = _geo_searcher(spark, sf_dir)
+        res = s.execute(
+            LatLonDistanceFeatureQuery("lat", "lon", 12.0, -30.0, pivot_meters=1_000_000.0, boost=1.5)
+        )
+        res = res.join(s.index.docs.select("doc_id", "orig_id"), "doc_id").select(
+            F.col("orig_id").alias("doc_id"), F.col("score")
+        )
+        return _ranked_topk(res)
+
+    q["geo_distance_feature_topk"] = q_geo_feature
+
     return q
 
 
@@ -3705,6 +3795,93 @@ total AS (
   WHERE ph.freq > 0
 )"""
         + _rank_tail("total")
+    )
+
+    # ---- geo / IP family: mirror the quantization (floor(x / DECODE)),
+    # decoded-grid haversine, convex-polygon half-plane tests, and integer
+    # IPv4 ranges with the exact constants the engine folds in ----
+    from lucene_kmp_spark.search import geo as _geo
+
+    _lat_dec, _lon_dec = repr(_geo.LAT_DECODE), repr(_geo.LON_DECODE)
+    _geo_cte = f"""
+WITH pts AS (
+  SELECT doc_id,
+         CAST((doc_id * 9973) % 1700000 AS DOUBLE) / 10000.0 - 85.0 AS lat,
+         CAST((doc_id * 7919) % 3500000 AS DOUBLE) / 10000.0 - 175.0 AS lon
+  FROM documents
+),
+enc AS (
+  SELECT doc_id,
+         CAST(floor(lat / {_lat_dec}) AS BIGINT) AS elat,
+         CAST(floor(lon / {_lon_dec}) AS BIGINT) AS elon
+  FROM pts
+),
+dec AS (
+  SELECT doc_id, elat, elon,
+         elat * {_lat_dec} AS dlat, elon * {_lon_dec} AS dlon
+  FROM enc
+)
+"""
+    _b = (
+        _geo.encode_latitude_ceil(-20.0),
+        _geo.encode_latitude(35.5),
+        _geo.encode_longitude_ceil(-60.25),
+        _geo.encode_longitude(90.0),
+    )
+    o["geo_box_docset"] = (
+        _geo_cte
+        + f"SELECT doc_id FROM enc WHERE elat BETWEEN {_b[0]} AND {_b[1]}"
+        + f" AND elon BETWEEN {_b[2]} AND {_b[3]}"
+    )
+    _bd = (
+        _geo.encode_latitude_ceil(-80.0),
+        _geo.encode_latitude(80.0),
+        _geo.encode_longitude_ceil(150.0),
+        _geo.encode_longitude(-150.0),
+    )
+    o["geo_box_dateline_docset"] = (
+        _geo_cte
+        + f"SELECT doc_id FROM enc WHERE elat BETWEEN {_bd[0]} AND {_bd[1]}"
+        + f" AND (elon >= {_bd[2]} OR elon <= {_bd[3]})"
+    )
+    _dist_sql = _geo.haversin_meters_sql("dlat", "dlon", 12.0, -30.0)
+    o["geo_distance_docset"] = (
+        _geo_cte + f"SELECT doc_id FROM dec WHERE {_dist_sql} <= 3000000.0"
+    )
+    # convex CCW ring in the (x=lon, y=lat) plane: inside == every edge's
+    # cross product (exact double mul/sub in both engines) is >= 0
+    _ring = [(-100.0, -40.0), (30.0, -35.0), (80.0, 20.0), (-20.0, 45.0)]
+    _hp = " AND ".join(
+        f"(({x2!r} - {x1!r}) * (dlat - {y1!r}) - ({y2!r} - {y1!r}) * (dlon - {x1!r})) >= 0"
+        for (x1, y1), (x2, y2) in zip(_ring, _ring[1:] + _ring[:1])
+    )
+    o["geo_polygon_docset"] = _geo_cte + f"SELECT doc_id FROM dec WHERE {_hp}"
+    _ip_cte = """
+WITH ips AS (
+  SELECT doc_id,
+         (10 + doc_id % 190) * 16777216 + ((doc_id * 3) % 256) * 65536
+         + ((doc_id * 7) % 256) * 256 + (doc_id % 256) AS ipnum
+  FROM documents
+)
+"""
+    o["inet_range_docset"] = (
+        _ip_cte
+        + f"SELECT doc_id FROM ips WHERE ipnum BETWEEN {50 * 16777216} AND {99 * 16777216 + 16777215}"
+    )
+    # 64.33.7.200/10 -> [64.0.0.0, 64.63.255.255]
+    _plo = int.from_bytes(_geo.inet_prefix_range("64.33.7.200", 10)[0][-4:], "big")
+    _pup = int.from_bytes(_geo.inet_prefix_range("64.33.7.200", 10)[1][-4:], "big")
+    o["inet_prefix_docset"] = (
+        _ip_cte + f"SELECT doc_id FROM ips WHERE ipnum BETWEEN {_plo} AND {_pup}"
+    )
+    o["geo_distance_feature_topk"] = (
+        _geo_cte
+        + f""",
+scored AS (
+  SELECT doc_id, 1.5 * 1000000.0 / (1000000.0 + ({_dist_sql})) AS s FROM dec
+)
+"""
+        + _rank_tail("scored")
     )
 
     return o

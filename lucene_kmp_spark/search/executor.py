@@ -53,6 +53,11 @@ from lucene_kmp_spark.search.query import (
     FuzzyQuery,
     IndexSortRangeQuery,
     IndriAndQuery,
+    InetAddressRangeQuery,
+    LatLonBoxQuery,
+    LatLonDistanceFeatureQuery,
+    LatLonDistanceQuery,
+    LatLonPolygonQuery,
     KnnByteVectorQuery,
     KnnFloatVectorQuery,
     SeededKnnVectorQuery,
@@ -501,6 +506,10 @@ class IndexSearcher:
             return self.index.docs.filter(q.sql_predicate).select("doc_id")
         if isinstance(q, RangeFieldQuery):
             return self.index.docs.filter(_range_field_pred(q)).select("doc_id")
+        if isinstance(q, (LatLonBoxQuery, LatLonDistanceQuery, LatLonPolygonQuery, InetAddressRangeQuery)):
+            from lucene_kmp_spark.search.geo import geo_docset
+
+            return geo_docset(self.index.docs, q)
         if isinstance(q, IndexSortRangeQuery):
             return self._index_sort_range_docset(q)
         if isinstance(q, FieldExistsQuery):
@@ -710,6 +719,12 @@ class IndexSearcher:
             return self._doc_set(q).withColumn("score", F.lit(0.0))
         if isinstance(q, RangeFieldQuery):
             return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
+        if isinstance(q, (LatLonBoxQuery, LatLonDistanceQuery, LatLonPolygonQuery, InetAddressRangeQuery)):
+            return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
+        if isinstance(q, LatLonDistanceFeatureQuery):
+            from lucene_kmp_spark.search.geo import distance_feature_scores
+
+            return distance_feature_scores(self.index.docs, q)
         if isinstance(q, IndexSortRangeQuery):
             return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
         if isinstance(q, FieldExistsQuery):

@@ -546,6 +546,102 @@ class BlendedTermQuery(Query):
 
 
 @dataclass(frozen=True)
+class LatLonBoxQuery(Query):
+    """Points within a lat/lon rectangle (``LatLonPoint.newBoxQuery``,
+    document/LatLonPoint.kt:210-276): bounds are quantized with ceil(min)/
+    floor(max) onto the 32-bit grid and compared as encoded ints; a box
+    crossing the dateline (max_lon < min_lon) becomes the OR of the two
+    open-ended halves. Constant score ``boost``. The encoded comparisons are
+    pure Catalyst predicates -> Parquet min/max pruning is the BKD analog."""
+
+    lat_col: str
+    lon_col: str
+    min_lat: float
+    max_lat: float
+    min_lon: float
+    max_lon: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class LatLonDistanceQuery(Query):
+    """Points within ``radius_meters`` of a center
+    (``LatLonPoint.newDistanceQuery`` -> LatLonPointDistanceQuery.kt):
+    haversine over the DECODED quantized point ``<=`` radius, with a
+    bounding-box prefilter standing in for the reference's BKD cell
+    relate(). Constant score ``boost``."""
+
+    lat_col: str
+    lon_col: str
+    lat: float
+    lon: float
+    radius_meters: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class LatLonPolygonQuery(Query):
+    """Points inside any of the polygons (``LatLonPoint.newPolygonQuery`` ->
+    Polygon2D pnpoly crossing test, on-edge contained, holes subtracted).
+    Executed as a bbox Catalyst prefilter + Arrow-vectorized crossing test
+    over the survivors (search/geo.py polygon_contains). Constant score."""
+
+    lat_col: str
+    lon_col: str
+    polygons: tuple  # tuple[GeoPolygon, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class LatLonDistanceFeatureQuery(Query):
+    """Proximity boosting (``document/LatLonPointDistanceFeatureQuery.kt``):
+    matches every doc with a point; score = boost * pivot / (pivot +
+    haversine_meters(doc, origin))."""
+
+    lat_col: str
+    lon_col: str
+    lat: float
+    lon: float
+    pivot_meters: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class InetAddressRangeQuery(Query):
+    """Inclusive IP range over the 16-byte IPv6-mapped encoding
+    (``document/InetAddressPoint.kt:140-252``): addresses compare as
+    unsigned bytes, which both Spark and Parquet stats order natively for
+    BinaryType. ``lower``/``upper`` are address strings (IPv4 or IPv6).
+    Use :meth:`prefix` for CIDR masks and :meth:`exact` for single hosts.
+    Constant score ``boost``."""
+
+    ip_col: str
+    lower: str
+    upper: str
+    boost: float = 1.0
+
+    @staticmethod
+    def prefix(ip_col: str, address: str, prefix_length: int, boost: float = 1.0) -> "InetAddressRangeQuery":
+        """CIDR network -> range (InetAddressPoint.newPrefixQuery)."""
+        import ipaddress as _ip
+
+        from .geo import inet_prefix_range
+
+        lo, up = inet_prefix_range(address, prefix_length)
+        # store normalized address strings; executor re-encodes to bytes
+        return InetAddressRangeQuery(
+            ip_col,
+            str(_ip.ip_address(lo[12:] if lo[:12] == bytes(10) + b"\xff\xff" else lo)),
+            str(_ip.ip_address(up[12:] if up[:12] == bytes(10) + b"\xff\xff" else up)),
+            boost,
+        )
+
+    @staticmethod
+    def exact(ip_col: str, address: str, boost: float = 1.0) -> "InetAddressRangeQuery":
+        return InetAddressRangeQuery(ip_col, address, address, boost)
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     occur: Occur
     query: Query

@@ -1946,6 +1946,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_distance_feature_topk"] = q_geo_feature
 
+    def q_geo_distance_sort(spark, sf_dir):
+        # LatLonPointSortField analog: nearest-first field sort via the
+        # CUSTOM expression SortField over the decoded quantized point
+        from lucene_kmp_spark.search import geo as _g
+        from lucene_kmp_spark.search.query import MatchAllDocsQuery, SortField
+
+        s = _geo_searcher(spark, sf_dir)
+        dist = _g.haversin_meters_sql(
+            f"floor(lat / {_g.LAT_DECODE!r}) * {_g.LAT_DECODE!r}",
+            f"floor(lon / {_g.LON_DECODE!r}) * {_g.LON_DECODE!r}",
+            12.0,
+            -30.0,
+        )
+        res = s.search_sorted(
+            MatchAllDocsQuery(), [SortField(expr=dist, ascending=True, name="distm")], k=12
+        )
+        return res.join(s.index.docs.select("doc_id", "orig_id"), "doc_id").select(
+            F.col("orig_id").alias("doc_id"), _q4(F.col("distm")).alias("distm")
+        )
+
+    q["geo_distance_sort"] = q_geo_distance_sort
+
     return q
 
 
@@ -3882,6 +3904,13 @@ scored AS (
 )
 """
         + _rank_tail("scored")
+    )
+    o["geo_distance_sort"] = (
+        _geo_cte
+        + f"""
+SELECT doc_id, floor(({_dist_sql}) * 10000) / 10000 AS distm
+FROM dec ORDER BY {_dist_sql} ASC, doc_id ASC LIMIT 12
+"""
     )
 
     return o

@@ -168,6 +168,14 @@ def jaccard_pairs(
             F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"), F.col("n").alias("nb")
         )
         paired = candidates.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+        # size-compatibility prefilter: jaccard <= min(na,nb)/max(na,nb), so
+        # length-incompatible pairs can never pass — skip their intersect
+        # entirely (the dominant per-pair cost). The -1 token of slack makes
+        # the double multiply strictly conservative vs the final exact test.
+        paired = paired.filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("na", "nb") - F.lit(1.0)
+        )
         return (
             paired.withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
             .select(
@@ -273,6 +281,10 @@ def near_dup_clusters(
             .select("node", F.coalesce("label", F.col("node")).alias("label"))
         )
     labels = labels.localCheckpoint(eager=True)
+    # convergence via Σlabel (exact decimal sum): min-label only ever
+    # decreases per node, so the sum strictly decreases until fixpoint —
+    # one aggregate per round instead of a join + diff count
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.src == labels.node)
@@ -291,15 +303,11 @@ def near_dup_clusters(
             .select("node", F.least("label", F.coalesce("p_label", F.col("label"))).alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
 
 

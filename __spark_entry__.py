@@ -1968,6 +1968,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_distance_sort"] = q_geo_distance_sort
 
+    from lucene_kmp_spark.search.query import XYBoxQuery, XYDistanceQuery
+
+    # cartesian XY variants over the same synthesized coords (x=lon, y=lat)
+    q["xy_box_docset"] = _geo_docset_q(
+        lambda: XYBoxQuery("lon", "lat", -60.25, 90.0, -20.0, 35.5)
+    )
+    q["xy_distance_docset"] = _geo_docset_q(
+        lambda: XYDistanceQuery("lon", "lat", -30.0, 12.0, 55.0)
+    )
+
     return q
 
 
@@ -3911,6 +3921,26 @@ scored AS (
 SELECT doc_id, floor(({_dist_sql}) * 10000) / 10000 AS distm
 FROM dec ORDER BY {_dist_sql} ASC, doc_id ASC LIMIT 12
 """
+    )
+    # XY variants: float32 quantization == CAST AS REAL in both engines;
+    # distance test in doubles over the quantized point (Circle2D semantics)
+    _xy_cte = _geo_cte + """,
+xy AS (
+  SELECT doc_id, CAST(CAST(lon AS REAL) AS DOUBLE) AS x,
+                 CAST(CAST(lat AS REAL) AS DOUBLE) AS y
+  FROM pts
+)
+"""
+    o["xy_box_docset"] = (
+        _xy_cte
+        + "SELECT doc_id FROM xy WHERE x BETWEEN CAST(CAST(-60.25 AS REAL) AS DOUBLE)"
+        + " AND CAST(CAST(90.0 AS REAL) AS DOUBLE)"
+        + " AND y BETWEEN CAST(CAST(-20.0 AS REAL) AS DOUBLE) AND CAST(CAST(35.5 AS REAL) AS DOUBLE)"
+    )
+    o["xy_distance_docset"] = (
+        _xy_cte
+        + "SELECT doc_id FROM xy WHERE (x - (-30.0)) * (x - (-30.0)) + (y - 12.0) * (y - 12.0)"
+        + " <= 55.0 * 55.0"
     )
 
     return o

@@ -58,6 +58,9 @@ from lucene_kmp_spark.search.query import (
     LatLonDistanceFeatureQuery,
     LatLonDistanceQuery,
     LatLonPolygonQuery,
+    XYBoxQuery,
+    XYDistanceQuery,
+    XYPolygonQuery,
     KnnByteVectorQuery,
     KnnFloatVectorQuery,
     SeededKnnVectorQuery,
@@ -506,7 +509,7 @@ class IndexSearcher:
             return self.index.docs.filter(q.sql_predicate).select("doc_id")
         if isinstance(q, RangeFieldQuery):
             return self.index.docs.filter(_range_field_pred(q)).select("doc_id")
-        if isinstance(q, (LatLonBoxQuery, LatLonDistanceQuery, LatLonPolygonQuery, InetAddressRangeQuery)):
+        if isinstance(q, (LatLonBoxQuery, LatLonDistanceQuery, LatLonPolygonQuery, InetAddressRangeQuery, XYBoxQuery, XYDistanceQuery, XYPolygonQuery)):
             from lucene_kmp_spark.search.geo import geo_docset
 
             return geo_docset(self.index.docs, q)
@@ -719,7 +722,7 @@ class IndexSearcher:
             return self._doc_set(q).withColumn("score", F.lit(0.0))
         if isinstance(q, RangeFieldQuery):
             return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
-        if isinstance(q, (LatLonBoxQuery, LatLonDistanceQuery, LatLonPolygonQuery, InetAddressRangeQuery)):
+        if isinstance(q, (LatLonBoxQuery, LatLonDistanceQuery, LatLonPolygonQuery, InetAddressRangeQuery, XYBoxQuery, XYDistanceQuery, XYPolygonQuery)):
             return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
         if isinstance(q, LatLonDistanceFeatureQuery):
             from lucene_kmp_spark.search.geo import distance_feature_scores

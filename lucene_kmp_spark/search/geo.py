@@ -425,8 +425,26 @@ def inet_range_predicate(q) -> Column:
 
 def geo_docset(docs, q):
     """Docset execution for the geo/IP query family (doc_id column only)."""
-    from .query import InetAddressRangeQuery, LatLonBoxQuery, LatLonDistanceQuery, LatLonPolygonQuery
+    from .query import (
+        InetAddressRangeQuery,
+        LatLonBoxQuery,
+        LatLonDistanceQuery,
+        LatLonPolygonQuery,
+        XYBoxQuery,
+        XYDistanceQuery,
+        XYPolygonQuery,
+    )
 
+    if isinstance(q, XYBoxQuery):
+        return docs.filter(
+            F.col(q.x_col).isNotNull() & F.col(q.y_col).isNotNull() & xy_box_predicate(q)
+        ).select("doc_id")
+    if isinstance(q, XYDistanceQuery):
+        return docs.filter(
+            F.col(q.x_col).isNotNull() & F.col(q.y_col).isNotNull() & xy_distance_predicate(q)
+        ).select("doc_id")
+    if isinstance(q, XYPolygonQuery):
+        return xy_polygon_docset(docs, q)
     if isinstance(q, LatLonBoxQuery):
         pred = box_predicate(q)
         if pred is None:
@@ -441,3 +459,86 @@ def geo_docset(docs, q):
     if isinstance(q, InetAddressRangeQuery):
         return docs.filter(F.col(q.ip_col).isNotNull() & inet_range_predicate(q)).select("doc_id")
     raise TypeError(f"not a geo docset query: {type(q).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# XY (cartesian) variants — document/XYPointField.kt + geo/XY*.kt
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class XYPolygon:
+    """Closed cartesian ring + holes (``geo/XYPolygon.kt``)."""
+
+    xs: tuple[float, ...]
+    ys: tuple[float, ...]
+    holes: tuple["XYPolygon", ...] = ()
+
+    def __post_init__(self):
+        if len(self.xs) != len(self.ys) or len(self.xs) < 3:
+            raise ValueError("polygon needs >=3 (x, y) vertices")
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        return (min(self.xs), max(self.xs), min(self.ys), max(self.ys))
+
+
+def xy_polygon_contains(xs: np.ndarray, ys: np.ndarray, polygon: XYPolygon) -> np.ndarray:
+    """Polygon2D.contains over cartesian coords (same pnpoly semantics)."""
+    outer = _pnpoly_states(xs, ys, np.asarray(polygon.xs), np.asarray(polygon.ys)) > 0
+    for hole in polygon.holes:
+        hole_in = _pnpoly_states(xs, ys, np.asarray(hole.xs), np.asarray(hole.ys)) > 0
+        outer &= ~hole_in
+    return outer
+
+
+def _f32(col: Column) -> Column:
+    """XYEncodingUtils.encode quantization: values are float32; the sortable
+    int transform is order-preserving, so float comparison == encoded
+    comparison and the decoded point IS the float32 value."""
+    return col.cast("float")
+
+
+def xy_box_predicate(q) -> Column:
+    x = _f32(F.col(q.x_col))
+    y = _f32(F.col(q.y_col))
+    return (
+        x.between(F.lit(float(np.float32(q.min_x))), F.lit(float(np.float32(q.max_x))))
+        & y.between(F.lit(float(np.float32(q.min_y))), F.lit(float(np.float32(q.max_y))))
+    )
+
+
+def xy_distance_predicate(q) -> Column:
+    # Circle2D.CartesianDistance.contains: double math over the float point
+    dx = _f32(F.col(q.x_col)).cast("double") - F.lit(float(np.float32(q.x)))
+    dy = _f32(F.col(q.y_col)).cast("double") - F.lit(float(np.float32(q.y)))
+    r = float(np.float32(q.radius))
+    return (dx * dx + dy * dy) <= F.lit(r * r)
+
+
+def xy_polygon_docset(docs, q):
+    import pandas as pd
+
+    polys = tuple(q.polygons)
+    min_x = min(p.bbox()[0] for p in polys)
+    max_x = max(p.bbox()[1] for p in polys)
+    min_y = min(p.bbox()[2] for p in polys)
+    max_y = max(p.bbox()[3] for p in polys)
+    x = _f32(F.col(q.x_col)).cast("double")
+    y = _f32(F.col(q.y_col)).cast("double")
+    pre = docs.filter(
+        F.col(q.x_col).isNotNull()
+        & F.col(q.y_col).isNotNull()
+        & x.between(F.lit(min_x), F.lit(max_x))
+        & y.between(F.lit(min_y), F.lit(max_y))
+    ).select("doc_id", x.alias("_x"), y.alias("_y"))
+
+    def _contains(batches):
+        for pdf in batches:
+            xs = pdf["_x"].to_numpy()
+            ys = pdf["_y"].to_numpy()
+            keep = np.zeros(len(pdf), dtype=bool)
+            for p in polys:
+                keep |= xy_polygon_contains(xs, ys, p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"][keep]})
+
+    return pre.mapInPandas(_contains, schema="doc_id long")

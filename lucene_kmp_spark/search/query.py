@@ -607,6 +607,48 @@ class LatLonDistanceFeatureQuery(Query):
 
 
 @dataclass(frozen=True)
+class XYBoxQuery(Query):
+    """Cartesian points within a rectangle (``document/XYPointField.kt``
+    box queries over ``geo/XYRectangle.kt``): coordinates quantize to
+    float32 (XYEncodingUtils.encode = sortable float bits, so float
+    comparison == encoded comparison); bounds compare inclusively."""
+
+    x_col: str
+    y_col: str
+    min_x: float
+    max_x: float
+    min_y: float
+    max_y: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class XYDistanceQuery(Query):
+    """Cartesian points within ``radius`` of (x, y) (``geo/XYCircle.kt`` +
+    Circle2D.CartesianDistance: diffX² + diffY² <= radius² in doubles over
+    the float32-quantized point)."""
+
+    x_col: str
+    y_col: str
+    x: float
+    y: float
+    radius: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class XYPolygonQuery(Query):
+    """Cartesian points inside any polygon (``geo/XYPolygon.kt`` — same
+    pnpoly crossing semantics as the lat/lon variant over float32-quantized
+    coordinates)."""
+
+    x_col: str
+    y_col: str
+    polygons: tuple  # tuple[XYPolygon, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class InetAddressRangeQuery(Query):
     """Inclusive IP range over the 16-byte IPv6-mapped encoding
     (``document/InetAddressPoint.kt:140-252``): addresses compare as

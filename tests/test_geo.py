@@ -330,3 +330,39 @@ def test_geo_in_boolean_filter(geo_index):
     lo = geo.encode_latitude_ceil(0.0)
     exp = [i for i in range(len(lats)) if geo.encode_latitude(lats[i]) >= lo]
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# XY (cartesian) variants
+# ---------------------------------------------------------------------------
+
+
+def test_xy_queries_end_to_end(geo_index):
+    from lucene_kmp_spark.search.geo import XYPolygon, xy_polygon_contains
+    from lucene_kmp_spark.search.query import XYBoxQuery, XYDistanceQuery, XYPolygonQuery
+
+    s, lats, lons, _ = geo_index
+    # reuse lat/lon columns as cartesian x=lon, y=lat (float32-quantized)
+    x32 = np.asarray(lons, dtype=np.float32).astype(np.float64)
+    y32 = np.asarray(lats, dtype=np.float32).astype(np.float64)
+
+    q = XYBoxQuery("lon", "lat", -60.25, 90.0, -20.0, 35.5)
+    exp = [
+        i for i in range(len(lats))
+        if np.float32(-60.25) <= x32[i] <= np.float32(90.0)
+        and np.float32(-20.0) <= y32[i] <= np.float32(35.5)
+    ]
+    assert _ids(s, q) == exp
+
+    q = XYDistanceQuery("lon", "lat", -30.0, 12.0, 55.0)
+    exp = [
+        i for i in range(len(lats))
+        if (x32[i] - (-30.0)) ** 2 + (y32[i] - 12.0) ** 2 <= 55.0 * 55.0
+    ]
+    got = _ids(s, q)
+    assert got == exp and 0 < len(got) < len(lats)
+
+    poly = XYPolygon(xs=(-100.0, 30.0, 80.0, -20.0), ys=(-40.0, -35.0, 20.0, 45.0))
+    q = XYPolygonQuery("lon", "lat", (poly,))
+    exp_mask = xy_polygon_contains(x32, y32, poly)
+    assert _ids(s, q) == [i for i in range(len(lats)) if exp_mask[i]]

@@ -341,11 +341,21 @@ def box_predicate(q) -> Column | None:
     upper_lon = encode_longitude(q.max_lon)
     enc_lat = encode_lat_col(F.col(q.lat_col))
     enc_lon = encode_lon_col(F.col(q.lon_col))
-    lat_pred = enc_lat.between(F.lit(lower_lat), F.lit(upper_lat))
+    # raw-column prefilter FIRST: the encoded comparison is a computed
+    # expression Parquet stats can't see, but enc ∈ [lo, hi] implies
+    # raw ∈ [decode(lo), decode(hi) + quantum] — a plain BETWEEN Catalyst
+    # pushes into the scan (row-group pruning = the BKD inner-node cut)
+    raw_lat = F.col(q.lat_col).between(
+        F.lit(decode_latitude(lower_lat)), F.lit(decode_latitude(upper_lat) + LAT_DECODE)
+    )
+    lat_pred = raw_lat & enc_lat.between(F.lit(lower_lat), F.lit(upper_lat))
     if q.max_lon < min_lon:
         # dateline crossing: OR of the two open-ended boxes
         return lat_pred & ((enc_lon >= F.lit(lower_lon)) | (enc_lon <= F.lit(upper_lon)))
-    return lat_pred & enc_lon.between(F.lit(lower_lon), F.lit(upper_lon))
+    raw_lon = F.col(q.lon_col).between(
+        F.lit(decode_longitude(lower_lon)), F.lit(decode_longitude(upper_lon) + LON_DECODE)
+    )
+    return lat_pred & raw_lon & enc_lon.between(F.lit(lower_lon), F.lit(upper_lon))
 
 
 def _decoded_cols(q):
@@ -391,9 +401,13 @@ def polygon_docset(docs, q):
     min_lon = min(p.bbox()[2] for p in polys)
     max_lon = max(p.bbox()[3] for p in polys)
     dlat, dlon = _decoded_cols(q)
+    # raw-column bbox first (Parquet-pushdown-able; decoded <= raw <
+    # decoded + quantum, so pad the upper bounds), then the decoded bbox
     pre = docs.filter(
         F.col(q.lat_col).isNotNull()
         & F.col(q.lon_col).isNotNull()
+        & F.col(q.lat_col).between(F.lit(min_lat), F.lit(max_lat + LAT_DECODE))
+        & F.col(q.lon_col).between(F.lit(min_lon), F.lit(max_lon + LON_DECODE))
         & dlat.between(F.lit(min_lat), F.lit(max_lat))
         & dlon.between(F.lit(min_lon), F.lit(max_lon))
     ).select("doc_id", dlat.alias("_dlat"), dlon.alias("_dlon"))

@@ -68,3 +68,27 @@ def test_phrase_single_scan_single_shuffle(disk_index):
     )
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") <= 1
+
+
+def test_geo_box_raw_range_pushed_to_scan(spark, tmp_path_factory):
+    """The box query's raw-coordinate prefilter must reach the parquet scan
+    as PushedFilters on lat/lon (the BKD inner-node pruning analog); the
+    exact encoded-grid comparison runs above it."""
+    from pyspark.sql import functions as F
+
+    from lucene_kmp_spark.search.geo import geo_docset
+    from lucene_kmp_spark.search.query import LatLonBoxQuery
+
+    path = str(tmp_path_factory.mktemp("geo") / "docs")
+    (
+        synth_transcripts(spark, n_convs=20, seed=7)
+        .withColumn("lat", (F.rand(1) * 170 - 85).cast("double"))
+        .withColumn("lon", (F.rand(2) * 350 - 175).cast("double"))
+        .write.mode("overwrite").parquet(path)
+    )
+    docs = spark.read.parquet(path).withColumn("doc_id", F.col("turn_idx").cast("long"))
+    res = geo_docset(docs, LatLonBoxQuery("lat", "lon", -20.0, 35.5, -60.25, 90.0))
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "lat" in pushed and "lon" in pushed, pushed

@@ -250,6 +250,34 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
         t = time.perf_counter()
         sessionize(ev).count()
         times["p_sessionize"] = round(time.perf_counter() - t, 3)
+
+    # geo family over synthesized coordinates (pure-Catalyst box/distance,
+    # bbox-prefiltered Arrow pnpoly for the polygon)
+    from lucene_kmp_spark.search.geo import GeoPolygon, geo_docset
+    from lucene_kmp_spark.search.query import (
+        LatLonBoxQuery, LatLonDistanceQuery, LatLonPolygonQuery)
+
+    gd = docs_pq.withColumn(
+        "lat", F.expr("CAST((doc_id * 9973) % 1700000 AS DOUBLE) / 10000.0 - 85.0")
+    ).withColumn(
+        "lon", F.expr("CAST((doc_id * 7919) % 3500000 AS DOUBLE) / 10000.0 - 175.0")
+    )
+    t = time.perf_counter()
+    geo_docset(gd, LatLonBoxQuery("lat", "lon", -20.0, 35.5, -60.25, 90.0)).count()
+    times["p_geo_box"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    geo_docset(gd, LatLonDistanceQuery("lat", "lon", 12.0, -30.0, 3e6)).count()
+    times["p_geo_distance"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    geo_docset(
+        gd,
+        LatLonPolygonQuery(
+            "lat", "lon",
+            (GeoPolygon(lats=(-40.0, -35.0, 20.0, 45.0), lons=(-100.0, 30.0, 80.0, -20.0)),),
+        ),
+    ).count()
+    times["p_geo_polygon"] = round(time.perf_counter() - t, 3)
+
     docs_pq.unpersist()
     return times
 

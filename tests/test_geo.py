@@ -366,3 +366,15 @@ def test_xy_queries_end_to_end(geo_index):
     q = XYPolygonQuery("lon", "lat", (poly,))
     exp_mask = xy_polygon_contains(x32, y32, poly)
     assert _ids(s, q) == [i for i in range(len(lats)) if exp_mask[i]]
+
+
+def test_latlonpoint_reference_goldens():
+    """Exact decode(encode(x)) values from TestLatLonPoint.kt testToString —
+    pins the quantization bit-for-bit against the reference."""
+    assert geo.decode_latitude(geo.encode_latitude(18.313694)) == 18.313693958334625
+    assert geo.decode_longitude(geo.encode_longitude(-65.227444)) == -65.22744401358068
+    # newBoxQuery(18.0, 19.0, -66.0, -65.0) quantized bounds
+    assert geo.decode_latitude(geo.encode_latitude_ceil(18.0)) == 18.000000016763806
+    assert geo.decode_latitude(geo.encode_latitude(19.0)) == 18.999999999068677
+    assert geo.decode_longitude(geo.encode_longitude_ceil(-66.0)) == -65.9999999217689
+    assert geo.decode_longitude(geo.encode_longitude(-65.0)) == -65.00000006519258

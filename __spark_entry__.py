@@ -1978,6 +1978,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda: XYDistanceQuery("lon", "lat", -30.0, 12.0, 55.0)
     )
 
+    # ---- classic QueryParser (faithful JavaCC-grammar port, queryparser/
+    # classic/QueryParser.kt) parsed end-to-end through the engine bridge ----
+    def _classic_parsed(query_string: str):
+        def run(spark, sf_dir):
+            from lucene_kmp_spark.queryparser.classic import (
+                ClassicQueryParser,
+                EngineAnalyzer,
+                to_engine_query,
+            )
+
+            s = _searcher64(spark, sf_dir)
+            ast = ClassicQueryParser("text", EngineAnalyzer()).parse(query_string)
+            return _ranked_topk(s.execute(to_engine_query(ast, "text")))
+
+        return run
+
+    q["qp_classic_bool"] = _classic_parsed("+merge join -window")
+    q["qp_classic_phrase"] = _classic_parsed('+merge "order sort"')
+
+    def q_qp_classic_docset(spark, sf_dir):
+        from lucene_kmp_spark.queryparser.classic import (
+            ClassicQueryParser,
+            EngineAnalyzer,
+            to_engine_query,
+        )
+
+        s = _searcher64(spark, sf_dir)
+        ast = ClassicQueryParser("text", EngineAnalyzer()).parse("sc* OR filter")
+        return s.execute(to_engine_query(ast, "text")).select("doc_id").distinct()
+
+    q["qp_classic_docset"] = q_qp_classic_docset
+
     return q
 
 
@@ -3941,6 +3973,59 @@ xy AS (
         _xy_cte
         + "SELECT doc_id FROM xy WHERE (x - (-30.0)) * (x - (-30.0)) + (y - 12.0) * (y - 12.0)"
         + " <= 55.0 * 55.0"
+    )
+
+    # classic QueryParser bridge rows: '+merge join -window' = required merge,
+    # optional join, excluded window (QueryParserBase.addClause semantics)
+    o["qp_classic_bool"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + ","
+        + _sc_cte("sc1", "join")
+        + """,
+total AS (
+  SELECT sc0.doc_id, sc0.s + coalesce(sc1.s, 0) AS s
+  FROM sc0 LEFT JOIN sc1 USING (doc_id)
+  WHERE sc0.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'window')
+)"""
+        + _rank_tail("total")
+    )
+
+    # '+merge "order sort"' = required term + optional exact phrase
+    o["qp_classic_phrase"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """,
+ph AS (
+  SELECT doc_id,
+         ((length(pad) - length(replace(pad, ' order  sort ', ''))) // length(' order  sort '))::BIGINT AS freq
+  FROM (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS pad FROM documents)
+),
+idfs AS (
+  SELECT (SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5))
+            FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'order') d, avgd a)
+       + (SELECT ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5))
+            FROM (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'sort') d, avgd a) AS w
+),
+phs AS (
+  SELECT ph.doc_id,
+         idfs.w - idfs.w / (1 + ph.freq * (1.0 / (1.2 * (0.25 + 0.75 * norm.qdl / avgd.avgdl)))) AS s
+  FROM ph JOIN norm USING (doc_id) CROSS JOIN avgd CROSS JOIN idfs
+  WHERE ph.freq > 0
+),
+total AS (
+  SELECT sc0.doc_id, sc0.s + coalesce(phs.s, 0) AS s
+  FROM sc0 LEFT JOIN phs USING (doc_id)
+)"""
+        + _rank_tail("total")
+    )
+
+    # 'sc* OR filter' = constant-score prefix OR term, as a doc set
+    o["qp_classic_docset"] = (
+        _PRELUDE
+        + "SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'sc%' OR term = 'filter'"
     )
 
     return o

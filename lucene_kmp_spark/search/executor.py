@@ -471,6 +471,30 @@ class IndexSearcher:
             )
         return self.index.term_vectors.filter(F.col("doc_id") == doc_id).drop("doc_id")
 
+    def doc(self, doc_id: int, fields: tuple[str, ...] | None = None) -> dict | None:
+        """StoredFields.document(docID) analog (``index/StoredFields.kt``,
+        ``IndexSearcher.storedFields()``): the stored-field row for one doc,
+        or None for an unknown/deleted docID. The docs table IS the stored
+        fields (.fdt analog — a columnar Parquet scan pruned by the doc_id
+        equality predicate instead of the .fdx pointer lookup); ``fields``
+        selects a subset like StoredFieldVisitor needsField."""
+        df = self._live(self.index.docs).filter(F.col("doc_id") == int(doc_id))
+        if fields is not None:
+            df = df.select("doc_id", *fields)
+        rows = df.limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    def docs_for(self, doc_ids, fields: tuple[str, ...] | None = None) -> DataFrame:
+        """Batch stored-fields fetch: live rows for the given docIDs (the
+        distributed form a hydration join uses — stays a DataFrame, no
+        driver collect)."""
+        df = self._live(self.index.docs).filter(
+            F.col("doc_id").isin([int(d) for d in doc_ids])
+        )
+        if fields is not None:
+            df = df.select("doc_id", *fields)
+        return df
+
     def payload_scores(self, term: str, agg: str = "sum", boost: float = 1.0) -> DataFrame:
         """(doc_id, score): per-doc aggregate of the term's occurrence
         payloads — the PayloadScoreQuery/PayloadFunction analog (Sum/Max/Min/

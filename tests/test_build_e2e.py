@@ -265,3 +265,28 @@ def test_index_roundtrip_write_read(tmp_path, spark, index, naive, searcher):
     s2 = IndexSearcher(idx2)
     q = BooleanQuery.build(must=(TermQuery("the"),), should=(TermQuery("hope"),))
     assert_topk_equal(_topk(s2, q), naive.top_k(q))
+
+
+# ----------------------------------------------------------- stored fields
+
+def test_stored_fields_doc(spark, corpus, searcher):
+    """StoredFields.document(docID) analog: live lookup, field subset,
+    unknown id, deleted-doc invisibility (live_filter)."""
+    row = corpus.select("doc_id", "text").orderBy("doc_id").first()
+    got = searcher.doc(row["doc_id"])
+    assert got is not None and got["text"] == row["text"]
+
+    subset = searcher.doc(row["doc_id"], fields=("text",))
+    assert set(subset) == {"doc_id", "text"}
+
+    assert searcher.doc(10**9) is None
+
+    batch = searcher.docs_for([row["doc_id"], 10**9], fields=("text",))
+    assert batch.count() == 1
+
+    # a deleted doc is invisible through the live filter
+    from lucene_kmp_spark.search.executor import IndexSearcher
+
+    deleted = spark.createDataFrame([(int(row["doc_id"]),)], "doc_id long")
+    s2 = IndexSearcher(searcher.index, live_filter=deleted)
+    assert s2.doc(row["doc_id"]) is None

@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 K1, B = 1.2, 0.75
 TOPK = 10
+# indexed-shape relation query boxes (minLon, maxLon, minLat, maxLat)
+_SHAPE_BOX_O = (-40.0, 60.0, -30.0, 50.0)
+_SHAPE_SMALL_O = (0.0, 4.0, 0.0, 3.0)
 
 # --------------------------------------------------------------------------
 # shared DuckDB CTE prelude: tokenize + stats + quantized norms
@@ -1977,6 +1980,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["xy_distance_docset"] = _geo_docset_q(
         lambda: XYDistanceQuery("lon", "lat", -30.0, 12.0, 55.0)
     )
+
+    # ---- indexed shapes (LatLonShape/Tessellator/SpatialQuery analog) ----
+    def _shape_tris(spark, sf_dir):
+        from lucene_kmp_spark.search import shape as _shape
+
+        key = sf_dir + "::shape"
+        if key not in _INDEX_CACHE:
+            d = (
+                _docs(spark, sf_dir)
+                .select("doc_id")
+                .withColumn("x0", F.expr("CAST((doc_id * 7919) % 3000 AS DOUBLE) / 10.0 - 160.0"))
+                .withColumn("y0", F.expr("CAST((doc_id * 9973) % 1300 AS DOUBLE) / 10.0 - 75.0"))
+                .withColumn("x1", F.expr("x0 + 2.0 + (doc_id % 40) / 2.0"))
+                .withColumn("y1", F.expr("y0 + 2.0 + (doc_id % 25) / 2.0"))
+                .withColumn(
+                    "wkt",
+                    F.expr(
+                        "concat('POLYGON ((', x0, ' ', y0, ', ', x1, ' ', y0, ', ',"
+                        " x1, ' ', y1, ', ', x0, ' ', y1, ', ', x0, ' ', y0, '))')"
+                    ),
+                )
+            )
+            t = _shape.shape_index(d, "wkt").persist()
+            t.count()
+            _INDEX_CACHE[key] = t
+        return _INDEX_CACHE[key]
+
+    def _shape_q(relation, box):
+        def run(spark, sf_dir):
+            from lucene_kmp_spark.search.shape import ShapeBoxQuery, shape_docset
+
+            tris = _shape_tris(spark, sf_dir)
+            return shape_docset(tris, ShapeBoxQuery(*box), relation)
+
+        return run
+
+    q["shape_box_intersects"] = _shape_q("INTERSECTS", _SHAPE_BOX_O)
+    q["shape_box_within"] = _shape_q("WITHIN", _SHAPE_BOX_O)
+    q["shape_box_disjoint"] = _shape_q("DISJOINT", _SHAPE_BOX_O)
+    q["shape_box_contains"] = _shape_q("CONTAINS", _SHAPE_SMALL_O)
 
     # ---- classic QueryParser (faithful JavaCC-grammar port, queryparser/
     # classic/QueryParser.kt) parsed end-to-end through the engine bridge ----
@@ -3973,6 +4016,60 @@ xy AS (
         _xy_cte
         + "SELECT doc_id FROM xy WHERE (x - (-30.0)) * (x - (-30.0)) + (y - 12.0) * (y - 12.0)"
         + " <= 55.0 * 55.0"
+    )
+
+    # indexed-shape relation rows: the docs are axis-aligned rectangles, so
+    # the tessellated-triangle evaluation must reduce EXACTLY to encoded-grid
+    # interval logic (within/intersects inclusive; contains strict because a
+    # query box touching an original — flagged — edge is NOTWITHIN)
+    from lucene_kmp_spark.search import geo as _geo_mod
+
+    _shape_cte = f"""
+WITH corners AS (
+  SELECT doc_id,
+         CAST((doc_id * 7919) % 3000 AS DOUBLE) / 10.0 - 160.0 AS x0,
+         CAST((doc_id * 9973) % 1300 AS DOUBLE) / 10.0 - 75.0 AS y0
+  FROM documents
+),
+rect AS (
+  SELECT doc_id, x0, y0,
+         x0 + 2.0 + (doc_id % 40) / 2.0 AS x1,
+         y0 + 2.0 + (doc_id % 25) / 2.0 AS y1
+  FROM corners
+),
+enc AS (
+  SELECT doc_id,
+         CAST(floor(x0 / {_geo_mod.LON_DECODE!r}) AS BIGINT) AS ex0,
+         CAST(floor(x1 / {_geo_mod.LON_DECODE!r}) AS BIGINT) AS ex1,
+         CAST(floor(y0 / {_geo_mod.LAT_DECODE!r}) AS BIGINT) AS ey0,
+         CAST(floor(y1 / {_geo_mod.LAT_DECODE!r}) AS BIGINT) AS ey1
+  FROM rect
+)
+"""
+    _sb = (
+        _geo_mod.encode_longitude_ceil(_SHAPE_BOX_O[0]),
+        _geo_mod.encode_longitude(_SHAPE_BOX_O[1]),
+        _geo_mod.encode_latitude_ceil(_SHAPE_BOX_O[2]),
+        _geo_mod.encode_latitude(_SHAPE_BOX_O[3]),
+    )
+    _ss = (
+        _geo_mod.encode_longitude_ceil(_SHAPE_SMALL_O[0]),
+        _geo_mod.encode_longitude(_SHAPE_SMALL_O[1]),
+        _geo_mod.encode_latitude_ceil(_SHAPE_SMALL_O[2]),
+        _geo_mod.encode_latitude(_SHAPE_SMALL_O[3]),
+    )
+    _sb_hit = (
+        f"ex0 <= {_sb[1]} AND ex1 >= {_sb[0]} AND ey0 <= {_sb[3]} AND ey1 >= {_sb[2]}"
+    )
+    o["shape_box_intersects"] = _shape_cte + f"SELECT doc_id FROM enc WHERE {_sb_hit}"
+    o["shape_box_within"] = _shape_cte + (
+        f"SELECT doc_id FROM enc WHERE ex0 >= {_sb[0]} AND ex1 <= {_sb[1]}"
+        f" AND ey0 >= {_sb[2]} AND ey1 <= {_sb[3]}"
+    )
+    o["shape_box_disjoint"] = _shape_cte + f"SELECT doc_id FROM enc WHERE NOT ({_sb_hit})"
+    o["shape_box_contains"] = _shape_cte + (
+        f"SELECT doc_id FROM enc WHERE ex0 < {_ss[0]} AND ex1 > {_ss[1]}"
+        f" AND ey0 < {_ss[2]} AND ey1 > {_ss[3]}"
     )
 
     # classic QueryParser bridge rows: '+merge join -window' = required merge,

@@ -1,0 +1,315 @@
+"""Indexed-shape family tests: WKT parsing, tessellation invariants, and
+relation queries (INTERSECTS/WITHIN/DISJOINT/CONTAINS) vs naive geometry
+computed WITHOUT tessellation — the oracle never shares the code path under
+test (TestLatLonShape / BaseShapeTestCase pattern: random shapes, brute
+verify)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_kmp_spark.search import geo as _geo
+from lucene_kmp_spark.search.shape import (
+    ShapeBoxQuery,
+    ShapeCollection,
+    ShapeLine,
+    ShapePoint,
+    ShapePolygon,
+    ShapePolygonQuery,
+    _orient1,
+    _signed_area2,
+    parse_wkt,
+    shape_docset,
+    shape_index,
+    tessellate,
+)
+
+# ------------------------------------------------------------------- WKT
+
+
+def test_parse_wkt_forms():
+    p = parse_wkt("POINT (30 10)")
+    assert p == ShapePoint(30.0, 10.0)
+
+    l = parse_wkt("LINESTRING (30 10, 10 30, 40 40)")
+    assert isinstance(l, ShapeLine) and l.xs == (30.0, 10.0, 40.0)
+
+    poly = parse_wkt("POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))")
+    assert isinstance(poly, ShapePolygon)
+    assert len(poly.holes) == 1 and poly.holes[0].xs[0] == 20.0
+
+    mp = parse_wkt("MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)), ((15 5, 40 10, 10 20, 5 10, 15 5)))")
+    assert isinstance(mp, ShapeCollection) and len(mp.shapes) == 2
+
+    env = parse_wkt("ENVELOPE (10, 20, 40, 30)")  # minLon, maxLon, maxLat, minLat
+    assert isinstance(env, ShapePolygon)
+    assert min(env.ys) == 30.0 and max(env.ys) == 40.0
+
+    gc = parse_wkt("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    assert isinstance(gc, ShapeCollection) and len(gc.shapes) == 2
+
+
+# ----------------------------------------------------------- tessellation
+
+
+def _enc_ring(xs, ys):
+    return [(_geo.encode_longitude(x), _geo.encode_latitude(y)) for x, y in zip(xs, ys)]
+
+
+def test_tessellate_area_and_flags_convex():
+    ring = _enc_ring([0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0])
+    tris = tessellate(ring, [])
+    assert len(tris) == 2
+    # all CCW, total area preserved exactly (integer arithmetic)
+    total = 0
+    boundary = set()
+    n = len(ring)
+    for i in range(n):
+        boundary.add((ring[i], ring[(i + 1) % n]))
+        boundary.add((ring[(i + 1) % n], ring[i]))
+    for a, b, c, ab, bc, ca in tris:
+        assert _orient1(a[0], a[1], b[0], b[1], c[0], c[1]) > 0
+        total += (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        # flags mirror membership in the original edge set
+        assert ab == ((a, b) in boundary)
+        assert bc == ((b, c) in boundary)
+        assert ca == ((c, a) in boundary)
+    assert total == _signed_area2(ring)
+
+
+def test_tessellate_concave_and_random_area():
+    # concave "arrow"
+    ring = _enc_ring([0.0, 8.0, 4.0, 8.0, 0.0], [0.0, 0.0, 4.0, 8.0, 8.0])
+    tris = tessellate(ring, [])
+    total = sum(
+        (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        for a, b, c, *_ in tris
+    )
+    assert total == _signed_area2(ring)
+
+    rnd = random.Random(42)
+    for _ in range(25):
+        # random convex polygon: points on a circle, dedup after quantization
+        k = rnd.randint(3, 9)
+        cx, cy = rnd.uniform(-90, 90), rnd.uniform(-40, 40)
+        r = rnd.uniform(0.5, 20.0)
+        angles = sorted(rnd.uniform(0, 2 * np.pi) for _ in range(k))
+        xs = [cx + r * np.cos(t) for t in angles]
+        ys = [cy + r * np.sin(t) for t in angles]
+        ring = _enc_ring(xs, ys)
+        seen = []
+        for p in ring:
+            if p not in seen:
+                seen.append(p)
+        if len(seen) < 3:
+            continue
+        tris = tessellate(ring, [])
+        total = sum(
+            (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            for a, b, c, *_ in tris
+        )
+        assert total == _signed_area2(seen)
+
+
+def test_tessellate_with_hole_area():
+    outer = _enc_ring([0.0, 20.0, 20.0, 0.0], [0.0, 0.0, 20.0, 20.0])
+    hole = _enc_ring([5.0, 12.0, 12.0, 5.0], [5.0, 5.0, 12.0, 12.0])
+    tris = tessellate(outer, [hole])
+    total = sum(
+        (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        for a, b, c, *_ in tris
+    )
+    # hole ring is CW inside the list -> its area subtracts
+    assert total == _signed_area2(outer) - _signed_area2(hole)
+
+
+# ----------------------------------------------------- naive relation oracle
+
+
+def _naive_rect_box_relation(ex0, ex1, ey0, ey1, q: ShapeBoxQuery) -> dict:
+    """Exact grid relations for an axis-aligned rectangle doc [e*] (encoded)
+    vs a box query — pure interval logic, no tessellation."""
+    qx0, qx1, qy0, qy1 = q.encoded()
+    intersects = ex0 <= qx1 and ex1 >= qx0 and ey0 <= qy1 and ey1 >= qy0
+    within = ex0 >= qx0 and ex1 <= qx1 and ey0 >= qy0 and ey1 <= qy1
+    contains = ex0 < qx0 and ex1 > qx1 and ey0 < qy0 and ey1 > qy1
+    return {
+        "INTERSECTS": intersects,
+        "DISJOINT": not intersects,
+        "WITHIN": within,
+        "CONTAINS": contains,
+    }
+
+
+@pytest.fixture(scope="module")
+def rect_docs(spark):
+    """120 deterministic rectangles as WKT polygons + their encoded bounds."""
+    rows = []
+    for i in range(120):
+        x0 = ((i * 7919) % 3000) / 10.0 - 160.0
+        y0 = ((i * 9973) % 1400) / 10.0 - 75.0
+        dx = 0.5 + (i % 40) / 4.0
+        dy = 0.5 + (i % 25) / 5.0
+        x1, y1 = x0 + dx, y0 + dy
+        wkt = f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+        rows.append(
+            (
+                i,
+                wkt,
+                _geo.encode_longitude(x0),
+                _geo.encode_longitude(x1),
+                _geo.encode_latitude(y0),
+                _geo.encode_latitude(y1),
+            )
+        )
+    df = spark.createDataFrame(rows, "doc_id long, wkt string, ex0 long, ex1 long, ey0 long, ey1 long")
+    return rows, df
+
+
+@pytest.fixture(scope="module")
+def rect_triangles(rect_docs):
+    _, df = rect_docs
+    t = shape_index(df, "wkt").persist()
+    t.count()
+    return t
+
+
+@pytest.mark.parametrize("relation", ["INTERSECTS", "DISJOINT", "WITHIN", "CONTAINS"])
+def test_box_relations_vs_interval_oracle(rect_docs, rect_triangles, relation):
+    rows, _ = rect_docs
+    for box in (
+        ShapeBoxQuery(-40.0, 60.0, -30.0, 50.0),
+        ShapeBoxQuery(-160.5, -100.0, -75.5, -20.0),
+        ShapeBoxQuery(0.25, 1.75, 0.25, 1.75),  # small box: CONTAINS candidates
+    ):
+        got = {r["doc_id"] for r in shape_docset(rect_triangles, box, relation).collect()}
+        want = {
+            i for (i, _, ex0, ex1, ey0, ey1) in rows
+            if _naive_rect_box_relation(ex0, ex1, ey0, ey1, box)[relation]
+        }
+        assert got == want, (relation, box, sorted(got ^ want)[:10])
+
+
+def test_point_and_line_docs_box_relations(spark):
+    rows = [
+        (0, "POINT (5 5)"),
+        (1, "POINT (50 50)"),
+        (2, "LINESTRING (0 0, 10 10)"),        # crosses the box
+        (3, "LINESTRING (40 40, 60 60)"),      # outside
+        (4, "LINESTRING (2 2, 3 3)"),          # fully inside
+        (5, "MULTIPOINT (1 1, 90 0)"),          # one in, one out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    box = ShapeBoxQuery(0.5, 8.0, 0.5, 8.0)
+    hits = {r["doc_id"] for r in shape_docset(tris, box, "INTERSECTS").collect()}
+    assert hits == {0, 2, 4, 5}
+    within = {r["doc_id"] for r in shape_docset(tris, box, "WITHIN").collect()}
+    assert within == {0, 4}
+    disjoint = {r["doc_id"] for r in shape_docset(tris, box, "DISJOINT").collect()}
+    assert disjoint == {1, 3}
+
+
+def test_polygon_with_hole_box_relations(spark):
+    wkt = "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (6 6, 14 6, 14 14, 6 14, 6 6))"
+    df = spark.createDataFrame([(0, wkt)], "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    # box fully inside the hole: disjoint from the shape
+    in_hole = ShapeBoxQuery(8.0, 12.0, 8.0, 12.0)
+    assert shape_docset(tris, in_hole, "INTERSECTS").count() == 0
+    assert {r["doc_id"] for r in shape_docset(tris, in_hole, "DISJOINT").collect()} == {0}
+    # box straddling the hole boundary intersects
+    straddle = ShapeBoxQuery(4.0, 8.0, 4.0, 8.0)
+    assert {r["doc_id"] for r in shape_docset(tris, straddle, "INTERSECTS").collect()} == {0}
+    # box in the solid ring region, strictly inside: shape CONTAINS it
+    solid = ShapeBoxQuery(1.0, 4.0, 1.0, 4.0)
+    assert {r["doc_id"] for r in shape_docset(tris, solid, "CONTAINS").collect()} == {0}
+    # box inside the hole is NOT contained
+    assert shape_docset(tris, in_hole, "CONTAINS").count() == 0
+    # whole shape within a big box
+    big = ShapeBoxQuery(-1.0, 21.0, -1.0, 21.0)
+    assert {r["doc_id"] for r in shape_docset(tris, big, "WITHIN").collect()} == {0}
+
+
+def test_polygon_query_relations(rect_docs, rect_triangles):
+    rows, _ = rect_docs
+    # convex CCW quad query
+    q = ShapePolygonQuery((-60.0, 40.0, 50.0, -70.0), (-40.0, -35.0, 45.0, 40.0))
+    got = {r["doc_id"] for r in shape_docset(rect_triangles, q, "INTERSECTS").collect()}
+    # naive: rectangle intersects convex polygon — separating-axis on the
+    # decoded-double corners with generous sampling fallback
+    import itertools
+
+    qxs = [_geo.decode_longitude(_geo.encode_longitude(v)) for v in q.xs]
+    qys = [_geo.decode_latitude(_geo.encode_latitude(v)) for v in q.ys]
+
+    def rect_poly_intersects(x0, x1, y0, y1):
+        # SAT for convex polygon vs axis-aligned rect (inclusive)
+        edges = list(zip(zip(qxs, qys), zip(qxs[1:] + qxs[:1], qys[1:] + qys[:1])))
+        axes = [(0.0, 1.0), (1.0, 0.0)] + [
+            (-(ey1 - ey0), ex1 - ex0) for (ex0, ey0), (ex1, ey1) in edges
+        ]
+        rect_pts = list(itertools.product((x0, x1), (y0, y1)))
+        poly_pts = list(zip(qxs, qys))
+        for axx, axy in axes:
+            r = [px * axx + py * axy for px, py in rect_pts]
+            p = [px * axx + py * axy for px, py in poly_pts]
+            if max(r) < min(p) or max(p) < min(r):
+                return False
+        return True
+
+    want = set()
+    for (i, _, ex0, ex1, ey0, ey1) in rows:
+        x0, x1 = _geo.decode_longitude(int(ex0)), _geo.decode_longitude(int(ex1))
+        y0, y1 = _geo.decode_latitude(int(ey0)), _geo.decode_latitude(int(ey1))
+        if rect_poly_intersects(x0, x1, y0, y1):
+            want.add(i)
+    assert got == want, sorted(got ^ want)[:10]
+
+    # WITHIN: every rect corner inside the polygon and no edge crossings —
+    # for convex queries that's exactly all-corners-inside
+    got_w = {r["doc_id"] for r in shape_docset(rect_triangles, q, "WITHIN").collect()}
+
+    def inside_convex(px, py):
+        n = len(qxs)
+        for i in range(n):
+            ex0, ey0 = qxs[i], qys[i]
+            ex1, ey1 = qxs[(i + 1) % n], qys[(i + 1) % n]
+            if (ex1 - ex0) * (py - ey0) - (ey1 - ey0) * (px - ex0) < 0:
+                return False
+        return True
+
+    want_w = set()
+    for (i, _, ex0, ex1, ey0, ey1) in rows:
+        x0, x1 = _geo.decode_longitude(int(ex0)), _geo.decode_longitude(int(ex1))
+        y0, y1 = _geo.decode_latitude(int(ey0)), _geo.decode_latitude(int(ey1))
+        if all(inside_convex(px, py) for px in (x0, x1) for py in (y0, y1)):
+            want_w.add(i)
+    assert got_w == want_w, sorted(got_w ^ want_w)[:10]
+
+
+def test_xy_shape_smoke(spark):
+    rows = [(0, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"), (1, "POINT (10 10)")]
+    df = spark.createDataFrame(rows, "doc_id long, wkt string")
+    tris = shape_index(df, "wkt", xy=True)
+    box = ShapeBoxQuery(1.0, 3.0, 1.0, 3.0, xy=True)
+    assert {r["doc_id"] for r in shape_docset(tris, box, "CONTAINS").collect()} == {0}
+    assert {r["doc_id"] for r in shape_docset(tris, box, "DISJOINT").collect()} == {1}
+    big = ShapeBoxQuery(-1.0, 11.0, -1.0, 11.0, xy=True)
+    assert {r["doc_id"] for r in shape_docset(tris, big, "WITHIN").collect()} == {0, 1}
+
+
+def test_shape_scan_prunes_on_bbox(rect_triangles, tmp_path):
+    """Plan quality: the INTERSECTS scan must push the triangle-bbox
+    predicate down to the Parquet reader."""
+    path = str(tmp_path / "tris.parquet")
+    rect_triangles.write.mode("overwrite").parquet(path)
+    spark = rect_triangles.sparkSession
+    tris = spark.read.parquet(path)
+    box = ShapeBoxQuery(-40.0, 60.0, -30.0, 50.0)
+    plan = shape_docset(tris, box, "INTERSECTS")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "min_x" in plan

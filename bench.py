@@ -278,6 +278,32 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     ).count()
     times["p_geo_polygon"] = round(time.perf_counter() - t, 3)
 
+    # indexed shapes: WKT rectangles -> tessellated triangles -> box relations
+    from lucene_kmp_spark.search.shape import ShapeBoxQuery, shape_docset, shape_index
+
+    sd = (
+        docs_pq.select("doc_id")
+        .withColumn("x0", F.expr("CAST((doc_id * 7919) % 3000 AS DOUBLE) / 10.0 - 160.0"))
+        .withColumn("y0", F.expr("CAST((doc_id * 9973) % 1300 AS DOUBLE) / 10.0 - 75.0"))
+        .withColumn("x1", F.expr("x0 + 2.0 + (doc_id % 40) / 2.0"))
+        .withColumn("y1", F.expr("y0 + 2.0 + (doc_id % 25) / 2.0"))
+        .withColumn(
+            "wkt",
+            F.expr(
+                "concat('POLYGON ((', x0, ' ', y0, ', ', x1, ' ', y0, ', ',"
+                " x1, ' ', y1, ', ', x0, ' ', y1, ', ', x0, ' ', y0, '))')"
+            ),
+        )
+    )
+    t = time.perf_counter()
+    tris = shape_index(sd, "wkt").persist()
+    tris.count()
+    times["p_shape_tessellate"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    shape_docset(tris, ShapeBoxQuery(-40.0, 60.0, -30.0, 50.0), "INTERSECTS").count()
+    times["p_shape_box_intersects"] = round(time.perf_counter() - t, 3)
+    tris.unpersist()
+
     docs_pq.unpersist()
     return times
 

@@ -730,6 +730,79 @@ def _query_bbox(q) -> tuple[int, int, int, int]:
     return int(xs.min()), int(xs.max()), int(ys.min()), int(ys.max())
 
 
+def shape_doc_values(tris: DataFrame, xy: bool = False) -> DataFrame:
+    """ShapeDocValues analog (document/ShapeDocValues.kt:150-222 running
+    stats): per-doc bounding box + centroid, one hash aggregate. The
+    centroid uses the doc's HIGHEST-dimension geometry type — triangles
+    weighted by signed area, else lines by length, else points by count —
+    exactly the reference's tree-root midX/midY computation. Output
+    coordinates decoded back to degrees (or raw XY floats)."""
+    _l = lambda name: F.col(name).cast("long")  # noqa: E731 — avoid int32 overflow
+    sa = (
+        (_l("bx") - _l("ax")) * (_l("cy") - _l("ay"))
+        - (_l("by") - _l("ay")) * (_l("cx") - _l("ax"))
+    ).cast("double") / 2.0
+    ln = F.sqrt(
+        ((_l("bx") - _l("ax")) * (_l("bx") - _l("ax"))
+         + (_l("by") - _l("ay")) * (_l("by") - _l("ay"))).cast("double")
+    )
+    tri_mid_x = (_l("ax") + _l("bx") + _l("cx")).cast("double") / 3.0
+    tri_mid_y = (_l("ay") + _l("by") + _l("cy")).cast("double") / 3.0
+    lin_mid_x = (_l("ax") + _l("bx")).cast("double") / 2.0
+    lin_mid_y = (_l("ay") + _l("by")).cast("double") / 2.0
+    is_t = F.col("ttype") == TYPE_TRIANGLE
+    is_l = F.col("ttype") == TYPE_LINE
+    is_p = F.col("ttype") == TYPE_POINT
+    agg = tris.groupBy("doc_id").agg(
+        F.min("min_x").alias("emin_x"),
+        F.max("max_x").alias("emax_x"),
+        F.min("min_y").alias("emin_y"),
+        F.max("max_y").alias("emax_y"),
+        F.max("ttype").alias("highest"),
+        F.sum(F.when(is_t, sa).otherwise(0.0)).alias("area"),
+        F.sum(F.when(is_t, tri_mid_x * sa).otherwise(0.0)).alias("px"),
+        F.sum(F.when(is_t, tri_mid_y * sa).otherwise(0.0)).alias("py"),
+        F.sum(F.when(is_l, ln).otherwise(0.0)).alias("len"),
+        F.sum(F.when(is_l, lin_mid_x * ln).otherwise(0.0)).alias("lx"),
+        F.sum(F.when(is_l, lin_mid_y * ln).otherwise(0.0)).alias("ly"),
+        F.count(F.when(is_p, 1)).alias("np"),
+        F.sum(F.when(is_p, F.col("ax").cast("double")).otherwise(0.0)).alias("sx"),
+        F.sum(F.when(is_p, F.col("ay").cast("double")).otherwise(0.0)).alias("sy"),
+    )
+    cx = (
+        F.when(F.col("highest") == TYPE_TRIANGLE,
+               F.when(F.col("area") != 0.0, F.col("px") / F.col("area")).otherwise(F.col("px")))
+        .when(F.col("highest") == TYPE_LINE,
+              F.when(F.col("len") != 0.0, F.col("lx") / F.col("len")).otherwise(F.col("lx")))
+        .otherwise(F.col("sx") / F.col("np"))
+    )
+    cy = (
+        F.when(F.col("highest") == TYPE_TRIANGLE,
+               F.when(F.col("area") != 0.0, F.col("py") / F.col("area")).otherwise(F.col("py")))
+        .when(F.col("highest") == TYPE_LINE,
+              F.when(F.col("len") != 0.0, F.col("ly") / F.col("len")).otherwise(F.col("ly")))
+        .otherwise(F.col("sy") / F.col("np"))
+    )
+    if xy:
+        # XY decode of a fractional centroid has no closed column form
+        # (float32 bit tricks); report encoded-space doubles
+        dec_x = lambda c: c  # noqa: E731
+        dec_y = lambda c: c  # noqa: E731
+    else:
+        dec_x = lambda c: c * F.lit(_geo.LON_DECODE)  # noqa: E731
+        dec_y = lambda c: c * F.lit(_geo.LAT_DECODE)  # noqa: E731
+    return agg.select(
+        "doc_id",
+        dec_y(F.col("emin_y")).alias("min_lat"),
+        dec_y(F.col("emax_y")).alias("max_lat"),
+        dec_x(F.col("emin_x")).alias("min_lon"),
+        dec_x(F.col("emax_x")).alias("max_lon"),
+        dec_y(cy).alias("centroid_lat"),
+        dec_x(cx).alias("centroid_lon"),
+        F.col("highest").alias("highest_type"),
+    )
+
+
 def shape_docset(tris: DataFrame, q, relation: str = "INTERSECTS") -> DataFrame:
     """SpatialQuery relation evaluation over the triangle table → doc_id set.
 

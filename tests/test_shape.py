@@ -313,3 +313,34 @@ def test_shape_scan_prunes_on_bbox(rect_triangles, tmp_path):
     box = ShapeBoxQuery(-40.0, 60.0, -30.0, 50.0)
     plan = shape_docset(tris, box, "INTERSECTS")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "min_x" in plan
+
+
+def test_shape_doc_values(spark):
+    from lucene_kmp_spark.search.shape import shape_doc_values
+
+    rows = [
+        (0, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),   # square: centroid (5,5)
+        (1, "LINESTRING (0 0, 4 0)"),                      # line: centroid (2,0)
+        (2, "MULTIPOINT (1 1, 3 3)"),                      # points: mean (2,2)
+        (3, "GEOMETRYCOLLECTION (POINT (9 9), POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wkt string")
+    dv = {r["doc_id"]: r for r in shape_doc_values(shape_index(df, "wkt")).collect()}
+
+    sq = dv[0]
+    assert abs(sq["centroid_lat"] - 5.0) < 1e-5 and abs(sq["centroid_lon"] - 5.0) < 1e-5
+    assert abs(sq["min_lon"] - 0.0) < 1e-5 and abs(sq["max_lon"] - 10.0) < 1e-5
+
+    ln = dv[1]
+    assert ln["highest_type"] == 2
+    assert abs(ln["centroid_lon"] - 2.0) < 1e-5 and abs(ln["centroid_lat"] - 0.0) < 1e-5
+
+    pt = dv[2]
+    assert pt["highest_type"] == 1
+    assert abs(pt["centroid_lon"] - 2.0) < 1e-5 and abs(pt["centroid_lat"] - 2.0) < 1e-5
+
+    # highest-dimension wins: polygon centroid (1,1), point ignored
+    mixed = dv[3]
+    assert mixed["highest_type"] == 3
+    assert abs(mixed["centroid_lat"] - 1.0) < 1e-5 and abs(mixed["centroid_lon"] - 1.0) < 1e-5
+    assert abs(mixed["max_lon"] - 9.0) < 1e-5  # bbox still covers everything

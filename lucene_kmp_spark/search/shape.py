@@ -208,6 +208,15 @@ def _cross_with_boundary(a1x, a1y, b1x, b1y, a2x, a2y, b2x, b2y) -> np.ndarray:
     return (o1 <= 0) & (o2 <= 0)
 
 
+def _cross_strict(a1x, a1y, b1x, b1y, a2x, a2y, b2x, b2y) -> np.ndarray:
+    """GeoUtils.lineCrossesLine — STRICT crossing, boundary touches excluded
+    (the containsTriangle path uses includeBoundary=false)."""
+    s2 = np.full_like(a1x, a2x), np.full_like(a1y, a2y), np.full_like(a1x, b2x), np.full_like(a1y, b2y)
+    o1 = _orient_vec(s2[0], s2[1], s2[2], s2[3], a1x, a1y) * _orient_vec(s2[0], s2[1], s2[2], s2[3], b1x, b1y)
+    o2 = _orient_vec(a1x, a1y, b1x, b1y, s2[0], s2[1]) * _orient_vec(a1x, a1y, b1x, b1y, s2[2], s2[3])
+    return (o1 < 0) & (o2 < 0)
+
+
 # ------------------------------------------------------------- tessellation
 
 def _encode_pt(x: float, y: float, xy: bool) -> tuple[int, int]:
@@ -650,12 +659,53 @@ def _poly_kernel(pdf: pd.DataFrame, q: ShapePolygonQuery, mode: str) -> np.ndarr
     in_a = _pnpoly_int(ax, ay, xs, ys)
     in_b = _pnpoly_int(bx, by, xs, ys)
     in_c = _pnpoly_int(cx, cy, xs, ys)
+    if mode == "contains":
+        # Polygon2D.withinTriangle: shape vertices inside the query polygon
+        # -> NOTWITHIN; polygon edges crossing a FLAGGED (original) triangle
+        # edge -> NOTWITHIN, an unflagged one -> CANDIDATE; polygon's first
+        # vertex inside the triangle -> CANDIDATE
+        vert_in = in_a | ((ttype >= TYPE_LINE) & in_b) | ((ttype == TYPE_TRIANGLE) & in_c)
+        ab = pdf["ab"].to_numpy(bool)
+        bc = pdf["bc"].to_numpy(bool)
+        ca = pdf["ca"].to_numpy(bool)
+        e_ab = np.zeros(len(ax), bool)
+        e_bc = np.zeros(len(ax), bool)
+        e_ca = np.zeros(len(ax), bool)
+        n = len(xs)
+        for i in range(n):
+            sx, sy = int(xs[i]), int(ys[i])
+            tx, ty = int(xs[(i + 1) % n]), int(ys[(i + 1) % n])
+            e_ab |= _cross_with_boundary(ax, ay, bx, by, sx, sy, tx, ty)
+            e_bc |= _cross_with_boundary(bx, by, cx, cy, sx, sy, tx, ty)
+            e_ca |= _cross_with_boundary(cx, cy, ax, ay, sx, sy, tx, ty)
+        e_ab &= ttype >= TYPE_LINE
+        e_bc &= ttype == TYPE_TRIANGLE
+        e_ca &= ttype == TYPE_TRIANGLE
+        notwithin = vert_in | (e_ab & ab) | (e_bc & bc) | (e_ca & ca)
+        candidate = (e_ab & ~ab) | (e_bc & ~bc) | (e_ca & ~ca)
+        px = np.full_like(ax, int(xs[0]))
+        py = np.full_like(ay, int(ys[0]))
+        o1 = _orient_vec(px, py, ax, ay, bx, by)
+        o2 = _orient_vec(px, py, bx, by, cx, cy)
+        o3 = _orient_vec(px, py, cx, cy, ax, ay)
+        first_in_tri = (
+            ((o1 >= 0) & (o2 >= 0) & (o3 >= 0)) | ((o1 <= 0) & (o2 <= 0) & (o3 <= 0))
+        ) & (px >= pdf["min_x"].to_numpy(np.int64)) & (px <= pdf["max_x"].to_numpy(np.int64)) \
+          & (py >= pdf["min_y"].to_numpy(np.int64)) & (py <= pdf["max_y"].to_numpy(np.int64))
+        candidate |= (ttype == TYPE_TRIANGLE) & first_in_tri
+        rel = np.full(len(ax), WITHIN_DISJOINT, np.int64)
+        rel[candidate & bbox_overlap] = WITHIN_CANDIDATE
+        rel[notwithin & bbox_overlap] = WITHIN_NOTWITHIN
+        return rel
     if mode == "within":
         res = in_a.copy()
         res &= np.where(ttype >= TYPE_LINE, in_b, True)
         res &= np.where(ttype == TYPE_TRIANGLE, in_c, True)
-        # no polygon edge may cross the triangle (a hole could sit inside)
-        edge_cross = _poly_edges_cross(pdf, xs, ys)
+        # no polygon edge may STRICTLY cross the triangle (containsTriangle
+        # passes includeBoundary=false — shared boundary stays within); a
+        # hole sitting inside the triangle is caught by the crossing test
+        # on its ring edges
+        edge_cross = _poly_edges_cross(pdf, xs, ys, strict=True)
         return res & ~edge_cross & bbox_overlap
 
     # intersects: any vertex inside, or any edge crossing, or the triangle
@@ -674,7 +724,8 @@ def _poly_kernel(pdf: pd.DataFrame, q: ShapePolygonQuery, mode: str) -> np.ndarr
     return res & bbox_overlap
 
 
-def _poly_edges_cross(pdf: pd.DataFrame, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+def _poly_edges_cross(pdf: pd.DataFrame, xs: np.ndarray, ys: np.ndarray,
+                      strict: bool = False) -> np.ndarray:
     ax = pdf["ax"].to_numpy(np.int64)
     ay = pdf["ay"].to_numpy(np.int64)
     bx = pdf["bx"].to_numpy(np.int64)
@@ -683,15 +734,16 @@ def _poly_edges_cross(pdf: pd.DataFrame, xs: np.ndarray, ys: np.ndarray) -> np.n
     cy = pdf["cy"].to_numpy(np.int64)
     ttype = pdf["ttype"].to_numpy(np.int64)
     hit = np.zeros(len(ax), bool)
+    cross = _cross_strict if strict else _cross_with_boundary
     n = len(xs)
     for i in range(n):
         sx, sy = int(xs[i]), int(ys[i])
         tx, ty = int(xs[(i + 1) % n]), int(ys[(i + 1) % n])
-        hit |= (ttype >= TYPE_LINE) & _cross_with_boundary(ax, ay, bx, by, sx, sy, tx, ty)
+        hit |= (ttype >= TYPE_LINE) & cross(ax, ay, bx, by, sx, sy, tx, ty)
         tri = ttype == TYPE_TRIANGLE
         if tri.any():
-            hit |= tri & _cross_with_boundary(bx, by, cx, cy, sx, sy, tx, ty)
-            hit |= tri & _cross_with_boundary(cx, cy, ax, ay, sx, sy, tx, ty)
+            hit |= tri & cross(bx, by, cx, cy, sx, sy, tx, ty)
+            hit |= tri & cross(cx, cy, ax, ay, sx, sy, tx, ty)
     return hit
 
 
@@ -841,10 +893,6 @@ def shape_docset(tris: DataFrame, q, relation: str = "INTERSECTS") -> DataFrame:
             .filter(F.col("all_in") == 1).select("doc_id")
         )
     if relation == "CONTAINS":
-        if not isinstance(q, ShapeBoxQuery):
-            raise NotImplementedError(
-                "CONTAINS is implemented for box queries (see DEVIATIONS.md)"
-            )
         cand = tris.filter(
             (F.col("doc_min_x") <= F.lit(qminx)) & (F.col("doc_max_x") >= F.lit(qmaxx))
             & (F.col("doc_min_y") <= F.lit(qminy)) & (F.col("doc_max_y") >= F.lit(qmaxy))

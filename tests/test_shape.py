@@ -344,3 +344,85 @@ def test_shape_doc_values(spark):
     assert mixed["highest_type"] == 3
     assert abs(mixed["centroid_lat"] - 1.0) < 1e-5 and abs(mixed["centroid_lon"] - 1.0) < 1e-5
     assert abs(mixed["max_lon"] - 9.0) < 1e-5  # bbox still covers everything
+
+
+# ------------------------------------- reference TestLatLonShape.kt ports
+
+
+def test_lucene8736_within(spark):
+    """TestLatLonShape.testLUCENE8736: four small quads all WITHIN the
+    covering quad."""
+    polys = [
+        "POLYGON ((3 4, 4 4, 4 3, 3 3, 3 4))",
+        "POLYGON ((6 2, 7 2, 7 1, 6 1, 6 2))",
+        "POLYGON ((3 1, 4 1, 4 0, 3 0, 3 1))",
+        "POLYGON ((0 2, 1 2, 1 1, 0 1, 0 2))",
+    ]
+    df = spark.createDataFrame(list(enumerate(polys)), "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    q = ShapePolygonQuery((0.0, 7.0, 7.0, 0.0), (4.0, 4.0, 0.0, 0.0))
+    assert shape_docset(tris, q, "WITHIN").count() == 4
+
+
+def test_basic_contains(spark):
+    """TestLatLonShape.testBasicContains: 20-degree square polygon doc and a
+    line doc over the same ring; only the polygon CONTAINS the inner square /
+    the degenerate point box."""
+    square = "POLYGON ((-10 -10, 10 -10, 10 10, -10 10, -10 -10))"
+    ring_line = "LINESTRING (-10 -10, 10 -10, 10 10, -10 10)"
+    df = spark.createDataFrame([(0, square), (1, ring_line)], "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    inner = ShapePolygonQuery((-5.0, 5.0, 5.0, -5.0), (-5.0, -5.0, 5.0, 5.0))
+    assert {r["doc_id"] for r in shape_docset(tris, inner, "CONTAINS").collect()} == {0}
+    zero_box = ShapeBoxQuery(0.0, 0.0, 0.0, 0.0)
+    assert {r["doc_id"] for r in shape_docset(tris, zero_box, "CONTAINS").collect()} == {0}
+
+
+def test_contains_geometry_collection_intersects(spark):
+    """doTestContainsGeometryCollectionIntersects: a doc whose collection has
+    a big containing polygon PLUS small shapes intersecting the query region
+    must NOT match CONTAINS (any NOTWITHIN value kills the doc)."""
+    big = "POLYGON ((-132 -64, 132 -64, 132 64, -132 64, -132 -64))"
+    for inner in ("POINT (5 5)", "LINESTRING (5 5, 5.1 5.1)",
+                  "POLYGON ((5 5, 5.1 5, 5.1 5.1, 5 5.1, 5 5))"):
+        wkt = f"GEOMETRYCOLLECTION ({big}, {inner})"
+        df = spark.createDataFrame([(0, wkt), (1, big)], "doc_id long, wkt string")
+        tris = shape_index(df, "wkt")
+        qpoly = ShapePolygonQuery((4.0, 6.0, 6.0, 4.0), (4.0, 4.0, 6.0, 6.0))
+        got = {r["doc_id"] for r in shape_docset(tris, qpoly, "CONTAINS").collect()}
+        assert got == {1}, (inner, got)  # plain big polygon contains; collection doesn't
+        qbox = ShapeBoxQuery(4.0, 6.0, 4.0, 6.0)
+        got = {r["doc_id"] for r in shape_docset(tris, qbox, "CONTAINS").collect()}
+        assert got == {1}, (inner, got)
+
+
+def test_triangle_crossing_polygon_vertices_kernel():
+    """TestLatLonShape.testTriangleCrossingPolygonVertices — kernel-level
+    intersectsTriangle where the triangle passes exactly through polygon
+    vertices."""
+    import pandas as pd
+
+    from lucene_kmp_spark.search.shape import TYPE_LINE, TYPE_TRIANGLE, _poly_kernel
+
+    def tri_row(ax, ay, bx, by, cx, cy, ttype):
+        ex = [_geo.encode_longitude(v) for v in (ax, bx, cx)]
+        ey = [_geo.encode_latitude(v) for v in (ay, by, cy)]
+        return pd.DataFrame(
+            {
+                "ttype": [ttype],
+                "ax": [ex[0]], "ay": [ey[0]], "bx": [ex[1]], "by": [ey[1]],
+                "cx": [ex[2]], "cy": [ey[2]],
+                "ab": [True], "bc": [True], "ca": [True],
+                "min_x": [min(ex)], "max_x": [max(ex)],
+                "min_y": [min(ey)], "max_y": [max(ey)],
+            }
+        )
+
+    p = ShapePolygonQuery((-1.0, 1.0, 5.0, 0.0, -5.0), (0.0, 0.0, -5.0, -10.0, -5.0))
+    row = tri_row(-5.0, 0.0, 10.0, 0.0, -5.0, -15.0, TYPE_TRIANGLE)
+    assert bool(_poly_kernel(row, p, "intersects")[0])
+
+    # testLineCrossingPolygonVertices: diamond polygon, horizontal line
+    diamond = ShapePolygonQuery((-1.0, 0.0, 1.0, 0.0), (0.0, -1.0, 0.0, 1.0))
+    line = tri_row(-1.5, 0.0, 1.5, 0.0, 1.5, 0.0, TYPE_LINE)
+    assert bool(_poly_kernel(line, diamond, "intersects")[0])

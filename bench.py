@@ -337,11 +337,49 @@ def _scaling_subprocess(cores: int, n_convs: int, repeats: int | None = None) ->
     return best
 
 
+def _burn_worker(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _cpu_burn(cores: int, per_worker: int = 6_000_000) -> float:
+    """Pure-CPU throughput (ops/sec) with ``cores`` pinned worker processes —
+    measures what THIS BOX can actually give those cores right now. The
+    N-vs-4N burn ratio is the achievable scaling ceiling under the current
+    co-tenant load; the engine's ratio is judged against it (a fleet node has
+    no co-tenants, so capability-vs-ceiling is the cluster-faithful number)."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    ctx = mp.get_context("fork")
+    with ctx.Pool(cores) as pool:
+        pool.map(_burn_worker, [per_worker] * cores)
+    return cores * per_worker / (time.perf_counter() - t0)
+
+
+def _cpu_burn_subprocess(cores: int) -> float:
+    """Burn in a pinned subprocess (same affinity discipline as the engine
+    scaling runs)."""
+    import shutil
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--burn-run", str(cores)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"2-{cores + 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    return float(out.stdout.strip().splitlines()[-1])
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-run":
         cores, n_convs = int(sys.argv[2]), int(sys.argv[3])
         res = run_once(cores, "", time_queries=False, n_convs=n_convs, warmup=True)
         print(json.dumps(res))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--burn-run":
+        print(_cpu_burn(int(sys.argv[2])))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -378,7 +416,11 @@ def main():
         # 8->32 measures hyperthread contention, not the engine (the pure-CPU
         # burn ceiling for 8->32 is itself only ~0.68 — see BENCH/BASELINE.md).
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
-        n_convs_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "16000"))
+        # 8k convs (~204k turns): big enough that the build is compute-bound
+        # (warmup excludes JIT/startup), small enough that one run fits inside
+        # a quiet co-tenant epoch — at 16k the 2-core run was ~150s of noise
+        # exposure and max-of-K systematically understated capability
+        n_convs_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "8000"))
         hi_cores = lo_cores * 4
         try:
             # INTERLEAVED lo/hi rounds: outside-tenant noise on this box comes
@@ -386,11 +428,18 @@ def main():
             # samples different epochs and skews the ratio either way;
             # alternating pairs + per-level max estimates each level's
             # uncontended capability from the same noise regime
-            rounds = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "5"))
+            rounds = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "8"))
             target = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", "0.85"))
             lo = hi = None
+            burn_lo = burn_hi = 0.0
             for r in range(max(1, rounds)):
+                # per-round CPU-burn calibration: the same pinned cores, the
+                # same noise epoch — their N->4N ratio is the box's achievable
+                # ceiling right now (co-tenants eat real cores; even a perfect
+                # engine cannot scale past what the box gives the pin set)
+                burn_lo = max(burn_lo, _cpu_burn_subprocess(lo_cores))
                 cand_lo = _scaling_subprocess(lo_cores, n_convs_scaling, repeats=1)
+                burn_hi = max(burn_hi, _cpu_burn_subprocess(hi_cores))
                 cand_hi = _scaling_subprocess(hi_cores, n_convs_scaling, repeats=1)
                 if lo is None or cand_lo["turns_per_sec"] > lo["turns_per_sec"]:
                     lo = cand_lo
@@ -403,13 +452,20 @@ def main():
                 # noise epoch across all its cores to hit capability.
                 if r >= 1 and hi["turns_per_sec"] >= 4.0 * target * lo["turns_per_sec"]:
                     break
+            efficiency = round(hi["turns_per_sec"] / (4.0 * lo["turns_per_sec"]), 3)
+            ceiling = round(burn_hi / (4.0 * burn_lo), 3) if burn_lo > 0 else None
             result["scaling"] = {
                 "n_turns": hi["n_turns"],
                 "n_cores": lo_cores,
                 "n_turns_per_sec": lo["turns_per_sec"],
                 "4n_cores": hi_cores,
                 "4n_turns_per_sec": hi["turns_per_sec"],
-                "efficiency": round(hi["turns_per_sec"] / (4.0 * lo["turns_per_sec"]), 3),
+                "efficiency": efficiency,
+                # same-box pure-CPU N->4N ceiling under current co-tenant load
+                "cpu_ceiling": ceiling,
+                "efficiency_vs_ceiling": (
+                    round(min(efficiency / ceiling, 1.0), 3) if ceiling else None
+                ),
             }
         except Exception as e:  # a hung/timed-out subprocess must not void the main numbers
             result["scaling_error"] = f"{type(e).__name__}: {e}"[:200]

@@ -425,25 +425,26 @@ def shape_index(df: DataFrame, wkt_col: str = "wkt", doc_id_col: str = "doc_id",
             "doc_id", "ttype", "ax", "ay", "bx", "by", "cx", "cy", "ab", "bc", "ca",
         ]
         for pdf in batches:
-            out = []
+            # one row-tuple list per BATCH (a per-doc DataFrame costs ~100x
+            # the geometry itself — measured 21.6s -> ~2s at 101k docs)
+            rows: list[tuple] = []
             for doc_id, wkt in zip(pdf[doc_id_col], pdf[wkt_col]):
-                rows = _shape_rows(int(doc_id), parse_wkt(wkt), xy)
-                if not rows:
-                    continue
-                r = pd.DataFrame(rows, columns=cols)
-                xs = r[["ax", "bx", "cx"]]
-                ys = r[["ay", "by", "cy"]]
-                r["min_x"] = xs.min(axis=1)
-                r["max_x"] = xs.max(axis=1)
-                r["min_y"] = ys.min(axis=1)
-                r["max_y"] = ys.max(axis=1)
-                r["doc_min_x"] = int(r["min_x"].min())
-                r["doc_max_x"] = int(r["max_x"].max())
-                r["doc_min_y"] = int(r["min_y"].min())
-                r["doc_max_y"] = int(r["max_y"].max())
-                out.append(r)
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                rows.extend(_shape_rows(int(doc_id), parse_wkt(wkt), xy))
+            if not rows:
+                continue
+            r = pd.DataFrame(rows, columns=cols)
+            xs = r[["ax", "bx", "cx"]].to_numpy(np.int64)
+            ys = r[["ay", "by", "cy"]].to_numpy(np.int64)
+            r["min_x"] = xs.min(axis=1)
+            r["max_x"] = xs.max(axis=1)
+            r["min_y"] = ys.min(axis=1)
+            r["max_y"] = ys.max(axis=1)
+            g = r.groupby("doc_id")
+            r["doc_min_x"] = g["min_x"].transform("min")
+            r["doc_max_x"] = g["max_x"].transform("max")
+            r["doc_min_y"] = g["min_y"].transform("min")
+            r["doc_max_y"] = g["max_y"].transform("max")
+            yield r
 
     return df.select(doc_id_col, wkt_col).mapInPandas(gen, _TRI_SCHEMA)
 
@@ -493,6 +494,19 @@ class ShapePolygonQuery:
     xs: tuple[float, ...]
     ys: tuple[float, ...]
     holes: tuple = ()
+    xy: bool = False
+
+
+@dataclass(frozen=True)
+class ShapeLineQuery:
+    """LatLonShapeQuery with a polyline geometry (Line2D relate logic):
+    INTERSECTS = crossings-with-boundary or a line vertex inside the
+    triangle; WITHIN matches only point docs ON the line (Line2D.
+    containsLine/containsTriangle return false — 'can be improved?' in the
+    reference too); CONTAINS uses the flag-aware withinTriangle/Line/Point."""
+
+    xs: tuple[float, ...]
+    ys: tuple[float, ...]
     xy: bool = False
 
 
@@ -724,6 +738,107 @@ def _poly_kernel(pdf: pd.DataFrame, q: ShapePolygonQuery, mode: str) -> np.ndarr
     return res & bbox_overlap
 
 
+def _line_arrays(q: ShapeLineQuery):
+    if q.xy:
+        xs = np.array([_xy_encode(v) for v in q.xs], np.int64)
+        ys = np.array([_xy_encode(v) for v in q.ys], np.int64)
+    else:
+        xs = np.array([_geo.encode_longitude(v) for v in q.xs], np.int64)
+        ys = np.array([_geo.encode_latitude(v) for v in q.ys], np.int64)
+    return xs, ys
+
+
+def _point_on_polyline(px: np.ndarray, py: np.ndarray, xs, ys) -> np.ndarray:
+    """Line2D.contains: point exactly ON some segment (collinear + in bbox)."""
+    on = np.zeros(len(px), bool)
+    for i in range(len(xs) - 1):
+        x0, y0, x1, y1 = int(xs[i]), int(ys[i]), int(xs[i + 1]), int(ys[i + 1])
+        bb = (
+            (px >= min(x0, x1)) & (px <= max(x0, x1))
+            & (py >= min(y0, y1)) & (py <= max(y0, y1))
+        )
+        col = _orient_vec(
+            np.full_like(px, x0), np.full_like(py, y0),
+            np.full_like(px, x1), np.full_like(py, y1), px, py,
+        ) == 0
+        on |= bb & col
+    return on
+
+
+def _line_kernel(pdf: pd.DataFrame, q: ShapeLineQuery, mode: str) -> np.ndarray:
+    """Line2D.{intersects,contains,within}Triangle/Line/Point analog."""
+    xs, ys = _line_arrays(q)
+    qminx, qmaxx = int(xs.min()), int(xs.max())
+    qminy, qmaxy = int(ys.min()), int(ys.max())
+    ax = pdf["ax"].to_numpy(np.int64)
+    ay = pdf["ay"].to_numpy(np.int64)
+    bx = pdf["bx"].to_numpy(np.int64)
+    by = pdf["by"].to_numpy(np.int64)
+    cx = pdf["cx"].to_numpy(np.int64)
+    cy = pdf["cy"].to_numpy(np.int64)
+    ttype = pdf["ttype"].to_numpy(np.int64)
+    bbox_overlap = (
+        (pdf["min_x"].to_numpy(np.int64) <= qmaxx)
+        & (pdf["max_x"].to_numpy(np.int64) >= qminx)
+        & (pdf["min_y"].to_numpy(np.int64) <= qmaxy)
+        & (pdf["max_y"].to_numpy(np.int64) >= qminy)
+    )
+    if mode == "within":
+        # only POINT docs lying on the polyline can be within a line
+        return (ttype == TYPE_POINT) & _point_on_polyline(ax, ay, xs, ys) & bbox_overlap
+
+    def seg_crossings(strict: bool = False):
+        cross = _cross_strict if strict else _cross_with_boundary
+        e_ab = np.zeros(len(ax), bool)
+        e_bc = np.zeros(len(ax), bool)
+        e_ca = np.zeros(len(ax), bool)
+        for i in range(len(xs) - 1):
+            sx, sy = int(xs[i]), int(ys[i])
+            tx, ty = int(xs[i + 1]), int(ys[i + 1])
+            e_ab |= cross(ax, ay, bx, by, sx, sy, tx, ty)
+            e_bc |= cross(bx, by, cx, cy, sx, sy, tx, ty)
+            e_ca |= cross(cx, cy, ax, ay, sx, sy, tx, ty)
+        return (
+            e_ab & (ttype >= TYPE_LINE),
+            e_bc & (ttype == TYPE_TRIANGLE),
+            e_ca & (ttype == TYPE_TRIANGLE),
+        )
+
+    px = np.full_like(ax, int(xs[0]))
+    py = np.full_like(ay, int(ys[0]))
+    o1 = _orient_vec(px, py, ax, ay, bx, by)
+    o2 = _orient_vec(px, py, bx, by, cx, cy)
+    o3 = _orient_vec(px, py, cx, cy, ax, ay)
+    first_in_tri = (
+        ((o1 >= 0) & (o2 >= 0) & (o3 >= 0)) | ((o1 <= 0) & (o2 <= 0) & (o3 <= 0))
+    ) & (px >= pdf["min_x"].to_numpy(np.int64)) & (px <= pdf["max_x"].to_numpy(np.int64)) \
+      & (py >= pdf["min_y"].to_numpy(np.int64)) & (py <= pdf["max_y"].to_numpy(np.int64))
+
+    if mode == "intersects":
+        e_ab, e_bc, e_ca = seg_crossings()
+        res = e_ab | e_bc | e_ca
+        res |= (ttype == TYPE_TRIANGLE) & first_in_tri
+        res |= (ttype == TYPE_POINT) & _point_on_polyline(ax, ay, xs, ys)
+        return res & bbox_overlap
+
+    if mode == "contains":
+        ab = pdf["ab"].to_numpy(bool)
+        bc = pdf["bc"].to_numpy(bool)
+        ca = pdf["ca"].to_numpy(bool)
+        e_ab, e_bc, e_ca = seg_crossings()
+        # POINT doc: contains(point) -> NOTWITHIN (withinPoint)
+        pt_hit = (ttype == TYPE_POINT) & _point_on_polyline(ax, ay, xs, ys)
+        notwithin = pt_hit | (e_ab & ab) | (e_bc & bc) | (e_ca & ca)
+        candidate = (e_ab & ~ab) | (e_bc & ~bc) | (e_ca & ~ca)
+        candidate |= (ttype == TYPE_TRIANGLE) & first_in_tri
+        rel = np.full(len(ax), WITHIN_DISJOINT, np.int64)
+        rel[candidate & bbox_overlap] = WITHIN_CANDIDATE
+        rel[notwithin & bbox_overlap] = WITHIN_NOTWITHIN
+        return rel
+
+    raise ValueError(mode)
+
+
 def _poly_edges_cross(pdf: pd.DataFrame, xs: np.ndarray, ys: np.ndarray,
                       strict: bool = False) -> np.ndarray:
     ax = pdf["ax"].to_numpy(np.int64)
@@ -758,6 +873,8 @@ def _exact_flag_df(tris: DataFrame, q, mode: str) -> DataFrame:
                 continue
             if isinstance(q, ShapeBoxQuery):
                 flag = _box_kernel(pdf, q.encoded(), mode)
+            elif isinstance(q, ShapeLineQuery):
+                flag = _line_kernel(pdf, q, mode)
             else:
                 flag = _poly_kernel(pdf, q, mode)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "flag": flag.astype(np.int64)})
@@ -778,7 +895,7 @@ def _box_overlap_pred(q: ShapeBoxQuery):
 def _query_bbox(q) -> tuple[int, int, int, int]:
     if isinstance(q, ShapeBoxQuery):
         return q.encoded()
-    xs, ys = _polygon_arrays(q)
+    xs, ys = _line_arrays(q) if isinstance(q, ShapeLineQuery) else _polygon_arrays(q)
     return int(xs.min()), int(xs.max()), int(ys.min()), int(ys.max())
 
 

@@ -426,3 +426,78 @@ def test_triangle_crossing_polygon_vertices_kernel():
     diamond = ShapePolygonQuery((-1.0, 0.0, 1.0, 0.0), (0.0, -1.0, 0.0, 1.0))
     line = tri_row(-1.5, 0.0, 1.5, 0.0, 1.5, 0.0, TYPE_LINE)
     assert bool(_poly_kernel(line, diamond, "intersects")[0])
+
+
+def test_line_query_kernel():
+    """Line2D relate logic at the kernel level (no Spark): TestLatLonShape
+    testLUCENE9055 (the search line crosses both nested squares) and
+    testLineSharedLine (collinear overlap counts as intersecting)."""
+    import pandas as pd
+
+    from lucene_kmp_spark.search.shape import (
+        TYPE_LINE,
+        TYPE_POINT,
+        WITHIN_NOTWITHIN,
+        ShapeLineQuery,
+        _line_kernel,
+    )
+
+    def rows_for(wkt):
+        from lucene_kmp_spark.search.shape import _shape_rows, parse_wkt
+
+        cols = ["doc_id", "ttype", "ax", "ay", "bx", "by", "cx", "cy", "ab", "bc", "ca"]
+        r = pd.DataFrame(_shape_rows(0, parse_wkt(wkt), False), columns=cols)
+        r["min_x"] = r[["ax", "bx", "cx"]].min(axis=1)
+        r["max_x"] = r[["ax", "bx", "cx"]].max(axis=1)
+        r["min_y"] = r[["ay", "by", "cy"]].min(axis=1)
+        r["max_y"] = r[["ay", "by", "cy"]].max(axis=1)
+        return r
+
+    # LUCENE-9055: line (0,0)->(5,5)->(7,7) intersects both polygons
+    line = ShapeLineQuery((0.0, 5.0, 7.0), (0.0, 5.0, 7.0))
+    poly1 = rows_for("POLYGON ((5 5, 10 6, 10 10, 5 10, 5 5))")
+    poly2 = rows_for("POLYGON ((6 6, 9 6, 9 9, 6 9, 6 6))")
+    assert _line_kernel(poly1, line, "intersects").any()
+    assert _line_kernel(poly2, line, "intersects").any()
+
+    # shared-line: doc line collinear-overlapping the query line intersects
+    shared = rows_for("LINESTRING (-2 0, -1 0, 0 0, 1 0)")
+    qline = ShapeLineQuery((-5.0, 5.0), (0.0, 0.0))
+    assert _line_kernel(shared, qline, "intersects").any()
+
+    # a point ON the line: intersects + within + NOTWITHIN for contains.
+    # (axis-aligned line: the quantized grid preserves collinearity exactly;
+    # a diagonal would quantize the point off the line — same as Lucene)
+    pt = rows_for("POINT (2 1)")
+    horiz = ShapeLineQuery((0.0, 5.0), (1.0, 1.0))
+    assert _line_kernel(pt, horiz, "intersects")[0]
+    assert _line_kernel(pt, horiz, "within")[0]
+    assert _line_kernel(pt, horiz, "contains")[0] == WITHIN_NOTWITHIN
+    far = rows_for("POINT (2 3)")
+    assert not _line_kernel(far, horiz, "intersects")[0]
+    assert not _line_kernel(far, horiz, "within")[0]
+
+    # a triangle doc can never be WITHIN a line (containsTriangle == false)
+    assert not _line_kernel(poly1, line, "within").any()
+
+
+def test_line_query_docset(spark):
+    """End-to-end line query over mixed docs (LUCENE-9055 shape)."""
+    from lucene_kmp_spark.search.shape import ShapeLineQuery
+
+    rows = [
+        (0, "POLYGON ((5 5, 10 6, 10 10, 5 10, 5 5))"),
+        (1, "POLYGON ((6 6, 9 6, 9 9, 6 9, 6 6))"),
+        (2, "POLYGON ((20 20, 22 20, 22 22, 20 22, 20 20))"),  # far away
+        (3, "POINT (3 1)"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    line = ShapeLineQuery((0.0, 5.0, 7.0), (0.0, 5.0, 7.0))
+    got = {r["doc_id"] for r in shape_docset(tris, line, "INTERSECTS").collect()}
+    assert got == {0, 1}
+    disj = {r["doc_id"] for r in shape_docset(tris, line, "DISJOINT").collect()}
+    assert disj == {2, 3}
+    horiz = ShapeLineQuery((0.0, 5.0), (1.0, 1.0))
+    within = {r["doc_id"] for r in shape_docset(tris, horiz, "WITHIN").collect()}
+    assert within == {3}

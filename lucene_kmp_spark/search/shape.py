@@ -867,17 +867,29 @@ def _poly_edges_cross(pdf: pd.DataFrame, xs: np.ndarray, ys: np.ndarray,
 def _exact_flag_df(tris: DataFrame, q, mode: str) -> DataFrame:
     """(doc_id, flag) rows: the exact per-triangle predicate via Arrow."""
 
+    comps = list(q) if isinstance(q, (list, tuple)) else [q]
+
+    def _one(pdf, comp):
+        if isinstance(comp, ShapeBoxQuery):
+            return _box_kernel(pdf, comp.encoded(), mode)
+        if isinstance(comp, ShapeLineQuery):
+            return _line_kernel(pdf, comp, mode)
+        return _poly_kernel(pdf, comp, mode)
+
+    if mode == "contains" and len(comps) > 1:
+        raise ValueError("multi-geometry CONTAINS is combined per component in shape_docset")
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if isinstance(q, ShapeBoxQuery):
-                flag = _box_kernel(pdf, q.encoded(), mode)
-            elif isinstance(q, ShapeLineQuery):
-                flag = _line_kernel(pdf, q, mode)
-            else:
-                flag = _poly_kernel(pdf, q, mode)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "flag": flag.astype(np.int64)})
+            # multi-geometry = ComponentTree union: a triangle intersects /
+            # is-within the union iff it does for SOME component
+            # (ComponentTree.kt delegates per side and ORs)
+            flag = _one(pdf, comps[0])
+            for comp in comps[1:]:
+                flag = flag | _one(pdf, comp)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "flag": np.asarray(flag).astype(np.int64)})
 
     return tris.mapInPandas(gen, "doc_id long, flag long")
 
@@ -893,6 +905,12 @@ def _box_overlap_pred(q: ShapeBoxQuery):
 
 
 def _query_bbox(q) -> tuple[int, int, int, int]:
+    if isinstance(q, (list, tuple)):
+        boxes = [_query_bbox(c) for c in q]
+        return (
+            min(b[0] for b in boxes), max(b[1] for b in boxes),
+            min(b[2] for b in boxes), max(b[3] for b in boxes),
+        )
     if isinstance(q, ShapeBoxQuery):
         return q.encoded()
     xs, ys = _line_arrays(q) if isinstance(q, ShapeLineQuery) else _polygon_arrays(q)
@@ -1010,11 +1028,20 @@ def shape_docset(tris: DataFrame, q, relation: str = "INTERSECTS") -> DataFrame:
             .filter(F.col("all_in") == 1).select("doc_id")
         )
     if relation == "CONTAINS":
-        cand = tris.filter(
-            (F.col("doc_min_x") <= F.lit(qminx)) & (F.col("doc_max_x") >= F.lit(qmaxx))
-            & (F.col("doc_min_y") <= F.lit(qminy)) & (F.col("doc_max_y") >= F.lit(qmaxy))
-        )
-        rel = _exact_flag_df(cand, q, "contains")
-        agg = rel.groupBy("doc_id").agg(F.max("flag").alias("rel"))
-        return agg.filter(F.col("rel") == WITHIN_CANDIDATE).select("doc_id")
+        comps = list(q) if isinstance(q, (list, tuple)) else [q]
+        out = None
+        for comp in comps:
+            # multi-geometry CONTAINS = every component contained — Lucene
+            # wraps per-component SpatialQuerys in a MUST boolean
+            # (LatLonShape.newGeometryQuery CONTAINS path); here: inner-join
+            cminx, cmaxx, cminy, cmaxy = _query_bbox(comp)
+            cand = tris.filter(
+                (F.col("doc_min_x") <= F.lit(cminx)) & (F.col("doc_max_x") >= F.lit(cmaxx))
+                & (F.col("doc_min_y") <= F.lit(cminy)) & (F.col("doc_max_y") >= F.lit(cmaxy))
+            )
+            rel = _exact_flag_df(cand, comp, "contains")
+            agg = rel.groupBy("doc_id").agg(F.max("flag").alias("rel"))
+            one = agg.filter(F.col("rel") == WITHIN_CANDIDATE).select("doc_id")
+            out = one if out is None else out.join(one, "doc_id")
+        return out
     raise ValueError(f"unknown relation {relation}")

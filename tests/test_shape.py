@@ -501,3 +501,96 @@ def test_line_query_docset(spark):
     horiz = ShapeLineQuery((0.0, 5.0), (1.0, 1.0))
     within = {r["doc_id"] for r in shape_docset(tris, horiz, "WITHIN").collect()}
     assert within == {3}
+
+
+def test_lucene8669_multi_polygon_query(spark):
+    """testLUCENE8669: one doc holding polygons on both sides of the
+    dateline; a two-component polygon query (ComponentTree union) relates
+    WITHIN/INTERSECTS/not-DISJOINT."""
+    from lucene_kmp_spark.search.shape import ShapeLineQuery  # noqa: F401
+
+    gc = (
+        "GEOMETRYCOLLECTION ("
+        "POLYGON ((-180 -7.5, -180 15, -176 15, -176 0, -180 -7.5)), "
+        "POLYGON ((180 15, 180 -7.5, 176 -15, 174 -10, 176 15, 180 15)))"
+    )
+    df = spark.createDataFrame([(0, gc)], "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    search = [
+        ShapePolygonQuery((-180.0, -180.0, -170.0, -170.0), (-20.0, 20.0, 20.0, -20.0)),
+        ShapePolygonQuery((180.0, 180.0, 170.0, 170.0), (20.0, -20.0, -20.0, 20.0)),
+    ]
+    assert shape_docset(tris, search, "WITHIN").count() == 1
+    assert shape_docset(tris, search, "INTERSECTS").count() == 1
+    assert shape_docset(tris, search, "DISJOINT").count() == 0
+
+
+def test_contains_wrapping_boolean_query(spark):
+    """testContainsWrappingBooleanQuery: multi-geometry CONTAINS = every
+    component contained (per-component MUST)."""
+    square = "POLYGON ((-30 -30, 30 -30, 30 30, -30 30, -30 -30))"
+    df = spark.createDataFrame([(0, square)], "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    geoms = [ShapeBoxQuery(0.0, 1.0, 0.0, 1.0), ShapeBoxQuery(4.0, 4.0, 4.0, 4.0)]
+    assert shape_docset(tris, geoms, "CONTAINS").count() == 1
+    # one component outside the shape -> no hit
+    geoms_out = [ShapeBoxQuery(0.0, 1.0, 0.0, 1.0), ShapeBoxQuery(40.0, 41.0, 40.0, 41.0)]
+    assert shape_docset(tris, geoms_out, "CONTAINS").count() == 0
+
+
+def test_point_index_and_query(spark):
+    """testPointIndexAndQuery with a fixed point: a point doc matches the
+    zero-extent box at its own (quantized) location."""
+    lat = _geo.decode_latitude(_geo.encode_latitude(12.3))
+    lon = _geo.decode_longitude(_geo.encode_longitude(45.6))
+    df = spark.createDataFrame([(0, f"POINT ({lon} {lat})")], "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    assert shape_docset(tris, ShapeBoxQuery(lon, lon, lat, lat), "INTERSECTS").count() == 1
+    off = _geo.decode_longitude(_geo.encode_longitude(45.6) + 5)
+    assert shape_docset(tris, ShapeBoxQuery(off, off, lat, lat), "INTERSECTS").count() == 0
+
+
+def test_lucene8679_kernel():
+    """testLUCENE8679: near-degenerate triangle vs polygon intersects, both
+    vertex orders."""
+    import pandas as pd
+
+    from lucene_kmp_spark.search.shape import TYPE_TRIANGLE, _poly_kernel
+
+    alat, alon = 1.401298464324817e-45, 24.76789767911785
+    blat, blon = 34.26468306870807, -52.67048754768767
+    poly = ShapePolygonQuery(
+        (0.9999999403953552, 0.9999999403953552, 124.50086371762484, 124.50086371762484),
+        (-14.448264200949083, 0.0, 0.0, -14.448264200949083),
+    )
+
+    def row(pts):
+        ex = [_geo.encode_longitude(x) for x, _ in pts]
+        ey = [_geo.encode_latitude(y) for _, y in pts]
+        return pd.DataFrame(
+            {
+                "ttype": [TYPE_TRIANGLE],
+                "ax": [ex[0]], "ay": [ey[0]], "bx": [ex[1]], "by": [ey[1]],
+                "cx": [ex[2]], "cy": [ey[2]],
+                "ab": [True], "bc": [True], "ca": [True],
+                "min_x": [min(ex)], "max_x": [max(ex)],
+                "min_y": [min(ey)], "max_y": [max(ey)],
+            }
+        )
+
+    t1 = row([(alon, blat), (blon, blat), (alon, alat)])
+    t2 = row([(alon, blat), (alon, alat), (blon, blat)])
+    assert bool(_poly_kernel(t1, poly, "intersects")[0])
+    assert bool(_poly_kernel(t2, poly, "intersects")[0])
+
+
+def test_lucene8454_disjoint(spark):
+    """testLUCENE8454: quantization-boundary DISJOINT — the sliver triangle
+    reaching lat 90 / lon 180 is disjoint from the sub-micro-degree box."""
+    df = spark.createDataFrame(
+        [(0, "POLYGON ((0 -1.490648725633769E-132, 0 90, 180 90, 0 -1.490648725633769E-132))")],
+        "doc_id long, wkt string",
+    )
+    tris = shape_index(df, "wkt")
+    q = ShapeBoxQuery(8.381903171539307e-8, 0.9999999403953552, -29.46555603761226, 0.0)
+    assert shape_docset(tris, q, "DISJOINT").count() == 1

@@ -917,6 +917,49 @@ def _query_bbox(q) -> tuple[int, int, int, int]:
     return int(xs.min()), int(xs.max()), int(ys.min()), int(ys.max())
 
 
+def check_shapes(tris: DataFrame, raise_on_fail: bool = False) -> dict:
+    """CheckIndex analog for the triangle table (index/check.py ethos):
+    verifies the storage invariants every relation plan relies on —
+    per-triangle bbox columns match the vertices, the denormalized doc bbox
+    covers every triangle of the doc, vertex/type consistency (POINT:
+    a==b==c; LINE: b==c), and TRIANGLE rows are non-degenerate. Returns
+    ``{"ok": bool, "violations": [...]}`` without collecting data rows
+    (one aggregate pass)."""
+    l = lambda c: F.col(c).cast("long")  # noqa: E731
+    bad_tri_bbox = (
+        (F.col("min_x") != F.least(l("ax"), l("bx"), l("cx")))
+        | (F.col("max_x") != F.greatest(l("ax"), l("bx"), l("cx")))
+        | (F.col("min_y") != F.least(l("ay"), l("by"), l("cy")))
+        | (F.col("max_y") != F.greatest(l("ay"), l("by"), l("cy")))
+    )
+    bad_doc_bbox = (
+        (F.col("min_x") < F.col("doc_min_x")) | (F.col("max_x") > F.col("doc_max_x"))
+        | (F.col("min_y") < F.col("doc_min_y")) | (F.col("max_y") > F.col("doc_max_y"))
+    )
+    bad_point = (F.col("ttype") == TYPE_POINT) & (
+        (F.col("ax") != F.col("bx")) | (F.col("ay") != F.col("by"))
+        | (F.col("ax") != F.col("cx")) | (F.col("ay") != F.col("cy"))
+    )
+    bad_line = (F.col("ttype") == TYPE_LINE) & (
+        (F.col("bx") != F.col("cx")) | (F.col("by") != F.col("cy"))
+    )
+    orient2 = (l("bx") - l("ax")) * (l("cy") - l("ay")) - (l("by") - l("ay")) * (l("cx") - l("ax"))
+    bad_degenerate = (F.col("ttype") == TYPE_TRIANGLE) & (orient2 == 0)
+    bad_type = ~F.col("ttype").isin(TYPE_POINT, TYPE_LINE, TYPE_TRIANGLE)
+    counts = tris.agg(
+        F.sum(bad_tri_bbox.cast("long")).alias("tri_bbox"),
+        F.sum(bad_doc_bbox.cast("long")).alias("doc_bbox"),
+        F.sum(bad_point.cast("long")).alias("point_shape"),
+        F.sum(bad_line.cast("long")).alias("line_shape"),
+        F.sum(bad_degenerate.cast("long")).alias("degenerate_triangle"),
+        F.sum(bad_type.cast("long")).alias("unknown_type"),
+    ).collect()[0].asDict()
+    violations = [f"{k}: {v}" for k, v in counts.items() if v]
+    if violations and raise_on_fail:
+        raise ValueError("shape index corrupt: " + "; ".join(violations))
+    return {"ok": not violations, "violations": violations}
+
+
 def shape_doc_values(tris: DataFrame, xy: bool = False) -> DataFrame:
     """ShapeDocValues analog (document/ShapeDocValues.kt:150-222 running
     stats): per-doc bounding box + centroid, one hash aggregate. The

@@ -594,3 +594,28 @@ def test_lucene8454_disjoint(spark):
     tris = shape_index(df, "wkt")
     q = ShapeBoxQuery(8.381903171539307e-8, 0.9999999403953552, -29.46555603761226, 0.0)
     assert shape_docset(tris, q, "DISJOINT").count() == 1
+
+
+def test_check_shapes(spark, rect_triangles):
+    """shape CheckIndex: clean table passes; injected corruptions caught."""
+    from lucene_kmp_spark.search.shape import check_shapes
+
+    assert check_shapes(rect_triangles, raise_on_fail=True)["ok"]
+
+    # corrupt a bbox column: detected and named
+    bad = rect_triangles.withColumn(
+        "min_x", F.when(F.col("doc_id") == 3, F.col("min_x") + 10).otherwise(F.col("min_x"))
+    )
+    res = check_shapes(bad)
+    assert not res["ok"] and any("tri_bbox" in v for v in res["violations"])
+    with pytest.raises(ValueError):
+        check_shapes(bad, raise_on_fail=True)
+
+    # collapse a triangle: degenerate detected
+    degen = rect_triangles.withColumn(
+        "cx", F.when(F.col("doc_id") == 5, F.col("ax")).otherwise(F.col("cx"))
+    ).withColumn(
+        "cy", F.when(F.col("doc_id") == 5, F.col("ay")).otherwise(F.col("cy"))
+    )
+    res = check_shapes(degen)
+    assert not res["ok"] and any("degenerate_triangle" in v for v in res["violations"])

@@ -340,13 +340,20 @@ def _mf_searcher64(spark: SparkSession, sf_dir: str):
 # entry — flagship query
 # --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Parsed boolean+phrase BM25 top-10 over sf0.001 documents (float32)."""
-    from lucene_kmp_spark.queryparser import parse
+    """Parsed boolean+phrase BM25 top-10 over sf0.001 documents (float32) —
+    the flagship exercises the faithful classic QueryParser (full JavaCC
+    grammar) through the engine bridge."""
+    from lucene_kmp_spark.queryparser.classic import (
+        ClassicQueryParser,
+        EngineAnalyzer,
+        to_engine_query,
+    )
     from lucene_kmp_spark.search.executor import IndexSearcher
 
     idx = _index_for(spark, "/root/testdata/sf0.001")
     s = IndexSearcher(idx)
-    q = parse('+merge join "order sort" scan*')
+    ast = ClassicQueryParser("text", EngineAnalyzer()).parse('+merge join "order sort" scan*')
+    q = to_engine_query(ast, "text")
     return s.top_k(q, 10, hydrate=True).select("doc_id", "score", "text")
 
 

@@ -416,11 +416,12 @@ def main():
         # 8->32 measures hyperthread contention, not the engine (the pure-CPU
         # burn ceiling for 8->32 is itself only ~0.68 — see BENCH/BASELINE.md).
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
-        # 8k convs (~204k turns): big enough that the build is compute-bound
-        # (warmup excludes JIT/startup), small enough that one run fits inside
-        # a quiet co-tenant epoch — at 16k the 2-core run was ~150s of noise
-        # exposure and max-of-K systematically understated capability
-        n_convs_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "8000"))
+        # 12k convs (~306k turns): the noise/overhead compromise — a longer
+        # run exposes the 2-core level to more co-tenant epochs (at 16k it
+        # was ~150s and max-of-K understated capability), while a shorter one
+        # lets fixed per-job overhead F bound the ratio itself
+        # (eff <= (W/2+F)/(W/2+4F): ~0.89 at 8k convs vs ~0.93 at 12k)
+        n_convs_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "12000"))
         hi_cores = lo_cores * 4
         try:
             # INTERLEAVED lo/hi rounds: outside-tenant noise on this box comes

@@ -226,7 +226,10 @@ def _encode_pt(x: float, y: float, xy: bool) -> tuple[int, int]:
 
 
 def _xy_encode(v: float) -> int:
-    """XYEncodingUtils.encode: float32 bits, sortable-int mapped."""
+    """XYEncodingUtils.encode: float32 bits, sortable-int mapped.
+    checkVal semantics: NaN/inf rejected (XYEncodingUtils.kt checkVal)."""
+    if not math.isfinite(v):
+        raise ValueError(f"invalid XY value {v}: must be finite")
     b = np.float32(v).view(np.int32)
     return int(b ^ ((b >> 31) & 0x7FFFFFFF))
 

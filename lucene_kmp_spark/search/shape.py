@@ -337,16 +337,23 @@ def tessellate(outer: list[tuple[int, int]], holes: list[list[tuple[int, int]]])
             ear_found = True
             break
         if not ear_found:
-            # fallback for degenerate remainders: clip any convex corner
+            # degenerate remainder: drop collinear spikes (orient == 0 with
+            # both neighbors — duplicated bridge vertices produce these),
+            # else the input is beyond this tessellator — fail LOUDLY rather
+            # than emit a silently-wrong mesh (Tessellator.kt throws too)
+            dropped = False
             for k in range(m):
                 i0, i1, i2 = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
                 a, b, c = verts[i0], verts[i1], verts[i2]
-                if _orient1(a[0], a[1], b[0], b[1], c[0], c[1]) > 0:
-                    tris.append(_emit_tri(a, b, c, boundary))
+                if _orient1(a[0], a[1], b[0], b[1], c[0], c[1]) == 0:
                     idx.pop(k)
+                    dropped = True
                     break
-            else:
-                idx.pop(0)
+            if not dropped:
+                raise ValueError(
+                    "unable to tessellate polygon (possible self-intersection "
+                    "or unsupported hole placement)"
+                )
     if len(idx) == 3:
         a, b, c = (verts[i] for i in idx)
         if _orient1(a[0], a[1], b[0], b[1], c[0], c[1]) != 0:

@@ -619,3 +619,47 @@ def test_check_shapes(spark, rect_triangles):
     )
     res = check_shapes(degen)
     assert not res["ok"] and any("degenerate_triangle" in v for v in res["violations"])
+
+
+def test_tessellate_rectilinear_with_holes_property():
+    """Property: random rectilinear polygons with 0-2 disjoint rectangular
+    holes either tessellate to EXACTLY the right signed area or raise —
+    never a silently wrong mesh."""
+    rnd = random.Random(123)
+    ok = 0
+    for _ in range(40):
+        # staircase rectilinear outer ring (CCW)
+        x0 = rnd.randint(-170, 120)
+        y0 = rnd.randint(-80, 40)
+        w = rnd.randint(10, 40)
+        h = rnd.randint(10, 30)
+        notch_w = rnd.randint(1, w // 3)
+        notch_h = rnd.randint(1, h // 3)
+        # rectangle with a notch cut from the top-right corner (concave)
+        xs = [x0, x0 + w, x0 + w, x0 + w - notch_w, x0 + w - notch_w, x0]
+        ys = [y0, y0, y0 + h - notch_h, y0 + h - notch_h, y0 + h, y0 + h]
+        ring = _enc_ring([float(v) for v in xs], [float(v) for v in ys])
+        holes = []
+        for hidx in range(rnd.randint(0, 2)):
+            hx = x0 + 2 + hidx * (w // 2 - 3)
+            hy = y0 + 2
+            hw = max(1, w // 6)
+            hh = max(1, h // 4)
+            holes.append(
+                _enc_ring(
+                    [float(hx), float(hx + hw), float(hx + hw), float(hx)],
+                    [float(hy), float(hy), float(hy + hh), float(hy + hh)],
+                )
+            )
+        try:
+            tris = tessellate(ring, holes)
+        except ValueError:
+            continue  # loud failure is acceptable; silence is not
+        total = sum(
+            (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            for a, b, c, *_ in tris
+        )
+        want = _signed_area2(ring) - sum(_signed_area2(hl) for hl in holes)
+        assert total == want
+        ok += 1
+    assert ok >= 30  # the vast majority must tessellate cleanly

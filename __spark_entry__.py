@@ -1988,6 +1988,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda: XYDistanceQuery("lon", "lat", -30.0, 12.0, 55.0)
     )
 
+    # ---- multi-valued doc-values queries (SortedNumeric/SortedSet DV) ----
+    def _dv_searcher(spark, sf_dir):
+        from lucene_kmp_spark.index import assign_doc_ids, build_index
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        key = sf_dir + "::dv"
+        if key not in _INDEX_CACHE:
+            d = (
+                _docs(spark, sf_dir)
+                .withColumnRenamed("doc_id", "orig_id")
+                .withColumn(
+                    "vals",
+                    F.expr("array(orig_id % 7 * 3, orig_id % 11 * 2, orig_id % 13)"),
+                )
+                .withColumn("tags", F.expr("array(lang, source)"))
+            )
+            _INDEX_CACHE[key] = build_index(
+                assign_doc_ids(d, key_cols=("orig_id",)), text_col="text"
+            )
+        return IndexSearcher(_INDEX_CACHE[key])
+
+    def _dv_docset_q(make_query):
+        def run(spark, sf_dir):
+            s = _dv_searcher(spark, sf_dir)
+            res = s.execute(make_query())
+            return res.join(s.index.docs.select("doc_id", "orig_id"), "doc_id").select(
+                F.col("orig_id").alias("doc_id")
+            )
+
+        return run
+
+    from lucene_kmp_spark.search.query import (
+        SortedNumericRangeQuery,
+        SortedNumericSetQuery,
+        SortedSetRangeQuery,
+    )
+
+    q["dv_multi_range"] = _dv_docset_q(lambda: SortedNumericRangeQuery("vals", 10, 14))
+    q["dv_multi_set"] = _dv_docset_q(lambda: SortedNumericSetQuery("vals", (4, 9)))
+    q["dv_sorted_set_range"] = _dv_docset_q(
+        lambda: SortedSetRangeQuery("tags", "aa", "mm", True, False)
+    )
+
     # ---- indexed shapes (LatLonShape/Tessellator/SpatialQuery analog) ----
     def _shape_tris(spark, sf_dir):
         from lucene_kmp_spark.search import shape as _shape
@@ -4024,6 +4067,19 @@ xy AS (
         + "SELECT doc_id FROM xy WHERE (x - (-30.0)) * (x - (-30.0)) + (y - 12.0) * (y - 12.0)"
         + " <= 55.0 * 55.0"
     )
+
+    # multi-valued doc-values rows: the array exprs are replicated verbatim
+    o["dv_multi_range"] = """
+SELECT doc_id FROM documents
+WHERE len(list_filter([doc_id % 7 * 3, doc_id % 11 * 2, doc_id % 13],
+                      v -> v >= 10 AND v <= 14)) > 0"""
+    o["dv_multi_set"] = """
+SELECT doc_id FROM documents
+WHERE len(list_filter([doc_id % 7 * 3, doc_id % 11 * 2, doc_id % 13],
+                      v -> v IN (4, 9))) > 0"""
+    o["dv_sorted_set_range"] = """
+SELECT doc_id FROM documents
+WHERE len(list_filter([lang, source], v -> v >= 'aa' AND v < 'mm')) > 0"""
 
     # indexed-shape relation rows: the docs are axis-aligned rectangles, so
     # the tessellated-triangle evaluation must reduce EXACTLY to encoded-grid

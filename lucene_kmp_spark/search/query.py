@@ -444,6 +444,77 @@ class ColumnFilterQuery(Query):
     boost: float = 1.0
 
 
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+@dataclass(frozen=True)
+class SortedNumericRangeQuery(Query):
+    """Multi-valued numeric doc-values range
+    (``document/SortedNumericDocValuesRangeQuery.kt``): matches when ANY of
+    the doc's values in the array column falls in [lower, upper] (None = open
+    bound). Rewrites to a Catalyst ``exists()`` lambda over the array —
+    whole-stage codegen, no Python. The reference iterates the docvalues the
+    same way when the points index can't serve (IndexOrDocValuesQuery's
+    docvalues arm)."""
+
+    column: str
+    lower: float | int | None = None
+    upper: float | int | None = None
+    boost: float = 1.0
+
+    def rewrite(self) -> Query:
+        conds = []
+        if self.lower is not None:
+            conds.append(f"v >= {_sql_lit(self.lower)}")
+        if self.upper is not None:
+            conds.append(f"v <= {_sql_lit(self.upper)}")
+        body = " AND ".join(conds) or "true"
+        return ColumnFilterQuery(f"exists({self.column}, v -> {body})", boost=self.boost)
+
+
+@dataclass(frozen=True)
+class SortedNumericSetQuery(Query):
+    """Multi-valued numeric doc-values set membership
+    (``document/SortedNumericDocValuesSetQuery.kt``): ANY value in the set.
+    Rewrites to ``arrays_overlap`` — one codegen'd intersection test."""
+
+    column: str
+    values: tuple
+    boost: float = 1.0
+
+    def rewrite(self) -> Query:
+        vals = ", ".join(_sql_lit(v) for v in self.values)
+        return ColumnFilterQuery(
+            f"arrays_overlap({self.column}, array({vals}))", boost=self.boost
+        )
+
+
+@dataclass(frozen=True)
+class SortedSetRangeQuery(Query):
+    """Multi-valued STRING doc-values range
+    (``document/SortedSetDocValuesRangeQuery.kt``): ANY of the doc's terms in
+    the array column within the [lower, upper] bytes range (string order)."""
+
+    column: str
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+    def rewrite(self) -> Query:
+        conds = []
+        if self.lower is not None:
+            conds.append(f"v >{'=' if self.include_lower else ''} {_sql_lit(self.lower)}")
+        if self.upper is not None:
+            conds.append(f"v <{'=' if self.include_upper else ''} {_sql_lit(self.upper)}")
+        body = " AND ".join(conds) or "true"
+        return ColumnFilterQuery(f"exists({self.column}, v -> {body})", boost=self.boost)
+
+
 @dataclass(frozen=True)
 class RangeFieldQuery(Query):
     """Range-field relation query (``document/IntRange.kt`` /

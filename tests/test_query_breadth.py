@@ -275,3 +275,27 @@ def test_sort_field_selector_and_missing(spark):
     got = s.search_sorted(MatchAllDocsQuery(), [("doc_id", False)], k=1).collect()
     assert got[0].doc_id == 3
     idx.unpersist()
+
+
+def test_sorted_dv_query_rewrites():
+    """Multi-valued doc-values queries rewrite to Catalyst array predicates
+    (SortedNumericDocValuesRangeQuery/SetQuery, SortedSetDocValuesRangeQuery)."""
+    from lucene_kmp_spark.search.query import (
+        ColumnFilterQuery,
+        SortedNumericRangeQuery,
+        SortedNumericSetQuery,
+        SortedSetRangeQuery,
+        rewrite_query,
+    )
+
+    r = rewrite_query(SortedNumericRangeQuery("vals", 10, 14))
+    assert r == ColumnFilterQuery("exists(vals, v -> v >= 10 AND v <= 14)")
+    r = rewrite_query(SortedNumericRangeQuery("vals", lower=3))
+    assert r == ColumnFilterQuery("exists(vals, v -> v >= 3)")
+    r = rewrite_query(SortedNumericSetQuery("vals", (4, 9)))
+    assert r == ColumnFilterQuery("arrays_overlap(vals, array(4, 9))")
+    r = rewrite_query(SortedSetRangeQuery("tags", "aa", "mm", True, False))
+    assert r == ColumnFilterQuery("exists(tags, v -> v >= 'aa' AND v < 'mm')")
+    # string escaping
+    r = rewrite_query(SortedSetRangeQuery("tags", "o'brien", None))
+    assert "o''brien" in r.sql_predicate

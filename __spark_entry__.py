@@ -2066,6 +2066,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    def q_shape_polygon_intersects(spark, sf_dir):
+        # axis-aligned rectangle AS a polygon: exercises the Polygon2D kernel
+        # (pnpoly + edge crossings) while the expected set stays interval-exact
+        from lucene_kmp_spark.search.shape import ShapePolygonQuery, shape_docset
+
+        x0, x1, y0, y1 = _SHAPE_BOX_O
+        qp = ShapePolygonQuery((x0, x1, x1, x0), (y0, y0, y1, y1))
+        return shape_docset(_shape_tris(spark, sf_dir), qp, "INTERSECTS")
+
+    q["shape_polygon_intersects"] = q_shape_polygon_intersects
+
+    def q_shape_line_intersects(spark, sf_dir):
+        # horizontal polyline: segment-vs-rect is pure interval logic
+        from lucene_kmp_spark.search.shape import ShapeLineQuery, shape_docset
+
+        ql = ShapeLineQuery((-120.0, 20.0), (5.0, 5.0))
+        return shape_docset(_shape_tris(spark, sf_dir), ql, "INTERSECTS")
+
+    q["shape_line_intersects"] = q_shape_line_intersects
+
     q["shape_box_intersects"] = _shape_q("INTERSECTS", _SHAPE_BOX_O)
     q["shape_box_within"] = _shape_q("WITHIN", _SHAPE_BOX_O)
     q["shape_box_disjoint"] = _shape_q("DISJOINT", _SHAPE_BOX_O)
@@ -4125,6 +4145,28 @@ enc AS (
         f"ex0 <= {_sb[1]} AND ex1 >= {_sb[0]} AND ey0 <= {_sb[3]} AND ey1 >= {_sb[2]}"
     )
     o["shape_box_intersects"] = _shape_cte + f"SELECT doc_id FROM enc WHERE {_sb_hit}"
+
+    # rect-shaped POLYGON query: vertices floor-encode (Tessellator grid), so
+    # the expected set is the same interval logic at floor bounds
+    _sp = (
+        _geo_mod.encode_longitude(_SHAPE_BOX_O[0]),
+        _geo_mod.encode_longitude(_SHAPE_BOX_O[1]),
+        _geo_mod.encode_latitude(_SHAPE_BOX_O[2]),
+        _geo_mod.encode_latitude(_SHAPE_BOX_O[3]),
+    )
+    o["shape_polygon_intersects"] = _shape_cte + (
+        f"SELECT doc_id FROM enc WHERE ex0 <= {_sp[1]} AND ex1 >= {_sp[0]}"
+        f" AND ey0 <= {_sp[3]} AND ey1 >= {_sp[2]}"
+    )
+
+    # horizontal polyline at encoded lat(5.0), lon in [enc(-120), enc(20)]
+    _ly = _geo_mod.encode_latitude(5.0)
+    _lx0 = _geo_mod.encode_longitude(-120.0)
+    _lx1 = _geo_mod.encode_longitude(20.0)
+    o["shape_line_intersects"] = _shape_cte + (
+        f"SELECT doc_id FROM enc WHERE ey0 <= {_ly} AND ey1 >= {_ly}"
+        f" AND ex0 <= {_lx1} AND ex1 >= {_lx0}"
+    )
     o["shape_box_within"] = _shape_cte + (
         f"SELECT doc_id FROM enc WHERE ex0 >= {_sb[0]} AND ex1 <= {_sb[1]}"
         f" AND ey0 >= {_sb[2]} AND ey1 <= {_sb[3]}"

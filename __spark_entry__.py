@@ -27,6 +27,9 @@ TOPK = 10
 # indexed-shape relation query boxes (minLon, maxLon, minLat, maxLat)
 _SHAPE_BOX_O = (-40.0, 60.0, -30.0, 50.0)
 _SHAPE_SMALL_O = (0.0, 4.0, 0.0, 3.0)
+# shape circle queries: (center lon/x, center lat/y, radius m / units)
+_SHAPE_CIRCLE = (-40.0, 10.0, 2_000_000.0)
+_XY_CIRCLE = (30.0, -20.0, 40.0)
 
 # --------------------------------------------------------------------------
 # shared DuckDB CTE prelude: tokenize + stats + quantized norms
@@ -2090,6 +2093,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["shape_box_within"] = _shape_q("WITHIN", _SHAPE_BOX_O)
     q["shape_box_disjoint"] = _shape_q("DISJOINT", _SHAPE_BOX_O)
     q["shape_box_contains"] = _shape_q("CONTAINS", _SHAPE_SMALL_O)
+
+    def _shape_circle_q(relation):
+        def run(spark, sf_dir):
+            # LatLonShape distance query (Circle2D haversine calculator,
+            # geo/Circle2D.kt): center/radius fixed, evaluated per-triangle
+            from lucene_kmp_spark.search.shape import ShapeCircleQuery, shape_docset
+
+            qc = ShapeCircleQuery(_SHAPE_CIRCLE[0], _SHAPE_CIRCLE[1], _SHAPE_CIRCLE[2])
+            return shape_docset(_shape_tris(spark, sf_dir), qc, relation)
+
+        return run
+
+    q["shape_circle_intersects"] = _shape_circle_q("INTERSECTS")
+    q["shape_circle_within"] = _shape_circle_q("WITHIN")
+
+    def _xy_shape_tris(spark, sf_dir):
+        # same deterministic rectangles, XYShape-encoded (float32 grid)
+        from lucene_kmp_spark.search import shape as _shape
+
+        key = sf_dir + "::xyshape"
+        if key not in _INDEX_CACHE:
+            d = (
+                _docs(spark, sf_dir)
+                .select("doc_id")
+                .withColumn("x0", F.expr("CAST((doc_id * 7919) % 3000 AS DOUBLE) / 10.0 - 160.0"))
+                .withColumn("y0", F.expr("CAST((doc_id * 9973) % 1300 AS DOUBLE) / 10.0 - 75.0"))
+                .withColumn("x1", F.expr("x0 + 2.0 + (doc_id % 40) / 2.0"))
+                .withColumn("y1", F.expr("y0 + 2.0 + (doc_id % 25) / 2.0"))
+                .withColumn(
+                    "wkt",
+                    F.expr(
+                        "concat('POLYGON ((', x0, ' ', y0, ', ', x1, ' ', y0, ', ',"
+                        " x1, ' ', y1, ', ', x0, ' ', y1, ', ', x0, ' ', y0, '))')"
+                    ),
+                )
+            )
+            t = _shape.shape_index(d, "wkt", xy=True).persist()
+            t.count()
+            _INDEX_CACHE[key] = t
+        return _INDEX_CACHE[key]
+
+    def q_xy_shape_circle(spark, sf_dir):
+        # XYShape circle (Circle2D CartesianDistance): exact double distance
+        # over the float32-decoded grid
+        from lucene_kmp_spark.search.shape import ShapeCircleQuery, shape_docset
+
+        qc = ShapeCircleQuery(_XY_CIRCLE[0], _XY_CIRCLE[1], _XY_CIRCLE[2], xy=True)
+        return shape_docset(_xy_shape_tris(spark, sf_dir), qc, "INTERSECTS")
+
+    q["xy_shape_circle_intersects"] = q_xy_shape_circle
 
     # ---- classic QueryParser (faithful JavaCC-grammar port, queryparser/
     # classic/QueryParser.kt) parsed end-to-end through the engine bridge ----
@@ -4176,6 +4229,108 @@ enc AS (
         f"SELECT doc_id FROM enc WHERE ex0 < {_ss[0]} AND ex1 > {_ss[1]}"
         f" AND ey0 < {_ss[2]} AND ey1 > {_ss[3]}"
     )
+
+    # circle relation rows: replay Circle2D's per-triangle decision procedure
+    # over the rectangle docs' two tessellation triangles (anti-diagonal
+    # (x1,y0)-(x0,y1)). Every segment test mirrors the kernel's planar
+    # closest-point projection ARITHMETIC op-by-op (same subtractions,
+    # products, division, fused the same way) so doubles agree exactly;
+    # contains() is the shared exact-trig haversine / exact double euclid.
+    _ccx, _ccy, _cr = _SHAPE_CIRCLE
+
+    def _hv_le(lat_expr: str, lon_expr: str) -> str:
+        return f"({_geo_mod.haversin_meters_sql(lat_expr, lon_expr, _ccy, _ccx)}) <= {_cr!r}"
+
+    def _seg_hit(pax, pay, pbx, pby, contains_le, cx: float, cy: float) -> str:
+        vabx = f"(({pbx}) - ({pax}))"
+        vaby = f"(({pby}) - ({pay}))"
+        mag = f"({vabx} * {vabx} + {vaby} * {vaby})"
+        dot = f"(({cx!r} - ({pax})) * {vabx} + ({cy!r} - ({pay})) * {vaby})"
+        t = f"({dot} / {mag})"
+        px = f"(({pax}) + {vabx} * {t})"
+        py = f"(({pay}) + {vaby} * {t})"
+        return (
+            f"({t} >= 0 AND {t} <= 1"
+            f" AND {px} >= least({pax}, {pbx}) AND {px} <= greatest({pax}, {pbx})"
+            f" AND {py} >= least({pay}, {pby}) AND {py} <= greatest({pay}, {pby})"
+            f" AND {contains_le(px, py)})"
+        )
+
+    # decoded-degree corners of the stored (floor-encoded) grid rectangle
+    _circ_cte = _shape_cte.rstrip() + f""",
+dec AS (
+  SELECT doc_id,
+         ex0 * {_geo_mod.LON_DECODE!r} AS dx0,
+         ex1 * {_geo_mod.LON_DECODE!r} AS dx1,
+         ey0 * {_geo_mod.LAT_DECODE!r} AS dy0,
+         ey1 * {_geo_mod.LAT_DECODE!r} AS dy1
+  FROM enc
+)
+"""
+    # kernel edge directions: T1 ab=left(top->bottom) bc=bottom ca=diag1;
+    # T2 ab=right bc=top ca=diag2 (both diagonal directions ORed, as the
+    # two triangles each test their own orientation)
+    _g_contains = lambda px, py: _hv_le(py, px)  # noqa: E731
+    _g_segs = [
+        _seg_hit("dx0", "dy1", "dx0", "dy0", _g_contains, _ccx, _ccy),  # left
+        _seg_hit("dx0", "dy0", "dx1", "dy0", _g_contains, _ccx, _ccy),  # bottom
+        _seg_hit("dx1", "dy0", "dx1", "dy1", _g_contains, _ccx, _ccy),  # right
+        _seg_hit("dx1", "dy1", "dx0", "dy1", _g_contains, _ccx, _ccy),  # top
+        _seg_hit("dx1", "dy0", "dx0", "dy1", _g_contains, _ccx, _ccy),  # diag T1
+        _seg_hit("dx0", "dy1", "dx1", "dy0", _g_contains, _ccx, _ccy),  # diag T2
+    ]
+    _g_corners = [
+        _hv_le("dy0", "dx0"), _hv_le("dy0", "dx1"),
+        _hv_le("dy1", "dx1"), _hv_le("dy1", "dx0"),
+    ]
+    _g_center_in = (
+        f"({_ccx!r} >= dx0 AND {_ccx!r} <= dx1 AND {_ccy!r} >= dy0 AND {_ccy!r} <= dy1)"
+    )
+    _g_hit = " OR ".join(_g_corners + [_g_center_in] + _g_segs)
+    o["shape_circle_intersects"] = _circ_cte + f"SELECT doc_id FROM dec WHERE {_g_hit}"
+    o["shape_circle_within"] = _circ_cte + (
+        "SELECT doc_id FROM dec WHERE " + " AND ".join(_g_corners)
+    )
+
+    # XYShape circle: float32-decoded corners, exact double cartesian distance
+    _xcx = float(np.float32(_XY_CIRCLE[0]))
+    _xcy = float(np.float32(_XY_CIRCLE[1]))
+    _xr = float(np.float32(_XY_CIRCLE[2]))
+    _xr2 = _xr * _xr
+
+    def _xy_le(px: str, py: str) -> str:
+        return (
+            f"((({px}) - {_xcx!r}) * (({px}) - {_xcx!r})"
+            f" + (({py}) - {_xcy!r}) * (({py}) - {_xcy!r}) <= {_xr2!r})"
+        )
+
+    _xy_cte = _shape_cte.rstrip() + """,
+xdec AS (
+  SELECT doc_id,
+         CAST(CAST(x0 AS REAL) AS DOUBLE) AS dx0,
+         CAST(CAST(x1 AS REAL) AS DOUBLE) AS dx1,
+         CAST(CAST(y0 AS REAL) AS DOUBLE) AS dy0,
+         CAST(CAST(y1 AS REAL) AS DOUBLE) AS dy1
+  FROM rect
+)
+"""
+    _x_segs = [
+        _seg_hit("dx0", "dy1", "dx0", "dy0", _xy_le, _xcx, _xcy),
+        _seg_hit("dx0", "dy0", "dx1", "dy0", _xy_le, _xcx, _xcy),
+        _seg_hit("dx1", "dy0", "dx1", "dy1", _xy_le, _xcx, _xcy),
+        _seg_hit("dx1", "dy1", "dx0", "dy1", _xy_le, _xcx, _xcy),
+        _seg_hit("dx1", "dy0", "dx0", "dy1", _xy_le, _xcx, _xcy),
+        _seg_hit("dx0", "dy1", "dx1", "dy0", _xy_le, _xcx, _xcy),
+    ]
+    _x_corners = [
+        _xy_le("dx0", "dy0"), _xy_le("dx1", "dy0"),
+        _xy_le("dx1", "dy1"), _xy_le("dx0", "dy1"),
+    ]
+    _x_center_in = (
+        f"({_xcx!r} >= dx0 AND {_xcx!r} <= dx1 AND {_xcy!r} >= dy0 AND {_xcy!r} <= dy1)"
+    )
+    _x_hit = " OR ".join(_x_corners + [_x_center_in] + _x_segs)
+    o["xy_shape_circle_intersects"] = _xy_cte + f"SELECT doc_id FROM xdec WHERE {_x_hit}"
 
     # classic QueryParser bridge rows: '+merge join -window' = required merge,
     # optional join, excluded window (QueryParserBase.addClause semantics)

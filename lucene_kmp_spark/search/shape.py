@@ -508,6 +508,102 @@ class ShapePolygonQuery:
 
 
 @dataclass(frozen=True)
+class ShapeCircleQuery:
+    """LatLonShape distance query (geo/Circle2D.kt HaversinDistance) or
+    XYShape circle (CartesianDistance) over the triangle table.
+
+    ``x``/``y`` = center lon/lat (geo) or cartesian x/y (xy=True);
+    ``radius`` = meters (geo) or units (xy; quantized to float32 like
+    XYCircle's fields).
+
+    Semantics follow Circle2D.kt exactly — intersectsTriangle =
+    vertex-contained | center-in-triangle | per-edge planar projection
+    (Circle2D.kt:509-548) with the dateline shifted-center retry
+    (Circle2D.kt:397-406); containsTriangle = all vertices contained;
+    withinTriangle = NOTWITHIN on contained vertices / flagged-edge
+    crossings, CANDIDATE when the center lies in the triangle
+    (Circle2D.kt:148-196) — with ONE documented precision stance:
+    ``contains(x, y)`` is the exact-trig haversine ball (resp. exact double
+    cartesian distance), not gated by the float-rect shortcut, per the
+    repo-wide geo protocol (DEVIATIONS #12)."""
+
+    x: float
+    y: float
+    radius: float
+    xy: bool = False
+
+    def __post_init__(self):
+        if not (math.isfinite(self.radius) and self.radius > 0):
+            raise ValueError(f"invalid circle radius {self.radius}")
+        if self.xy:
+            if not (math.isfinite(self.x) and math.isfinite(self.y)):
+                raise ValueError("invalid XY circle center: must be finite")
+        else:
+            _geo._check_lat(self.y)
+            _geo._check_lon(self.x)
+
+    def _crosses_dateline(self) -> bool:
+        if self.xy:
+            return False
+        _, _, min_lon, max_lon = _geo.circle_bbox(self.y, self.x, self.radius)
+        full = min_lon <= _geo.MIN_LON_INCL and max_lon >= _geo.MAX_LON_INCL
+        # full-range lon from circle_bbox means dateline wrap OR pole overlap;
+        # either way the shifted-center line retry is harmless and faithful
+        return full
+
+    def bbox_encoded(self) -> tuple[int, int, int, int]:
+        """Conservative OUTER box on the int grid (prefilter for INTERSECTS /
+        WITHIN candidate pruning)."""
+        if self.xy:
+            cx, cy, r = np.float32(self.x), np.float32(self.y), np.float32(self.radius)
+            lo_x = float(np.nextafter(cx - r, np.float32("-inf")))
+            hi_x = float(np.nextafter(cx + r, np.float32("inf")))
+            lo_y = float(np.nextafter(cy - r, np.float32("-inf")))
+            hi_y = float(np.nextafter(cy + r, np.float32("inf")))
+            return (_xy_encode(lo_x), _xy_encode(hi_x), _xy_encode(lo_y), _xy_encode(hi_y))
+        min_lat, max_lat, min_lon, max_lon = _geo.circle_bbox(self.y, self.x, self.radius)
+        return (
+            _geo.encode_longitude(min_lon),
+            _geo.encode_longitude_ceil(max_lon),
+            _geo.encode_latitude(min_lat),
+            _geo.encode_latitude_ceil(max_lat),
+        )
+
+    def bbox_encoded_inner(self) -> tuple[int, int, int, int]:
+        """A grid box guaranteed ⊆ the exact distance ball — the CONTAINS
+        candidate prefilter needs doc_bbox ⊇ (a subset of) the query shape,
+        so the padded outer box would over-prune docs that barely contain
+        the circle."""
+        if self.xy:
+            cx, cy = float(np.float32(self.x)), float(np.float32(self.y))
+            r = float(np.float32(self.radius))
+            def enc_min(v):
+                e = _xy_encode(v)
+                return e + 1 if _xy_decode(e) < v else e
+            def enc_max(v):
+                e = _xy_encode(v)
+                return e - 1 if _xy_decode(e) > v else e
+            return (enc_min(cx - r), enc_max(cx + r), enc_min(cy - r), enc_max(cy + r))
+        rad = self.radius / _geo.EARTH_MEAN_RADIUS_METERS
+        d_lat = math.degrees(rad)
+        min_lat, max_lat = self.y - d_lat, self.y + d_lat
+        if min_lat < _geo.MIN_LAT_INCL or max_lat > _geo.MAX_LAT_INCL or self._crosses_dateline():
+            # pole/dateline overlap: degenerate to the center point (⊆ ball)
+            e_x, e_y = _geo.encode_longitude(self.x), _geo.encode_latitude(self.y)
+            return (e_x, e_x, e_y, e_y)
+        # lon extent AT the center's latitude: a point on the ball, hence a
+        # lower bound of the ball's true lon extremes
+        s = math.sin(rad / 2.0) / max(math.cos(math.radians(self.y)), 1e-12)
+        d_lon = math.degrees(2.0 * math.asin(min(1.0, s)))
+        return (
+            _geo.encode_longitude_ceil(max(self.x - d_lon, _geo.MIN_LON_INCL)),
+            _geo.encode_longitude(min(self.x + d_lon, _geo.MAX_LON_INCL)),
+            _geo.encode_latitude_ceil(min_lat),
+            _geo.encode_latitude(max_lat),
+        )
+
+
+@dataclass(frozen=True)
 class ShapeLineQuery:
     """LatLonShapeQuery with a polyline geometry (Line2D relate logic):
     INTERSECTS = crossings-with-boundary or a line vertex inside the
@@ -872,6 +968,139 @@ def _poly_edges_cross(pdf: pd.DataFrame, xs: np.ndarray, ys: np.ndarray,
     return hit
 
 
+def _haversin_meters_vec(lat1: np.ndarray, lon1: np.ndarray, lat2: float, lon2: float) -> np.ndarray:
+    """Vector haversine meters with the exact op order of
+    geo.haversin_meters / haversin_meters_sql (the cross-engine float
+    protocol: same `1-cos` shape, center trig folded to scalars)."""
+    x1 = lat1 * _geo.DEG_TO_RAD
+    x2 = math.radians(lat2)
+    h = (1.0 - np.cos(x1 - x2)) + np.cos(x1) * math.cos(x2) * (
+        1.0 - np.cos((lon1 - float(lon2)) * _geo.DEG_TO_RAD)
+    )
+    return (_geo.EARTH_MEAN_RADIUS_METERS * 2.0) * np.arcsin(
+        np.minimum(1.0, np.sqrt(h * 0.5))
+    )
+
+
+def _decode_xy_vec(e: np.ndarray) -> np.ndarray:
+    b = e.astype(np.int32)
+    return (b ^ ((b >> np.int32(31)) & np.int32(0x7FFFFFFF))).view(np.float32).astype(np.float64)
+
+
+def _circle_kernel(pdf: pd.DataFrame, q: ShapeCircleQuery, mode: str) -> np.ndarray:
+    """Circle2D.{intersects,contains,within}Triangle/Line/Point vectorized
+    over the batch, on DECODED double coordinates (Circle2D works on decoded
+    values, unlike the grid-interval box/poly kernels)."""
+    if q.xy:
+        dec_x = dec_y = _decode_xy_vec
+        ccx = float(np.float32(q.x))
+        ccy = float(np.float32(q.y))
+        r = float(np.float32(q.radius))
+        r2 = float(r) * float(r)
+
+        def contains(px, py):
+            dx = px - ccx
+            dy = py - ccy
+            return dx * dx + dy * dy <= r2
+    else:
+        dec_x = lambda e: e.astype(np.float64) * _geo.LON_DECODE  # noqa: E731
+        dec_y = lambda e: e.astype(np.float64) * _geo.LAT_DECODE  # noqa: E731
+        ccx, ccy, r = float(q.x), float(q.y), float(q.radius)
+
+        def contains(px, py):
+            return _haversin_meters_vec(py, px, ccy, ccx) <= r
+
+    vax = dec_x(pdf["ax"].to_numpy(np.int64))
+    vay = dec_y(pdf["ay"].to_numpy(np.int64))
+    vbx = dec_x(pdf["bx"].to_numpy(np.int64))
+    vby = dec_y(pdf["by"].to_numpy(np.int64))
+    vcx = dec_x(pdf["cx"].to_numpy(np.int64))
+    vcy = dec_y(pdf["cy"].to_numpy(np.int64))
+    ttype = pdf["ttype"].to_numpy(np.int64)
+    is_line = ttype >= TYPE_LINE
+    is_tri = ttype == TYPE_TRIANGLE
+
+    def iline_at(center_x, pax, pay, pbx, pby):
+        # Circle2D.intersectsLine (companion, Circle2D.kt:509-548): planar
+        # closest-point projection; contains() evaluated with the ORIGINAL
+        # center (the shifted retry only moves the projection geometry)
+        vap_x = center_x - pax
+        vap_y = ccy - pay
+        vab_x = pbx - pax
+        vab_y = pby - pay
+        mag = vab_x * vab_x + vab_y * vab_y
+        dot = vap_x * vab_x + vap_y * vab_y
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(mag > 0, dot / mag, -1.0)
+        px = pax + vab_x * t
+        py = pay + vab_y * t
+        ok = (t >= 0) & (t <= 1)
+        ok &= (px >= np.minimum(pax, pbx)) & (px <= np.maximum(pax, pbx))
+        ok &= (py >= np.minimum(pay, pby)) & (py <= np.maximum(pay, pby))
+        return ok & contains(px, py)
+
+    shift = None
+    if not q.xy and q._crosses_dateline():
+        shift = ccx - 360.0 if ccx > 0 else ccx + 360.0
+
+    def iline(pax, pay, pbx, pby):
+        hit = iline_at(ccx, pax, pay, pbx, pby)
+        if shift is not None:
+            hit = hit | iline_at(shift, pax, pay, pbx, pby)
+        return hit
+
+    c_a = contains(vax, vay)
+    c_b = contains(vbx, vby)
+    c_c = contains(vcx, vcy)
+
+    def center_in_tri():
+        # Component2D.pointInTriangle: bbox gate + orientation signs (doubles;
+        # boundary-inclusive, matching the SQL BETWEEN mirror)
+        o1 = (vbx - vax) * (ccy - vay) - (vby - vay) * (ccx - vax)
+        o2 = (vcx - vbx) * (ccy - vby) - (vcy - vby) * (ccx - vbx)
+        o3 = (vax - vcx) * (ccy - vcy) - (vay - vcy) * (ccx - vcx)
+        inside = ((o1 >= 0) & (o2 >= 0) & (o3 >= 0)) | ((o1 <= 0) & (o2 <= 0) & (o3 <= 0))
+        tmin_x = np.minimum(np.minimum(vax, vbx), vcx)
+        tmax_x = np.maximum(np.maximum(vax, vbx), vcx)
+        tmin_y = np.minimum(np.minimum(vay, vby), vcy)
+        tmax_y = np.maximum(np.maximum(vay, vby), vcy)
+        gate = (ccx >= tmin_x) & (ccx <= tmax_x) & (ccy >= tmin_y) & (ccy <= tmax_y)
+        return inside & gate
+
+    if mode == "intersects":
+        res = c_a | (is_line & c_b) | (is_tri & c_c)
+        res |= is_tri & center_in_tri()
+        il_ab = iline(vax, vay, vbx, vby)
+        res |= is_line & il_ab
+        tri_rows = is_tri
+        if tri_rows.any():
+            res |= tri_rows & (iline(vbx, vby, vcx, vcy) | iline(vcx, vcy, vax, vay))
+        return res
+
+    if mode == "within":
+        # Circle2D.containsTriangle/Line/Point: every vertex contained
+        return c_a & (~is_line | c_b) & (~is_tri | c_c)
+
+    if mode == "contains":
+        # Circle2D.withinTriangle/Line/Point -> WithinRelation codes
+        rel = np.full(len(vax), WITHIN_DISJOINT, np.int64)
+        vert_in = c_a | (is_line & c_b) | (is_tri & c_c)
+        ab = pdf["ab"].to_numpy(bool)
+        bc = pdf["bc"].to_numpy(bool)
+        ca = pdf["ca"].to_numpy(bool)
+        notwithin = vert_in
+        notwithin |= is_line & ab & iline(vax, vay, vbx, vby)
+        if is_tri.any():
+            notwithin |= is_tri & bc & iline(vbx, vby, vcx, vcy)
+            notwithin |= is_tri & ca & iline(vcx, vcy, vax, vay)
+        candidate = is_tri & center_in_tri()
+        rel[candidate] = WITHIN_CANDIDATE
+        rel[notwithin] = WITHIN_NOTWITHIN
+        return rel
+
+    raise ValueError(mode)
+
+
 # ------------------------------------------------------------ the doc sets
 
 def _exact_flag_df(tris: DataFrame, q, mode: str) -> DataFrame:
@@ -884,6 +1113,8 @@ def _exact_flag_df(tris: DataFrame, q, mode: str) -> DataFrame:
             return _box_kernel(pdf, comp.encoded(), mode)
         if isinstance(comp, ShapeLineQuery):
             return _line_kernel(pdf, comp, mode)
+        if isinstance(comp, ShapeCircleQuery):
+            return _circle_kernel(pdf, comp, mode)
         return _poly_kernel(pdf, comp, mode)
 
     if mode == "contains" and len(comps) > 1:
@@ -914,15 +1145,21 @@ def _box_overlap_pred(q: ShapeBoxQuery):
     )
 
 
-def _query_bbox(q) -> tuple[int, int, int, int]:
+def _query_bbox(q, inner: bool = False) -> tuple[int, int, int, int]:
+    """Encoded query bbox. ``inner=True`` (the CONTAINS prefilter) returns a
+    box guaranteed ⊆ the query shape's extent — identical to the outer box
+    for exact-extent geometries, smaller for circles (whose outer box is
+    padded conservatively)."""
     if isinstance(q, (list, tuple)):
-        boxes = [_query_bbox(c) for c in q]
+        boxes = [_query_bbox(c, inner) for c in q]
         return (
             min(b[0] for b in boxes), max(b[1] for b in boxes),
             min(b[2] for b in boxes), max(b[3] for b in boxes),
         )
     if isinstance(q, ShapeBoxQuery):
         return q.encoded()
+    if isinstance(q, ShapeCircleQuery):
+        return q.bbox_encoded_inner() if inner else q.bbox_encoded()
     xs, ys = _line_arrays(q) if isinstance(q, ShapeLineQuery) else _polygon_arrays(q)
     return int(xs.min()), int(xs.max()), int(ys.min()), int(ys.max())
 
@@ -1087,7 +1324,7 @@ def shape_docset(tris: DataFrame, q, relation: str = "INTERSECTS") -> DataFrame:
             # multi-geometry CONTAINS = every component contained — Lucene
             # wraps per-component SpatialQuerys in a MUST boolean
             # (LatLonShape.newGeometryQuery CONTAINS path); here: inner-join
-            cminx, cmaxx, cminy, cmaxy = _query_bbox(comp)
+            cminx, cmaxx, cminy, cmaxy = _query_bbox(comp, inner=True)
             cand = tris.filter(
                 (F.col("doc_min_x") <= F.lit(cminx)) & (F.col("doc_max_x") >= F.lit(cmaxx))
                 & (F.col("doc_min_y") <= F.lit(cminy)) & (F.col("doc_max_y") >= F.lit(cmaxy))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from lucene_kmp_spark.search import geo as _geo
 from lucene_kmp_spark.search.shape import (
     ShapeBoxQuery,
+    ShapeCircleQuery,
     ShapeCollection,
     ShapeLine,
     ShapePoint,
@@ -663,3 +664,201 @@ def test_tessellate_rectilinear_with_holes_property():
         assert total == want
         ok += 1
     assert ok >= 30  # the vast majority must tessellate cleanly
+
+
+# --------------------------------------------------------- circle queries
+
+
+def _naive_circle_rect(ex0, ex1, ey0, ey1, q: ShapeCircleQuery):
+    """Independent scalar evaluation of a circle query against ONE
+    rectangle doc, derived from the tessellation layout (two triangles,
+    anti-diagonal (x1,y0)-(x0,y1)) and Circle2D.kt's decision procedure —
+    no shared code with the vectorized kernel."""
+    import math as m
+
+    from lucene_kmp_spark.search.geo import (
+        DEG_TO_RAD,
+        EARTH_MEAN_RADIUS_METERS,
+        LAT_DECODE,
+        LON_DECODE,
+    )
+
+    if q.xy:
+        raise AssertionError("geo-only helper")
+    x0, x1 = ex0 * LON_DECODE, ex1 * LON_DECODE
+    y0, y1 = ey0 * LAT_DECODE, ey1 * LAT_DECODE
+    cx, cy, r = q.x, q.y, q.radius
+
+    def hv(lat, lon):
+        h = (1.0 - m.cos(lat * DEG_TO_RAD - m.radians(cy))) + m.cos(
+            lat * DEG_TO_RAD
+        ) * m.cos(m.radians(cy)) * (1.0 - m.cos((lon - cx) * DEG_TO_RAD))
+        return EARTH_MEAN_RADIUS_METERS * 2.0 * m.asin(min(1.0, m.sqrt(h * 0.5)))
+
+    def contains(px, py):
+        return hv(py, px) <= r
+
+    corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    corner_in = [contains(px, py) for px, py in corners]
+
+    def proj_hit(ax, ay, bx, by):
+        vab_x, vab_y = bx - ax, by - ay
+        mag = vab_x * vab_x + vab_y * vab_y
+        if mag <= 0:
+            return False
+        t = ((cx - ax) * vab_x + (cy - ay) * vab_y) / mag
+        if t < 0 or t > 1:
+            return False
+        px, py = ax + vab_x * t, ay + vab_y * t
+        if not (min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)):
+            return False
+        return contains(px, py)
+
+    edges = [
+        (x0, y0, x1, y0),
+        (x1, y0, x1, y1),
+        (x1, y1, x0, y1),
+        (x0, y1, x0, y0),
+    ]
+    diagonal = (x1, y0, x0, y1)
+    center_in_rect = x0 <= cx <= x1 and y0 <= cy <= y1
+    intersects = (
+        any(corner_in)
+        or center_in_rect
+        or any(proj_hit(*e) for e in edges)
+        or proj_hit(*diagonal)
+    )
+    within = all(corner_in)
+    # CONTAINS: no corner inside the ball, no original (rect) edge hit,
+    # and the center inside the rect (center-in-triangle for one of the two)
+    rel_contains = center_in_rect and not any(corner_in) and not any(
+        proj_hit(*e) for e in edges
+    )
+    return {
+        "INTERSECTS": intersects,
+        "DISJOINT": not intersects,
+        "WITHIN": within,
+        "CONTAINS": rel_contains,
+    }
+
+
+@pytest.mark.parametrize("relation", ["INTERSECTS", "DISJOINT", "WITHIN", "CONTAINS"])
+def test_circle_relations_vs_naive(rect_docs, rect_triangles, relation):
+    rows, _ = rect_docs
+    for q in (
+        ShapeCircleQuery(-40.0, 10.0, 900_000.0),   # ~8 deg radius blob
+        ShapeCircleQuery(-155.0, -60.0, 2_500_000.0),
+        ShapeCircleQuery(10.0, 0.0, 60_000.0),      # small: CONTAINS candidates
+        ShapeCircleQuery(-120.25, -35.4, 120_000.0),
+    ):
+        got = {r["doc_id"] for r in shape_docset(rect_triangles, q, relation).collect()}
+        want = {
+            i
+            for (i, _, ex0, ex1, ey0, ey1) in rows
+            if _naive_circle_rect(ex0, ex1, ey0, ey1, q)[relation]
+        }
+        assert got == want, (relation, q, sorted(got ^ want)[:10])
+
+
+def test_circle_point_line_docs(spark):
+    rows = [
+        (0, "POINT (5 5)"),
+        (1, "POINT (50 50)"),
+        (2, "LINESTRING (0 0, 10 10)"),   # passes near (5,5)
+        (3, "LINESTRING (40 40, 60 60)"),
+        (4, "LINESTRING (4.5 4.5, 5.5 5.5)"),  # short, fully inside
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    q = ShapeCircleQuery(5.0, 5.0, 200_000.0)  # ~1.8 deg
+    hits = {r["doc_id"] for r in shape_docset(tris, q, "INTERSECTS").collect()}
+    assert hits == {0, 2, 4}
+    within = {r["doc_id"] for r in shape_docset(tris, q, "WITHIN").collect()}
+    assert within == {0, 4}
+    disjoint = {r["doc_id"] for r in shape_docset(tris, q, "DISJOINT").collect()}
+    assert disjoint == {1, 3}
+    # a point/line never CONTAINS a circle
+    assert shape_docset(tris, q, "CONTAINS").count() == 0
+
+
+def test_circle_contains_relation(spark):
+    wkt = "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (6 6, 14 6, 14 14, 6 14, 6 6))"
+    df = spark.createDataFrame([(0, wkt)], "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    # small circle in the solid ring region: shape CONTAINS it
+    solid = ShapeCircleQuery(3.0, 3.0, 60_000.0)
+    assert {r["doc_id"] for r in shape_docset(tris, solid, "CONTAINS").collect()} == {0}
+    # circle inside the hole: not contained, disjoint
+    in_hole = ShapeCircleQuery(10.0, 10.0, 60_000.0)
+    assert shape_docset(tris, in_hole, "CONTAINS").count() == 0
+    assert {r["doc_id"] for r in shape_docset(tris, in_hole, "DISJOINT").collect()} == {0}
+    # circle straddling the outer boundary: intersects, not contained
+    straddle = ShapeCircleQuery(0.0, 10.0, 120_000.0)
+    assert {r["doc_id"] for r in shape_docset(tris, straddle, "INTERSECTS").collect()} == {0}
+    assert shape_docset(tris, straddle, "CONTAINS").count() == 0
+    # the whole shape within a huge circle
+    big = ShapeCircleQuery(10.0, 10.0, 4_000_000.0)
+    assert {r["doc_id"] for r in shape_docset(tris, big, "WITHIN").collect()} == {0}
+
+
+def test_circle_dateline(spark):
+    rows = [
+        (0, "POLYGON ((-179.9 -1, -179.0 -1, -179.0 1, -179.9 1, -179.9 -1))"),
+        (1, "POLYGON ((178.0 -1, 179.0 -1, 179.0 1, 178.0 1, 178.0 -1))"),
+        (2, "POLYGON ((170.0 -1, 171.0 -1, 171.0 1, 170.0 1, 170.0 -1))"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    # circle at lon 179.5 with ~100 km radius wraps the dateline: reaches
+    # doc 0 (across the line) and doc 1, not doc 2
+    q = ShapeCircleQuery(179.5, 0.0, 100_000.0)
+    hits = {r["doc_id"] for r in shape_docset(tris, q, "INTERSECTS").collect()}
+    assert hits == {0, 1}
+    assert {r["doc_id"] for r in shape_docset(tris, q, "DISJOINT").collect()} == {2}
+
+
+def test_xy_circle_relations(spark):
+    rows = []
+    rnd = random.Random(77)
+    for i in range(60):
+        x0 = rnd.uniform(-500.0, 500.0)
+        y0 = rnd.uniform(-500.0, 500.0)
+        x1 = x0 + rnd.uniform(1.0, 120.0)
+        y1 = y0 + rnd.uniform(1.0, 120.0)
+        rows.append((i, f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))", x0, x1, y0, y1))
+    df = spark.createDataFrame(rows, "doc_id long, wkt string, x0 double, x1 double, y0 double, y1 double")
+    tris = shape_index(df, "wkt", xy=True).persist()
+    tris.count()
+    q = ShapeCircleQuery(30.0, -20.0, 150.0, xy=True)
+    f32 = lambda v: float(np.float32(v))  # noqa: E731
+    cx, cy, r = f32(q.x), f32(q.y), f32(q.radius)
+
+    def naive(x0, x1, y0, y1):
+        # decoded = float32 round of the raw corners
+        x0, x1, y0, y1 = f32(x0), f32(x1), f32(y0), f32(y1)
+        corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        inc = [((px - cx) ** 2 + (py - cy) ** 2) <= r * r for px, py in corners]
+
+        def proj(ax, ay, bx, by):
+            vx, vy = bx - ax, by - ay
+            mag = vx * vx + vy * vy
+            t = ((cx - ax) * vx + (cy - ay) * vy) / mag
+            if t < 0 or t > 1:
+                return False
+            px, py = ax + vx * t, ay + vy * t
+            return ((px - cx) ** 2 + (py - cy) ** 2) <= r * r
+
+        edges = [(x0, y0, x1, y0), (x1, y0, x1, y1), (x1, y1, x0, y1), (x0, y1, x0, y0)]
+        center_in = x0 <= cx <= x1 and y0 <= cy <= y1
+        inter = any(inc) or center_in or any(proj(*e) for e in edges) or proj(x1, y0, x0, y1)
+        return {
+            "INTERSECTS": inter,
+            "WITHIN": all(inc),
+            "CONTAINS": center_in and not any(inc) and not any(proj(*e) for e in edges),
+        }
+
+    for relation in ("INTERSECTS", "WITHIN", "CONTAINS"):
+        got = {row["doc_id"] for row in shape_docset(tris, q, relation).collect()}
+        want = {i for (i, _, x0, x1, y0, y1) in rows if naive(x0, x1, y0, y1)[relation]}
+        assert got == want, (relation, sorted(got ^ want)[:10])
+    tris.unpersist()

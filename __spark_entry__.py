@@ -30,6 +30,8 @@ _SHAPE_SMALL_O = (0.0, 4.0, 0.0, 3.0)
 # shape circle queries: (center lon/x, center lat/y, radius m / units)
 _SHAPE_CIRCLE = (-40.0, 10.0, 2_000_000.0)
 _XY_CIRCLE = (30.0, -20.0, 40.0)
+# dateline-wrapping box (minLon > maxLon), lat window
+_SHAPE_DATELINE_O = (170.0, -150.0, -20.0, 30.0)
 
 # --------------------------------------------------------------------------
 # shared DuckDB CTE prelude: tokenize + stats + quantized norms
@@ -2107,6 +2109,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shape_circle_intersects"] = _shape_circle_q("INTERSECTS")
     q["shape_circle_within"] = _shape_circle_q("WITHIN")
+
+    def q_shape_box_dateline(spark, sf_dir):
+        # dateline-crossing box -> Rectangle2D.create two-component union
+        from lucene_kmp_spark.search.shape import ShapeBoxQuery, shape_docset
+
+        qb = ShapeBoxQuery(*_SHAPE_DATELINE_O)
+        return shape_docset(_shape_tris(spark, sf_dir), qb, "INTERSECTS")
+
+    q["shape_box_dateline_intersects"] = q_shape_box_dateline
 
     def _xy_shape_tris(spark, sf_dir):
         # same deterministic rectangles, XYShape-encoded (float32 grid)
@@ -4229,6 +4240,27 @@ enc AS (
         f"SELECT doc_id FROM enc WHERE ex0 < {_ss[0]} AND ex1 > {_ss[1]}"
         f" AND ey0 < {_ss[2]} AND ey1 > {_ss[3]}"
     )
+
+    # dateline-wrapping box = union of the two Rectangle2D halves, each pure
+    # interval logic on the encoded grid
+    _dl = _SHAPE_DATELINE_O
+    _dl_left = (
+        _geo_mod.encode_longitude_ceil(-180.0),
+        _geo_mod.encode_longitude(_dl[1]),
+        _geo_mod.encode_latitude_ceil(_dl[2]),
+        _geo_mod.encode_latitude(_dl[3]),
+    )
+    _dl_right = (
+        _geo_mod.encode_longitude_ceil(_dl[0]),
+        _geo_mod.encode_longitude(180.0),
+        _geo_mod.encode_latitude_ceil(_dl[2]),
+        _geo_mod.encode_latitude(_dl[3]),
+    )
+    _dl_hit = " OR ".join(
+        f"(ex0 <= {h[1]} AND ex1 >= {h[0]} AND ey0 <= {h[3]} AND ey1 >= {h[2]})"
+        for h in (_dl_left, _dl_right)
+    )
+    o["shape_box_dateline_intersects"] = _shape_cte + f"SELECT doc_id FROM enc WHERE {_dl_hit}"
 
     # circle relation rows: replay Circle2D's per-triangle decision procedure
     # over the rectangle docs' two tessellation triangles (anti-diagonal

@@ -474,13 +474,16 @@ class ShapeBoxQuery:
     xy: bool = False
 
     def __post_init__(self):
-        if self.min_x > self.max_x:
-            raise ValueError(
-                "dateline-crossing shape boxes are not supported — split into "
-                "two boxes and union the INTERSECTS sets (DEVIATIONS.md)"
-            )
+        if self.xy and self.min_x > self.max_x:
+            raise ValueError("XY boxes cannot wrap: min_x > max_x")
+
+    def crosses_dateline(self) -> bool:
+        # Rectangle2D.create: minLon == 180 with wrap degenerates to -180
+        return (not self.xy) and self.min_x > self.max_x and self.min_x != 180.0
 
     def encoded(self) -> tuple[int, int, int, int]:
+        if self.crosses_dateline():
+            raise ValueError("encode after _normalize_query splits the wrap")
         if self.xy:
             # XYEncodingUtils float32 quantization of the box edges
             return (
@@ -489,8 +492,10 @@ class ShapeBoxQuery:
                 _xy_encode(self.min_y),
                 _xy_encode(self.max_y),
             )
+        # Rectangle2D.create: minLon==180 with wrap degenerates to -180
+        min_x = -180.0 if (self.min_x == 180.0 and self.min_x > self.max_x) else self.min_x
         return (
-            _geo.encode_longitude_ceil(self.min_x),
+            _geo.encode_longitude_ceil(min_x),
             _geo.encode_longitude(self.max_x),
             _geo.encode_latitude_ceil(self.min_y),
             _geo.encode_latitude(self.max_y),
@@ -1280,6 +1285,25 @@ def shape_doc_values(tris: DataFrame, xy: bool = False) -> DataFrame:
     )
 
 
+def _normalize_query(q):
+    """Expand dateline-crossing geo boxes into the reference's two-component
+    form (Rectangle2D.create → ComponentTree of [MIN_LON, maxLon] and
+    [minLon, MAX_LON]; LatLonShape.newBoxQuery CONTAINS → MUST of the two
+    halves — both exactly what the multi-geometry paths below implement)."""
+    if isinstance(q, (list, tuple)):
+        out = []
+        for comp in q:
+            norm = _normalize_query(comp)
+            out.extend(norm if isinstance(norm, list) else [norm])
+        return out
+    if isinstance(q, ShapeBoxQuery) and q.crosses_dateline():
+        return [
+            ShapeBoxQuery(-180.0, q.max_x, q.min_y, q.max_y),
+            ShapeBoxQuery(q.min_x, 180.0, q.min_y, q.max_y),
+        ]
+    return q
+
+
 def shape_docset(tris: DataFrame, q, relation: str = "INTERSECTS") -> DataFrame:
     """SpatialQuery relation evaluation over the triangle table → doc_id set.
 
@@ -1296,6 +1320,7 @@ def shape_docset(tris: DataFrame, q, relation: str = "INTERSECTS") -> DataFrame:
       polygon-query ComponentTree within path is recorded in DEVIATIONS).
     """
     relation = relation.upper()
+    q = _normalize_query(q)
     qminx, qmaxx, qminy, qmaxy = _query_bbox(q)
     if relation == "INTERSECTS":
         cand = tris.filter(

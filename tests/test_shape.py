@@ -862,3 +862,33 @@ def test_xy_circle_relations(spark):
         want = {i for (i, _, x0, x1, y0, y1) in rows if naive(x0, x1, y0, y1)[relation]}
         assert got == want, (relation, sorted(got ^ want)[:10])
     tris.unpersist()
+
+
+def test_box_dateline_crossing(spark):
+    rows = [
+        (0, "POLYGON ((-179.9 -1, -179.0 -1, -179.0 1, -179.9 1, -179.9 -1))"),
+        (1, "POLYGON ((178.0 -1, 179.0 -1, 179.0 1, 178.0 1, 178.0 -1))"),
+        (2, "POLYGON ((170.0 -1, 171.0 -1, 171.0 1, 170.0 1, 170.0 -1))"),
+        (3, "POINT (-179.5 0)"),
+        (4, "POINT (179.5 0)"),
+        (5, "POINT (0 0)"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    # box wrapping the dateline: lon in [177, -178.5]
+    q = ShapeBoxQuery(177.0, -178.5, -2.0, 2.0)
+    assert q.crosses_dateline()
+    hits = {r["doc_id"] for r in shape_docset(tris, q, "INTERSECTS").collect()}
+    assert hits == {0, 1, 3, 4}
+    within = {r["doc_id"] for r in shape_docset(tris, q, "WITHIN").collect()}
+    assert within == {0, 1, 3, 4}  # all hits fall inside one half each
+    disjoint = {r["doc_id"] for r in shape_docset(tris, q, "DISJOINT").collect()}
+    assert disjoint == {2, 5}
+    # CONTAINS across the wrap = MUST of both halves (LatLonShape.newBoxQuery):
+    # only a doc covering both sides of the line can contain it — none here
+    assert shape_docset(tris, q, "CONTAINS").count() == 0
+    # degenerate wrap minLon=180 collapses to -180 (Rectangle2D.create)
+    q180 = ShapeBoxQuery(180.0, -178.5, -2.0, 2.0)
+    assert not q180.crosses_dateline()
+    hits180 = {r["doc_id"] for r in shape_docset(tris, q180, "INTERSECTS").collect()}
+    assert hits180 == {0, 3}

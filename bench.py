@@ -302,6 +302,11 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     t = time.perf_counter()
     shape_docset(tris, ShapeBoxQuery(-40.0, 60.0, -30.0, 50.0), "INTERSECTS").count()
     times["p_shape_box_intersects"] = round(time.perf_counter() - t, 3)
+    from lucene_kmp_spark.search.shape import ShapeCircleQuery
+
+    t = time.perf_counter()
+    shape_docset(tris, ShapeCircleQuery(-40.0, 10.0, 2_000_000.0), "INTERSECTS").count()
+    times["p_shape_circle_intersects"] = round(time.perf_counter() - t, 3)
     tris.unpersist()
 
     docs_pq.unpersist()

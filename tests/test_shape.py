@@ -395,6 +395,47 @@ def test_contains_geometry_collection_intersects(spark):
         qbox = ShapeBoxQuery(4.0, 6.0, 4.0, 6.0)
         got = {r["doc_id"] for r in shape_docset(tris, qbox, "CONTAINS").collect()}
         assert got == {1}, (inner, got)
+        # third leg of the reference test: Circle(5, 5, 10 km)
+        qcircle = ShapeCircleQuery(5.0, 5.0, 10_000.0)
+        got = {r["doc_id"] for r in shape_docset(tris, qcircle, "CONTAINS").collect()}
+        assert got == {1}, (inner, got)
+
+
+def test_lucene9239_circle_contains(spark):
+    """TestLatLonShape.testLucene9239: tall narrow polygon strip vs a
+    high-latitude circle whose lon bulge dwarfs the strip -> CONTAINS empty."""
+    wkt = (
+        "POLYGON ((49.931598911327825 -22.350172194105966, "
+        "49.931598911327825 90, 51.40819689137876 90, "
+        "51.408196891378765 -22.350172194105966, "
+        "49.931598911327825 -22.350172194105966))"
+    )
+    df = spark.createDataFrame([(0, wkt)], "doc_id long, wkt string")
+    tris = shape_index(df, "wkt")
+    q = ShapeCircleQuery(0.9513280497489234, 78.01086555431775, 1097753.4254892308)
+    assert shape_docset(tris, q, "CONTAINS").count() == 0
+
+
+def test_point_distance_query_intersects_equals_within(spark):
+    """TestLatLonShape.testPointIndexAndDistanceQuery: for point docs,
+    INTERSECTS and WITHIN doc sets are identical and DISJOINT is the
+    complement, for any circle."""
+    rnd = random.Random(4242)
+    rows = [
+        (i, f"POINT ({rnd.uniform(-170, 170):.6f} {rnd.uniform(-80, 80):.6f})")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wkt string")
+    tris = shape_index(df, "wkt").persist()
+    tris.count()
+    for (lon, lat, r) in ((10.0, 20.0, 3_000_000.0), (-150.0, -40.0, 8_000_000.0)):
+        q = ShapeCircleQuery(lon, lat, r)
+        inter = {x["doc_id"] for x in shape_docset(tris, q, "INTERSECTS").collect()}
+        within = {x["doc_id"] for x in shape_docset(tris, q, "WITHIN").collect()}
+        disjoint = {x["doc_id"] for x in shape_docset(tris, q, "DISJOINT").collect()}
+        assert inter == within
+        assert disjoint == set(range(80)) - inter
+    tris.unpersist()
 
 
 def test_triangle_crossing_polygon_vertices_kernel():

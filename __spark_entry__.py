@@ -1042,6 +1042,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessionize"] = q_sessions
 
+    def q_assemble_conversations(spark, sf_dir):
+        # transcript-shaped turns derived from documents (conv = doc_id % 997,
+        # turn = doc_id): stable-turn-ordering assembly, one hash aggregate.
+        # The streaming twin (applyInPandasWithState, EventTimeTimeout) is
+        # output-identical per conversation — asserted in
+        # tests/test_streaming.py::test_assemble_conversations_stream_stateful
+        from lucene_kmp_spark.pipeline.events import assemble_conversations
+
+        turns = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(
+                (F.col("doc_id") % F.lit(997)).alias("conv_id"),
+                F.col("doc_id").alias("turn_idx"),
+                "text",
+            )
+        )
+        return assemble_conversations(turns)
+
+    q["conversations_assemble"] = q_assemble_conversations
+
     # ---- round-2 oracle-gap closers (operators previously pytest-only) ----
     def q_regexp(spark, sf_dir):
         from lucene_kmp_spark.search.query import RegexpQuery
@@ -3473,6 +3493,13 @@ WITH flagged AS (
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
 FROM flagged GROUP BY user_id
 """
+    o["conversations_assemble"] = """
+SELECT doc_id % 997 AS conv_id,
+       count(*)::BIGINT AS n_turns,
+       string_agg(text, ' ' ORDER BY doc_id) AS text
+FROM documents GROUP BY doc_id % 997
+"""
+
     # ---- round-2 oracle-gap closers ----
     o["multiterm_regexp"] = """
 SELECT DISTINCT doc_id

@@ -135,3 +135,33 @@ def dedup_stream(
             "for bounded state on streaming input"
         )
     return wm.dropDuplicatesWithinWatermark(list(key_cols))
+
+
+# ----------------------------------------------- conversation assembly
+
+def assemble_conversations(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per conversation with the turns concatenated in STABLE
+    ``turn_idx`` order (the north-rule transcript invariant: per-turn text
+    equality under stable turn ordering, independent of arrival/partition
+    order). One hash aggregate — ``collect_list`` into an ``array_sort`` by
+    the struct's leading field, no window, no UDF; per-group memory is the
+    conversation's own turns, so skew tracks the longest conversation,
+    not the table."""
+    return (
+        turns.groupBy(F.col(conv_col).alias("conv_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(turn_col), F.col(text_col)))),
+                    lambda s: s[text_col],
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )

@@ -116,3 +116,76 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     total = spark.table("dedup_stream_t").count()
     assert n == events.select("event_id").distinct().count()
     assert total == n  # no duplicate rows emitted
+
+
+def test_assemble_conversations_stream_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState, EventTimeTimeout):
+    conversations assembled from out-of-order streaming turns emit EXACTLY
+    once, after the watermark passes last-turn + gap, with turns re-ordered
+    by turn_idx — byte-identical to the batch assemble_conversations."""
+    from pyspark.sql.types import StringType
+
+    from lucene_kmp_spark.pipeline.events import assemble_conversations
+    from lucene_kmp_spark.streaming.conversations import assemble_conversations_stream
+
+    corpus = synth_transcripts(spark, n_convs=12, seed=7).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    early = corpus.filter(F.col("conv_id") < "conv-00000006")
+    late = corpus.filter(F.col("conv_id") >= "conv-00000006").withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 10 DAYS")
+    )
+    # far-future dummy turn: advances the watermark so the early convs'
+    # timeouts FIRE in the final micro-batch
+    dummy = spark.range(1).select(
+        F.lit("conv-zz").alias("conv_id"),
+        F.lit(0).cast(corpus.schema["turn_idx"].dataType).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("dummy").alias("text"),
+        F.lit("").alias("tool"),
+        F.expr("TIMESTAMP'2030-01-01 00:00:00'").alias("ts"),
+    )
+
+    src = str(tmp_path / "turns")
+    # scramble row order inside each file: arrival order != turn order
+    early.orderBy(F.xxhash64("conv_id", "turn_idx")).coalesce(1).write.parquet(src + "/f1")
+    late.orderBy(F.xxhash64("turn_idx", "conv_id")).coalesce(1).write.parquet(src + "/f2")
+    dummy.coalesce(1).write.parquet(src + "/f3")
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = assemble_conversations_stream(stream, gap="30 minutes", watermark="10 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_asm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_conv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+
+    rows = spark.sql("SELECT * FROM conv_asm").collect()
+    got = {r["conv_id"]: (r["n_turns"], r["text"]) for r in rows}
+    # exactly-once: each closed conversation emitted a single row
+    assert len(rows) == len(got)
+    # the dummy's own conversation never goes quiet relative to the final
+    # watermark, so it must still be open in state
+    assert "conv-zz" not in got
+    # every early conversation MUST have closed: the f2/f3 watermark is days
+    # past their last turn + gap (how many LATE convs close depends on how
+    # the trailing availableNow batch fires clamped timeouts — not asserted)
+    early_ids = {r["conv_id"] for r in early.select("conv_id").distinct().collect()}
+    assert early_ids <= set(got), sorted(early_ids - set(got))
+    # emitted content == batch assembly over the same turns, for every
+    # emitted conversation: stable turn order despite scrambled arrival
+    data = early.unionByName(late)
+    batch = {
+        r["conv_id"]: (r["n_turns"], r["text"])
+        for r in assemble_conversations(data).collect()
+    }
+    for cid, val in got.items():
+        assert val == batch[cid], cid

@@ -1062,6 +1062,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conversations_assemble"] = q_assemble_conversations
 
+    def q_media_probe(spark, sf_dir):
+        # REAL container files (png/jpeg/gif/wav built byte-by-byte, stdlib
+        # only) probed back through the distributed header parser — the
+        # decode-stage front door of a multimodal curation pipeline. Dims/
+        # audio params derive from doc_id so the oracle recomputes them
+        # arithmetically while the engine must PARSE them from the bytes.
+        from lucene_kmp_spark.pipeline.multimodal import probe_media, synth_containers
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        probed = probe_media(synth_containers(spark, docs))
+        # non-applicable metadata -> -1 sentinel (the hash compare sorts rows;
+        # NULLs are not cross-engine sortable)
+        return probed.select(
+            "media_id",
+            "container",
+            *[
+                F.coalesce(F.col(c), F.lit(-1)).cast("int").alias(c)
+                for c in ("width", "height", "sample_rate", "channels", "duration_ms")
+            ],
+        )
+
+    q["media_probe"] = q_media_probe
+
     # ---- round-2 oracle-gap closers (operators previously pytest-only) ----
     def q_regexp(spark, sf_dir):
         from lucene_kmp_spark.search.query import RegexpQuery
@@ -3493,6 +3516,24 @@ WITH flagged AS (
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
 FROM flagged GROUP BY user_id
 """
+    o["media_probe"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'gif' ELSE 'wav' END AS container,
+       CAST(CASE WHEN doc_id % 4 <= 2
+            THEN 1 + (doc_id * 7) % 4000 ELSE -1 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 4 <= 2
+            THEN 1 + (doc_id * 11) % 3000 ELSE -1 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 4 = 3
+            THEN 8000 + (doc_id % 5) * 8000 ELSE -1 END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 4 = 3
+            THEN 1 + doc_id % 2 ELSE -1 END AS INTEGER) AS channels,
+       CAST(CASE WHEN doc_id % 4 = 3
+            THEN ((1000 + doc_id % 5000) * 1000)
+                      // (8000 + (doc_id % 5) * 8000) ELSE -1 END AS INTEGER) AS duration_ms
+FROM documents
+"""
+
     o["conversations_assemble"] = """
 SELECT doc_id % 997 AS conv_id,
        count(*)::BIGINT AS n_turns,

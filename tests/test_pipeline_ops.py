@@ -334,3 +334,46 @@ def test_curate_composes_stages(spark):
     # 2 fails quality; 3 contaminated (shares the 5-gram); 1 deduped into 0
     assert kept == {0}
     assert set(out.columns) >= {"doc_id", "text", "split"}
+
+
+def test_media_container_probe_roundtrip(spark):
+    """Library-free container probe: synthesized REAL png/jpeg/gif/wav bytes
+    round-trip through the distributed probe to the exact header metadata;
+    garbage and truncated payloads degrade to 'unknown' without crashing."""
+    from lucene_kmp_spark.pipeline.multimodal import (
+        build_png,
+        probe_bytes,
+        probe_media,
+        synth_containers,
+    )
+
+    src = spark.range(200).withColumnRenamed("id", "doc_id")
+    media = synth_containers(spark, src)
+    got = {r["media_id"]: r.asDict() for r in probe_media(media).collect()}
+    assert len(got) == 200
+    for i in range(200):
+        r = got[i]
+        k = i % 4
+        w, h = 1 + (i * 7) % 4000, 1 + (i * 11) % 3000
+        if k == 3:
+            rate = 8000 + (i % 5) * 8000
+            assert r["container"] == "wav"
+            assert r["sample_rate"] == rate and r["channels"] == 1 + i % 2
+            assert r["duration_ms"] == (1000 + i % 5000) * 1000 // rate
+            assert r["width"] is None and r["height"] is None
+        else:
+            assert r["container"] == ("png", "jpeg", "gif")[k]
+            assert (r["width"], r["height"]) == (w, h), i
+            assert r["sample_rate"] is None
+    # robustness rows through the same distributed path
+    import pandas as pd
+
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [0, 1, 2], "payload": [b"garbage", b"", build_png(5, 5)[:10]]}
+        )
+    )
+    rows = {r["media_id"]: r["container"] for r in probe_media(bad).collect()}
+    assert rows == {0: "unknown", 1: "unknown", 2: "unknown"}
+    # scalar prober agrees with the distributed one (same function)
+    assert probe_bytes(build_png(7, 9))[:3] == ("png", 7, 9)

@@ -32,9 +32,17 @@ def _normalize(val):
     return val
 
 
+def _sort_key(row):
+    # NULLs are not comparable to values in Python's sort: key each cell by
+    # (type-rank, value) so mixed None/int/str columns stay sortable
+    return tuple((v is None, str(type(v)), "" if v is None else v) for v in row)
+
+
 def _rows_to_set(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_normalize(r[i]) for i in idx) for r in rows)
+    return sorted(
+        (tuple(_normalize(r[i]) for i in idx) for r in rows), key=_sort_key
+    )
 
 
 QUERIES = entry_mod.queries()

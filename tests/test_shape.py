@@ -314,6 +314,10 @@ def test_shape_scan_prunes_on_bbox(rect_triangles, tmp_path):
     box = ShapeBoxQuery(-40.0, 60.0, -30.0, 50.0)
     plan = shape_docset(tris, box, "INTERSECTS")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "min_x" in plan
+    # circle queries ride the same prefilter: encoded ball bbox pushed down
+    circ = ShapeCircleQuery(10.0, 10.0, 500_000.0)
+    plan = shape_docset(tris, circ, "INTERSECTS")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "min_x" in plan
 
 
 def test_shape_doc_values(spark):

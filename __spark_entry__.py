@@ -1085,6 +1085,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_probe"] = q_media_probe
 
+    def q_text_lm_xent(spark, sf_dir):
+        # CCNet-style perplexity quality filter: bigram LM counted over the
+        # corpus itself, per-doc cross-entropy (bits/token, add-0.1 smooth).
+        # Rounded to 4 decimals: per-doc sums accumulate in nondeterministic
+        # partition order (double), same protocol as the ANN score oracles.
+        from lucene_kmp_spark.pipeline.textstats import (
+            bigram_lm_counts,
+            lm_cross_entropy,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        uni, bi, vocab = bigram_lm_counts(docs)
+        out = lm_cross_entropy(docs, uni, bi, vocab)
+        return out.select(
+            "doc_id", "n_bigrams", _q4(F.col("bits_per_token")).alias("bits_per_token")
+        )
+
+    q["text_lm_xent"] = q_text_lm_xent
+
     # ---- round-2 oracle-gap closers (operators previously pytest-only) ----
     def q_regexp(spark, sf_dir):
         from lucene_kmp_spark.search.query import RegexpQuery
@@ -3516,6 +3535,29 @@ WITH flagged AS (
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
 FROM flagged GROUP BY user_id
 """
+    o["text_lm_xent"] = """
+WITH wlists AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM wlists, UNNEST(range(1, len(w))) AS t(i)
+),
+uni AS (
+  SELECT w1, count(*)::BIGINT AS c1
+  FROM (SELECT unnest(w) AS w1 FROM wlists) GROUP BY w1
+),
+bi AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY w1, w2),
+v AS (SELECT count(*)::BIGINT AS vs FROM uni)
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       floor(-sum(log2(coalesce(c2, 0) + 0.1)
+                  - log2(coalesce(c1, 0) + 0.1 * vs)) / count(*) * 10000) / 10000
+         AS bits_per_token
+FROM pairs LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1) CROSS JOIN v
+GROUP BY doc_id
+"""
+
     o["media_probe"] = """
 SELECT doc_id AS media_id,
        CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

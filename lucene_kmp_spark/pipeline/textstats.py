@@ -150,3 +150,93 @@ def repetition_signals(
             q4(F.coalesce(F.col("_top2") / F.col("_tot2"), F.lit(0.0))).alias("top_2gram_frac"),
         )
     )
+
+
+# ------------------------------------------------- n-gram LM quality filter
+
+def bigram_lm_counts(
+    corpus: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train a bigram language model by counting: returns
+    (unigram_counts(w1, c1), bigram_counts(w1, w2, c2), vocab_size).
+    The CCNet-style quality signal's model half — two hash aggregates over
+    an exploded token stream; at 10^12 turns both tables are term-keyed and
+    orders of magnitude smaller than the corpus (vocabulary scale)."""
+    toks = corpus.select(
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w")
+    ).filter(F.size("w") > 0)
+    uni = (
+        toks.select(F.explode("w").alias("w1"))
+        .groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+                    " ELSE array() END"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    )
+    vocab_size = uni.count()
+    return uni, bi, vocab_size
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document bigram cross-entropy (bits/token) under the counted LM
+    with add-alpha smoothing: P(w2|w1) = (c2 + alpha) / (c1 + alpha*V).
+    Low = fluent under the corpus model, high = noise — the perplexity
+    quality filter of CCNet/Gopher-style curation.
+
+    Plan: explode doc bigrams -> ONE shuffle joining the (w1,w2) count table
+    (left: unseen bigrams get c2=0) + the w1 table -> per-doc avg. Both count
+    sides are vocabulary-scale; broadcast when small, hash-join otherwise —
+    Catalyst/AQE picks. Returns (doc_id, n_bigrams, bits_per_token)."""
+    pairs = (
+        docs.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+        )
+        .filter(F.size("w") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.w2")
+    )
+    av = float(alpha)
+    joined = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .select(
+            id_col,
+            (
+                F.log2(F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(av))
+                - F.log2(
+                    F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                    + F.lit(av * float(vocab_size))
+                )
+            ).alias("lp"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        (-F.sum("lp") / F.count("*")).alias("bits_per_token"),
+    )

@@ -377,3 +377,41 @@ def test_media_container_probe_roundtrip(spark):
     assert rows == {0: "unknown", 1: "unknown", 2: "unknown"}
     # scalar prober agrees with the distributed one (same function)
     assert probe_bytes(build_png(7, 9))[:3] == ("png", 7, 9)
+
+
+def test_bigram_lm_cross_entropy(spark):
+    """Bigram-LM perplexity quality filter vs an independent scalar model:
+    add-alpha smoothed cross-entropy per doc, fluent docs scoring lower than
+    shuffled-noise docs built from the same vocabulary."""
+    import math
+    from collections import Counter
+
+    from lucene_kmp_spark.pipeline.textstats import bigram_lm_counts, lm_cross_entropy
+
+    texts = {
+        0: "the cat sat on the mat and the dog sat on the rug",
+        1: "the cat sat on the rug",
+        2: "rug the on mat dog sat the cat and on the",  # shuffled
+        3: "qq zx qq zx qq",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    uni, bi, vocab = bigram_lm_counts(docs)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_token"])
+        for r in lm_cross_entropy(docs, uni, bi, vocab).collect()
+    }
+
+    toks = {d: t.split() for d, t in texts.items()}
+    u = Counter(w for t in toks.values() for w in t)
+    b = Counter((t[i], t[i + 1]) for t in toks.values() for i in range(len(t) - 1))
+    a = 0.1
+    for d, t in toks.items():
+        lps = [
+            math.log2(b[(t[i], t[i + 1])] + a) - math.log2(u[t[i]] + a * len(u))
+            for i in range(len(t) - 1)
+        ]
+        want = -sum(lps) / len(lps)
+        assert got[d][0] == len(t) - 1
+        assert abs(got[d][1] - want) < 1e-9, (d, got[d][1], want)
+    # fluent text scores better (lower bits/token) than its shuffled version
+    assert got[0][1] < got[2][1]

@@ -278,6 +278,23 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     ).count()
     times["p_geo_polygon"] = round(time.perf_counter() - t, 3)
 
+    # bigram-LM perplexity quality filter (train + score in one timing)
+    from lucene_kmp_spark.pipeline.textstats import bigram_lm_counts, lm_cross_entropy
+
+    t = time.perf_counter()
+    uni, bi, vocab = bigram_lm_counts(docs_pq)
+    lm_cross_entropy(docs_pq, uni, bi, vocab).count()
+    times["p_lm_xent"] = round(time.perf_counter() - t, 3)
+
+    # stable-turn-order conversation assembly (one hash aggregate)
+    from lucene_kmp_spark.pipeline.events import assemble_conversations
+
+    t = time.perf_counter()
+    assemble_conversations(
+        docs_pq.selectExpr("doc_id % 997 AS conv_id", "doc_id AS turn_idx", "text")
+    ).count()
+    times["p_conv_assemble"] = round(time.perf_counter() - t, 3)
+
     # indexed shapes: WKT rectangles -> tessellated triangles -> box relations
     from lucene_kmp_spark.search.shape import ShapeBoxQuery, shape_docset, shape_index
 

@@ -1104,6 +1104,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_lm_xent"] = q_text_lm_xent
 
+    def q_dedup_span_removal(spark, sf_dir):
+        # span-level exact dedup (Lee et al.): duplicated 8-token windows
+        # keep their first occurrence, later occurrences stripped from the
+        # rebuilt text. key="text" = the collision-free engine-portable
+        # variant the oracle replays (production path hashes the window).
+        from lucene_kmp_spark.pipeline.dedup import remove_duplicate_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return remove_duplicate_spans(docs, k=8, key="text")
+
+    q["dedup_span_removal"] = q_dedup_span_removal
+
     # ---- round-2 oracle-gap closers (operators previously pytest-only) ----
     def q_regexp(spark, sf_dir):
         from lucene_kmp_spark.search.query import RegexpQuery
@@ -3535,6 +3547,42 @@ WITH flagged AS (
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
 FROM flagged GROUP BY user_id
 """
+    o["dedup_span_removal"] = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i AS start, array_to_string(w[i:i+7], ' ') AS key
+  FROM toks, UNNEST(range(1, len(w) - 8 + 2)) AS t(i)
+  WHERE len(w) >= 8
+),
+ranked AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, start) AS rn,
+         count(*) OVER (PARTITION BY key) AS c
+  FROM wins
+),
+rem AS (
+  SELECT DISTINCT doc_id, j
+  FROM ranked, UNNEST(range(start, start + 8)) AS t(j)
+  WHERE c > 1 AND rn > 1
+),
+alltok AS (
+  SELECT doc_id, j, w[j] AS tok FROM toks, UNNEST(range(1, len(w) + 1)) AS t(j)
+),
+kept AS (
+  SELECT a.doc_id, a.j, a.tok
+  FROM alltok a LEFT JOIN rem r ON a.doc_id = r.doc_id AND a.j = r.j
+  WHERE r.j IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept, string_agg(tok, ' ' ORDER BY j) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+       (len(t.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(a.text, '') AS text
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
     o["text_lm_xent"] = """
 WITH wlists AS (
   SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents

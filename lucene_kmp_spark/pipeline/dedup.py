@@ -322,3 +322,93 @@ def dedup_canonical(
     clusters = near_dup_clusters(pairs, nodes=df.select(id_col), id_col=id_col)
     keep = clusters.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------ exact duplicate-span removal
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: str = "hash",
+) -> DataFrame:
+    """Span-level exact dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): any k-token window occurring more than once in
+    the corpus keeps its FIRST occurrence (min (doc_id, start)) and every
+    later occurrence's tokens are stripped from the rebuilt text.
+
+    One pass, three keyed steps:
+    1. windows — pure column exprs (sequence + slice), no UDF;
+    2. ONE shuffle on the window key (rank + count window functions; key
+       groups track a window's duplication factor, not corpus size);
+    3. rebuild — duplicated window starts explode to token positions,
+       anti-join against the token stream, order-preserving re-join.
+
+    ``key="hash"`` shuffles xxhash64(window) (64-bit; collisions ~n²/2⁶⁵ —
+    the production choice at 10^12 tokens); ``key="text"`` shuffles the
+    window string itself (collision-free, engine-portable — what the DuckDB
+    oracle replays). The single-pass convention of the reference technique
+    applies: removal can create new cross-boundary windows, which a second
+    pass would catch.
+
+    Returns (id, n_tokens, n_removed, text)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    keyed = F.array_join(F.slice(F.col("w"), F.col("_i"), k), " ")
+    if key == "hash":
+        keyed = F.xxhash64(keyed)
+    elif key != "text":
+        raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
+    toks = df.select(F.col(id_col), w.alias("w"))
+    wins = (
+        toks.filter(F.size("w") >= k)  # sequence(1, n<1) would count DOWN
+        .select(
+            id_col,
+            "w",
+            F.explode(F.sequence(F.lit(1), F.size("w") - k + 1)).alias("_i"),
+        )
+        .select(id_col, F.col("_i").alias("start"), keyed.alias("key"))
+    )
+    from pyspark.sql import Window as _W
+
+    kw = _W.partitionBy("key").orderBy(F.col(id_col), F.col("start"))
+    ranked = wins.select(
+        id_col,
+        "start",
+        F.row_number().over(kw).alias("rn"),
+        F.count("*").over(_W.partitionBy("key")).alias("c"),
+    )
+    removed_tokens = (
+        ranked.filter((F.col("c") > 1) & (F.col("rn") > 1))
+        .select(id_col, F.explode(F.sequence(F.col("start"), F.col("start") + k - 1)).alias("pos"))
+        .distinct()
+    )
+    alltok = toks.select(
+        id_col,
+        F.posexplode("w").alias("pos0", "tok"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = alltok.join(removed_tokens, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tok")))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("_text"),
+    )
+    # a doc whose every window is a later duplicate loses ALL tokens — it
+    # stays in the output with empty text, not silently dropped
+    return (
+        toks.select(id_col, F.size("w").cast("long").alias("n_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+        )
+    )

@@ -415,3 +415,56 @@ def test_bigram_lm_cross_entropy(spark):
         assert abs(got[d][1] - want) < 1e-9, (d, got[d][1], want)
     # fluent text scores better (lower bits/token) than its shuffled version
     assert got[0][1] < got[2][1]
+
+
+def test_remove_duplicate_spans(spark):
+    """Span-level exact dedup (Lee et al.): later occurrences of any
+    duplicated k-token window are stripped; first occurrence (min doc_id,
+    start) survives; fully-stripped docs stay with empty text. Verified
+    against an independent scalar implementation on a random corpus."""
+    import random as _r
+
+    from lucene_kmp_spark.pipeline.dedup import remove_duplicate_spans
+
+    rnd = _r.Random(99)
+    vocab = [f"w{j}" for j in range(30)]
+    base = [rnd.choice(vocab) for _ in range(40)]
+    texts = {}
+    for d in range(25):
+        t = [rnd.choice(vocab) for _ in range(rnd.randint(3, 30))]
+        if d % 3 == 0:  # splice in a shared chunk to force duplicates
+            at = rnd.randint(0, len(t))
+            t = t[:at] + base[5:20] + t[at:]
+        texts[d] = " ".join(t)
+    texts[25] = " ".join(base[5:13])  # exactly one duplicated window long
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    K = 8
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text"])
+        for r in remove_duplicate_spans(docs, k=K, key="text").collect()
+    }
+
+    # independent scalar model
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    toks = {d: t.split() for d, t in texts.items()}
+    for d in sorted(toks):
+        t = toks[d]
+        for i in range(len(t) - K + 1):
+            occ[" ".join(t[i : i + K])].append((d, i))
+    removed = defaultdict(set)
+    for key, places in occ.items():
+        for (d, i) in sorted(places)[1:]:
+            removed[d].update(range(i, i + K))
+    for d, t in toks.items():
+        keep = [w for i, w in enumerate(t) if i not in removed[d]]
+        want = (len(t), len(removed[d]), " ".join(keep))
+        assert got[d] == want, (d, got[d], want)
+    # hash-keyed variant removes the same token counts
+    h = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_duplicate_spans(docs, k=K).collect()
+    }
+    assert h == {d: len(v) for d, v in ((d, removed[d]) for d in toks)}

@@ -278,6 +278,20 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     ).count()
     times["p_geo_polygon"] = round(time.perf_counter() - t, 3)
 
+    # span-level exact dedup (duplicated 8-token window removal + rebuild)
+    from lucene_kmp_spark.pipeline.dedup import remove_duplicate_spans
+
+    t = time.perf_counter()
+    remove_duplicate_spans(docs_pq, k=8).count()
+    times["p_span_dedup"] = round(time.perf_counter() - t, 3)
+
+    # multimodal container probe (synthesized real png/jpeg/gif/wav headers)
+    from lucene_kmp_spark.pipeline.multimodal import probe_media, synth_containers
+
+    t = time.perf_counter()
+    probe_media(synth_containers(spark, docs_pq)).count()
+    times["p_media_probe"] = round(time.perf_counter() - t, 3)
+
     # bigram-LM perplexity quality filter (train + score in one timing)
     from lucene_kmp_spark.pipeline.textstats import bigram_lm_counts, lm_cross_entropy
 

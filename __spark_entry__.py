@@ -1116,6 +1116,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_span_removal"] = q_dedup_span_removal
 
+    def q_grouped_topk(spark, sf_dir):
+        # result grouping / collapse (Lucene grouping-module semantics):
+        # top groups by best hit, best 2 hits within each — the "best
+        # conversations for this query" shape over the stored-fields column
+        from lucene_kmp_spark.search.grouping import top_groups
+        from lucene_kmp_spark.search.query import TermQuery
+
+        s = _searcher64(spark, sf_dir)
+        out = top_groups(s, TermQuery("merge"), "lang", k=5, docs_per_group=2, quantize=4)
+        return out.select(
+            F.col("lang").alias("grp"),
+            "group_rank",
+            "within_rank",
+            "doc_id",
+            _q4(F.col("score")).alias("score"),
+        )
+
+    q["grouped_topk"] = q_grouped_topk
+
     # ---- round-2 oracle-gap closers (operators previously pytest-only) ----
     def q_regexp(spark, sf_dir):
         from lucene_kmp_spark.search.query import RegexpQuery
@@ -3547,6 +3566,32 @@ WITH flagged AS (
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
 FROM flagged GROUP BY user_id
 """
+    o["grouped_topk"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """,
+hits AS (
+  SELECT s.doc_id, s.s AS score, d.lang AS grp
+  FROM sc0 s JOIN documents d USING (doc_id)
+),
+within AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY grp ORDER BY floor(score * 10000) DESC, doc_id
+  )::INT AS within_rank
+  FROM hits
+),
+heads AS (SELECT grp, doc_id, score FROM within WHERE within_rank = 1),
+grps AS (
+  SELECT grp, row_number() OVER (ORDER BY floor(score * 10000) DESC, doc_id)::INT AS group_rank
+  FROM heads ORDER BY floor(score * 10000) DESC, doc_id LIMIT 5
+)
+SELECT w.grp, g.group_rank, w.within_rank, w.doc_id,
+       floor(w.score * 10000) / 10000 AS score
+FROM within w JOIN grps g USING (grp) WHERE w.within_rank <= 2
+"""
+    )
+
     o["dedup_span_removal"] = """
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
 wins AS (

@@ -1,0 +1,66 @@
+"""Result grouping / collapse: top groups ranked by their best-scoring hit.
+
+Lucene's grouping module (two-pass TermFirstPassGroupingCollector /
+TopGroupsCollector) re-expressed relationally: the transcript-search shape
+"best conversations for this query, best turns within each". The reference
+repo does not port the grouping module; this follows the published Lucene
+semantics (group head = highest-scoring doc; groups ordered by head score,
+ties by head docID) because collapsing by conv_id is the natural query
+surface for the north-rule transcript corpus.
+
+Plan shape (scale notes):
+* one scored set (whatever the query costs) joined to the stored-fields
+  column being grouped — a doc_id co-keyed join;
+* ONE window rank partitioned by the group value (group sizes = a
+  conversation's matching turns, bounded by conversation length);
+* group ranking limits FIRST (TakeOrdered over group heads), then ranks the
+  surviving k rows in a single tiny partition — never a global row_number
+  over all groups (10^9 conversations would serialize).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_groups(
+    searcher,
+    q,
+    group_col: str,
+    k: int = 10,
+    docs_per_group: int = 1,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Top-k groups by best hit, with the best ``docs_per_group`` hits inside
+    each. Returns (group, group_rank, within_rank, doc_id, score) ordered by
+    (group_rank, within_rank).
+
+    ``quantize`` ranks on floor(score·10^q) instead of the raw float —
+    the cross-engine float protocol for oracle comparison; None (default)
+    ranks on the raw score."""
+    scored = searcher.execute(q)
+    if searcher.dtype == np.float32:
+        scored = scored.select("doc_id", F.col("score").cast("float").alias("score"))
+    rank_key = (
+        F.floor(F.col("score") * F.lit(float(10 ** quantize)))
+        if quantize is not None
+        else F.col("score")
+    )
+    hits = scored.join(searcher.index.docs.select("doc_id", group_col), "doc_id")
+    w_in = Window.partitionBy(group_col).orderBy(F.desc(rank_key), F.asc("doc_id"))
+    within = hits.withColumn("within_rank", F.row_number().over(w_in).cast("int"))
+    heads = within.filter(F.col("within_rank") == 1)
+    top_heads = heads.orderBy(F.desc(rank_key), F.asc("doc_id")).limit(k)
+    # k rows only: the global rank window runs on one tiny partition
+    w_g = Window.orderBy(F.desc(rank_key), F.asc("doc_id"))
+    groups = top_heads.select(
+        group_col, F.row_number().over(w_g).cast("int").alias("group_rank")
+    )
+    return (
+        within.filter(F.col("within_rank") <= docs_per_group)
+        .join(groups, group_col)
+        .select(group_col, "group_rank", "within_rank", "doc_id", "score")
+        .orderBy("group_rank", "within_rank")
+    )

@@ -299,3 +299,51 @@ def test_sorted_dv_query_rewrites():
     # string escaping
     r = rewrite_query(SortedSetRangeQuery("tags", "o'brien", None))
     assert "o''brien" in r.sql_predicate
+
+
+def test_top_groups_collapse(spark):
+    """Grouping module semantics: groups ranked by head (best) hit, ties by
+    head docID; within-group order (score desc, doc_id asc); docs_per_group
+    caps the group's rows; groups beyond k dropped."""
+    import numpy as np
+
+    from lucene_kmp_spark.index.builder import build_index
+    from lucene_kmp_spark.search.executor import IndexSearcher
+    from lucene_kmp_spark.search.grouping import top_groups
+    from lucene_kmp_spark.search.query import TermQuery
+
+    rows = []
+    # group g0: doc 0 has "hit hit hit" (best); g1: doc 3 "hit hit"; g2: one weak hit
+    texts = {
+        0: ("g0", "hit hit hit pad pad"),
+        1: ("g0", "hit pad pad pad pad"),
+        2: ("g0", "pad pad pad pad pad"),
+        3: ("g1", "hit hit pad pad pad"),
+        4: ("g1", "hit pad pad pad pad pad pad"),
+        5: ("g2", "hit pad pad pad pad pad pad pad pad pad"),
+        6: ("g3", "pad pad"),
+    }
+    for d, (g, t) in texts.items():
+        rows.append((d, g, t))
+    docs = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    idx = build_index(docs, text_col="text")
+    s = IndexSearcher(idx)
+    out = [
+        (r["grp"], r["group_rank"], r["within_rank"], r["doc_id"])
+        for r in top_groups(s, TermQuery("hit"), "grp", k=2, docs_per_group=2).collect()
+    ]
+    # g0 head = doc 0 (tf 3); g1 head = doc 3 (tf 2, shorter than doc 4);
+    # g2 exists but k=2 cuts it; within g0: doc 0 then doc 1
+    assert out == [
+        ("g0", 1, 1, 0),
+        ("g0", 1, 2, 1),
+        ("g1", 2, 1, 3),
+        ("g1", 2, 2, 4),
+    ], out
+
+    # naive parity on head scores
+    from lucene_kmp_spark.search.naive import NaiveIndex
+
+    ni = NaiveIndex([(d, t) for d, (_, t) in texts.items()])
+    sc = ni.scores(TermQuery("hit"))
+    assert sc[0] > sc[3] > 0

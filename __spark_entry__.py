@@ -1135,6 +1135,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["grouped_topk"] = q_grouped_topk
 
+    def q_suggest_terms(spark, sf_dir):
+        # DirectSpellChecker surface: corrections for a misspelling from the
+        # live term dictionary, (distance asc, df desc, term asc)
+        from lucene_kmp_spark.search.suggest import suggest_terms
+
+        s = _searcher64(spark, sf_dir)
+        return suggest_terms(s, "mereg", k=5, max_edits=2)
+
+    q["suggest_terms"] = q_suggest_terms
+
     # ---- round-2 oracle-gap closers (operators previously pytest-only) ----
     def q_regexp(spark, sf_dir):
         from lucene_kmp_spark.search.query import RegexpQuery
@@ -3566,6 +3576,22 @@ WITH flagged AS (
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
 FROM flagged GROUP BY user_id
 """
+    o["suggest_terms"] = (
+        _PRELUDE
+        + """
+SELECT term, distance, df FROM (
+  SELECT term,
+         levenshtein(term, 'mereg')::INT AS distance,
+         count(*)::BIGINT AS df
+  FROM tf
+  WHERE length(term) BETWEEN 3 AND 7 AND term <> 'mereg'
+  GROUP BY term
+)
+WHERE distance <= 2
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5
+"""
+    )
+
     o["grouped_topk"] = (
         _PRELUDE
         + ","

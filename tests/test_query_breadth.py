@@ -347,3 +347,34 @@ def test_top_groups_collapse(spark):
     ni = NaiveIndex([(d, t) for d, (_, t) in texts.items()])
     sc = ni.scores(TermQuery("hit"))
     assert sc[0] > sc[3] > 0
+
+
+def test_suggest_terms(spark):
+    """DirectSpellChecker surface: distance-then-frequency ranking from the
+    term dictionary; the query term excluded; prefix/min_df filters."""
+    from lucene_kmp_spark.index.builder import build_index
+    from lucene_kmp_spark.search.executor import IndexSearcher
+    from lucene_kmp_spark.search.suggest import suggest_terms
+
+    rows = [
+        (0, "merge merge merge marge barge"),
+        (1, "merge marge purge"),
+        (2, "forge gorge merge"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s = IndexSearcher(build_index(docs, text_col="text"))
+    got = [(r["term"], r["distance"], r["df"]) for r in suggest_terms(s, "mergw", k=4).collect()]
+    # within 2 edits of "mergw": merge (1 sub) and marge (2 subs); the
+    # *arge/*orge/*urge pack is distance 3 and excluded
+    assert got == [("merge", 1, 3), ("marge", 2, 2)]
+    # "mgrge" is 1 substitution from both merge and marge; the distance tie
+    # breaks by df desc (merge df 3 > marge df 2)
+    got2 = [(r["term"], r["distance"]) for r in suggest_terms(s, "mgrge", k=4).collect()]
+    assert got2[0] == ("merge", 1)
+    assert got2[1] == ("marge", 1)
+    # prefix filter keeps only m-corrections
+    pm = [r["term"] for r in suggest_terms(s, "mergw", k=4, prefix_len=1).collect()]
+    assert pm == ["merge", "marge"]
+    # the query term itself is never suggested
+    self_hits = [r["term"] for r in suggest_terms(s, "merge", k=4).collect()]
+    assert "merge" not in self_hits

@@ -1145,6 +1145,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["suggest_terms"] = q_suggest_terms
 
+    def q_facet_counts(spark, sf_dir):
+        # facets-module StringValueFacetCounts shape: value counts of a
+        # stored field over the query's match set
+        from lucene_kmp_spark.search.grouping import facet_counts
+        from lucene_kmp_spark.search.query import TermQuery
+
+        s = _searcher64(spark, sf_dir)
+        return facet_counts(s, TermQuery("merge"), "source", top_n=10)
+
+    q["facet_counts"] = q_facet_counts
+
     # ---- round-2 oracle-gap closers (operators previously pytest-only) ----
     def q_regexp(spark, sf_dir):
         from lucene_kmp_spark.search.query import RegexpQuery
@@ -3576,6 +3587,17 @@ WITH flagged AS (
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
 FROM flagged GROUP BY user_id
 """
+    o["facet_counts"] = (
+        _PRELUDE
+        + """
+SELECT d.source, count(*)::BIGINT AS count
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') m
+JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY count DESC, d.source ASC LIMIT 10
+"""
+    )
+
     o["suggest_terms"] = (
         _PRELUDE
         + """

@@ -64,3 +64,24 @@ def top_groups(
         .select(group_col, "group_rank", "within_rank", "doc_id", "score")
         .orderBy("group_rank", "within_rank")
     )
+
+
+def facet_counts(
+    searcher,
+    q,
+    facet_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Facet counts over a query's match set (Lucene facets-module
+    StringValueFacetCounts shape): (value, count) for the top-n values of a
+    stored-fields column among matching docs, ordered (count desc, value
+    asc). MUST_NOT/two-phase semantics come from the engine's own match set;
+    the facet itself is one doc_id join + one hash aggregate."""
+    matches = searcher.execute(q).select("doc_id")
+    return (
+        matches.join(searcher.index.docs.select("doc_id", facet_col), "doc_id")
+        .groupBy(facet_col)
+        .agg(F.count("*").cast("long").alias("count"))
+        .orderBy(F.desc("count"), F.asc(facet_col))
+        .limit(top_n)
+    )

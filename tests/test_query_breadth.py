@@ -378,3 +378,27 @@ def test_suggest_terms(spark):
     # the query term itself is never suggested
     self_hits = [r["term"] for r in suggest_terms(s, "merge", k=4).collect()]
     assert "merge" not in self_hits
+
+
+def test_facet_counts(spark):
+    """Facet counts over the match set: (count desc, value asc), match-set
+    semantics from the engine (MUST_NOT respected)."""
+    from lucene_kmp_spark.index.builder import build_index
+    from lucene_kmp_spark.search.executor import IndexSearcher
+    from lucene_kmp_spark.search.grouping import facet_counts
+    from lucene_kmp_spark.search.query import BooleanQuery, TermQuery
+
+    rows = [
+        (0, "web", "hit pad"),
+        (1, "web", "hit pad"),
+        (2, "book", "hit pad"),
+        (3, "book", "pad pad"),
+        (4, "news", "hit bad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    s = IndexSearcher(build_index(docs, text_col="text"))
+    got = [(r["src"], r["count"]) for r in facet_counts(s, TermQuery("hit"), "src").collect()]
+    assert got == [("web", 2), ("book", 1), ("news", 1)]
+    q = BooleanQuery.build(must=(TermQuery("hit"),), must_not=(TermQuery("bad"),))
+    got = [(r["src"], r["count"]) for r in facet_counts(s, q, "src").collect()]
+    assert got == [("web", 2), ("book", 1)]

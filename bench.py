@@ -151,6 +151,20 @@ def run_once(
                 t = time.perf_counter()
                 s.top_k(q, 10).collect()
                 qtimes[name] = round(time.perf_counter() - t, 3)
+            # search-adjacent surfaces over the same index: grouping /
+            # facets (stored-field joins) + term-dict spell suggestion
+            from lucene_kmp_spark.search.grouping import facet_counts, top_groups
+            from lucene_kmp_spark.search.suggest import suggest_terms
+
+            t = time.perf_counter()
+            top_groups(s, _TQ("hope"), "conv_id", k=10, docs_per_group=2).collect()
+            qtimes["q_grouped"] = round(time.perf_counter() - t, 3)
+            t = time.perf_counter()
+            facet_counts(s, _TQ("hope"), "role").collect()
+            qtimes["q_facets"] = round(time.perf_counter() - t, 3)
+            t = time.perf_counter()
+            suggest_terms(s, "hpoe", k=5).collect()
+            qtimes["q_suggest"] = round(time.perf_counter() - t, 3)
             out["suite_sec"] = round(time.perf_counter() - suite0, 3)
             out["queries"] = qtimes
             lat = sorted(qtimes.values())

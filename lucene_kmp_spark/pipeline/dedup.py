@@ -385,7 +385,12 @@ def remove_duplicate_spans(
         .select(id_col, F.explode(F.sequence(F.col("start"), F.col("start") + k - 1)).alias("pos"))
         .distinct()
     )
-    alltok = toks.select(
+    # only docs that actually lose tokens pay the explode-and-rebuild cost;
+    # the untouched majority (the common case at corpus scale) short-circuits
+    # to a re-join of its own token array
+    affected = removed_tokens.select(id_col).distinct()
+    toks_aff = toks.join(affected, id_col, "left_semi")
+    alltok = toks_aff.select(
         id_col,
         F.posexplode("w").alias("pos0", "tok"),
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
@@ -402,8 +407,8 @@ def remove_duplicate_spans(
     )
     # a doc whose every window is a later duplicate loses ALL tokens — it
     # stays in the output with empty text, not silently dropped
-    return (
-        toks.select(id_col, F.size("w").cast("long").alias("n_tokens"))
+    rebuilt = (
+        toks_aff.select(id_col, F.size("w").cast("long").alias("n_tokens"))
         .join(agg, id_col, "left")
         .select(
             id_col,
@@ -412,3 +417,10 @@ def remove_duplicate_spans(
             F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
         )
     )
+    untouched = toks.join(affected, id_col, "left_anti").select(
+        id_col,
+        F.size("w").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.array_join(F.col("w"), " ").alias(text_col),
+    )
+    return rebuilt.unionByName(untouched)

@@ -1156,6 +1156,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["facet_counts"] = q_facet_counts
 
+    def q_bpe_token_counts(spark, sf_dir):
+        # real BPE (Sennrich): merges learned from the distributed word-count
+        # table (driver loop is vocabulary-scale by definition), exact
+        # per-doc subword counts via Arrow-batched encoding. Iterative
+        # training is not SQL-expressible — registered WITHOUT an oracle_sql
+        # entry (the driver's weaker rows-only check), per the brief's
+        # iterative-algorithm carve-out; correctness is pytest-anchored
+        # (tests/test_pipeline_ops.py::test_bpe_train_and_encode — the
+        # paper-corpus merge sequence is hand-derived).
+        from lucene_kmp_spark.pipeline.bpe import bpe_encode_counts, train_bpe
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges = train_bpe(docs, n_merges=64)
+        return bpe_encode_counts(docs, merges)
+
+    q["bpe_token_counts"] = q_bpe_token_counts
+
     # ---- round-2 oracle-gap closers (operators previously pytest-only) ----
     def q_regexp(spark, sf_dir):
         from lucene_kmp_spark.search.query import RegexpQuery

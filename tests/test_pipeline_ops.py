@@ -468,3 +468,55 @@ def test_remove_duplicate_spans(spark):
         for r in remove_duplicate_spans(docs, k=K).collect()
     }
     assert h == {d: len(v) for d, v in ((d, removed[d]) for d in toks)}
+
+
+def test_bpe_train_and_encode(spark):
+    """Real BPE (Sennrich): merges learned from distributed word counts match
+    the hand-derivable sequence on the paper-style corpus; encoding applies
+    by rank; invariants (full-merge words become 1 token, zero merges =
+    chars+1, counts shrink monotonically with more merges)."""
+    from lucene_kmp_spark.pipeline.bpe import (
+        _encode_word,
+        bpe_encode_counts,
+        train_bpe,
+    )
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=10, min_pair_freq=2)
+    # classic derivation: es(9) -> est(9) -> est</w>(9) -> lo(7) -> low(7) ...
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    assert merges[3] == ("l", "o")
+    assert merges[4] == ("lo", "w")
+    ranks = {p: i for i, p in enumerate(merges)}
+    # frequent in-corpus words merge to ONE token; unseen words compose the
+    # learned subwords (greatest -> ... + est</w>; lowest -> low + est</w>)
+    assert _encode_word("newest", ranks) == ["newest</w>"]
+    assert _encode_word("greatest", ranks)[-1] == "est</w>"
+    low_est = _encode_word("lowest", ranks)
+    assert low_est[0] == "low" and low_est[-1] == "est</w>"
+
+    # encode invariants over a second corpus
+    docs2 = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "newest widest"), (2, "zzz")],
+        "doc_id long, text string",
+    )
+    enc = {
+        r["doc_id"]: (r["n_words"], r["bpe_tokens"])
+        for r in bpe_encode_counts(docs2, merges).collect()
+    }
+    assert enc[0][0] == 3 and enc[2][0] == 1
+    none_enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode_counts(docs2, []).collect()
+    }
+    # zero merges: every word = chars + end marker
+    assert none_enc[2] == 4
+    assert all(enc[d][1] <= none_enc[d] for d in enc)
+    # more merges never increase the count
+    half = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode_counts(docs2, merges[:3]).collect()}
+    assert all(enc[d][1] <= half[d] for d in enc)

@@ -851,6 +851,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_pipeline"] = q_curate
 
+    # ---- DSIR importance resampling (hashed-ngram target-vs-raw LM) ----
+    def q_dsir_weights(spark, sf_dir):
+        from lucene_kmp_spark.pipeline.dsir import dsir_log_weights
+
+        d = _docs(spark, sf_dir)
+        tgt = d.filter(F.col("doc_id") % 7 == 0)
+        out = dsir_log_weights(d, tgt)
+        return out.select("doc_id", "n_ngrams", _q4(F.col("log_weight")).alias("log_weight"))
+
+    q["dsir_weights"] = q_dsir_weights
+
+    def q_dsir_select(spark, sf_dir):
+        # Gumbel top-k selection; k=50 raw pre-cut, final cut by the
+        # quantized rank (the ANN-score float protocol)
+        from lucene_kmp_spark.pipeline.dsir import dsir_select
+
+        d = _docs(spark, sf_dir)
+        tgt = d.filter(F.col("doc_id") % 7 == 0)
+        sel = dsir_select(d, tgt, k=50)
+        w = Window.orderBy(F.desc(F.floor(F.col("sel_key") * 10000)), F.asc("doc_id"))
+        return (
+            sel.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 20)
+            .select("doc_id", "rank")
+        )
+
+    q["dsir_select_topk"] = q_dsir_select
+
     def q_minhash_candidates(spark, sf_dir):
         return dedup.minhash_candidates(
             _docs(spark, sf_dir).filter(F.col("doc_id") < 2000),
@@ -3336,6 +3364,59 @@ FROM kept2 k JOIN reps USING (doc_id)
 """
 
     # ---- benchmark decontamination (5-gram overlap vs eval = doc_id%97) ----
+    # DSIR (arXiv:2302.03169): hashed unigram+bigram buckets (md5-prefix
+    # hash, the mix.py portability protocol), add-0.1 multinomials over 4096
+    # slots, per-doc log p_target - log p_raw; target = doc_id % 7 == 0.
+    _DSIR_WEIGHTS_CTE = """
+WITH wl AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t != '') AS w
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, unnest(w) AS ng FROM wl
+  UNION ALL
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS ng
+  FROM wl, UNNEST(range(1, len(w))) AS t(i)
+),
+fb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('dsir|' || ng), 1, 8))::BIGINT % 4096 AS bucket
+  FROM ng
+),
+rawc AS (SELECT bucket, count(*)::DOUBLE AS c FROM fb GROUP BY bucket),
+tgtc AS (SELECT bucket, count(*)::DOUBLE AS c FROM fb WHERE doc_id % 7 = 0 GROUP BY bucket),
+nr AS (SELECT sum(c) AS n FROM rawc),
+nt AS (SELECT coalesce(sum(c), 0) AS n FROM tgtc),
+ratio AS (
+  SELECT r.bucket,
+         ln((coalesce(t.c, 0) + 0.1) / (nt.n + 0.1 * 4096))
+         - ln((r.c + 0.1) / (nr.n + 0.1 * 4096)) AS lr
+  FROM rawc r LEFT JOIN tgtc t USING (bucket) CROSS JOIN nr CROSS JOIN nt
+),
+dw AS (
+  SELECT doc_id, count(*)::BIGINT AS n_ngrams, sum(lr) AS log_weight
+  FROM fb JOIN ratio USING (bucket)
+  GROUP BY doc_id
+)
+"""
+
+    o["dsir_weights"] = _DSIR_WEIGHTS_CTE + """
+SELECT doc_id, n_ngrams, floor(log_weight * 10000) / 10000 AS log_weight FROM dw
+"""
+
+    o["dsir_select_topk"] = _DSIR_WEIGHTS_CTE + """,
+keyed AS (
+  SELECT doc_id,
+         log_weight
+         - ln(-ln(((('0x' || substr(md5('dsir-gumbel|' || doc_id), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0))) AS sel_key
+  FROM dw
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY floor(sel_key * 10000) DESC, doc_id ASC) AS INT) AS rank
+FROM keyed QUALIFY rank <= 20
+"""
+
     o["decontam_hits"] = """
 WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
 g AS (

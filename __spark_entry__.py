@@ -775,6 +775,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_embedding_cosine"] = q_embed_neardup
 
+    def q_semdedup(spark, sf_dir):
+        # SemDeDup (arXiv:2303.09540): cluster on fixed data-vector centroids
+        # (vec_id 1..8 — reproducible in SQL), visit members by
+        # (centroid-cos asc, id asc), duplicate = quantized max cosine to any
+        # earlier member >= 0.4
+        from lucene_kmp_spark.pipeline.similarity import semdedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = emb.filter(F.col("vec_id").between(1, 8)).orderBy("vec_id").collect()
+        cents = [[float(v) for v in r["embedding"]] for r in rows]
+        return semdedup(emb, cents, threshold=0.4).select(
+            "vec_id", F.col("list").alias("list_id"), "is_dup"
+        )
+
+    q["dedup_semantic"] = q_semdedup
+
     def q_jaccard(spark, sf_dir):
         return (
             dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
@@ -3216,6 +3232,50 @@ d AS (SELECT id_a, id_b, sum(x*y) AS dot, sum(x*x) AS na, sum(y*y) AS nb FROM pr
 p AS (SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS c FROM d)
 SELECT id_a, id_b, floor(c * 10000) / 10000 AS cosine FROM p WHERE c >= 0.4
 """
+    # SemDeDup: fixed data-vector centroids (vec_id 1..8 -> engine list idx
+    # = cid-1; assignment tie -> higher idx, the array_max struct rule),
+    # visit order (floor(centroid-cos*1e7) asc, vec_id asc), duplicate =
+    # floor(max cosine to any earlier member * 1e4) >= floor(0.4*1e4)
+    o["dedup_semantic"] = """
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+vcp AS (
+  SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS a, unnest(c.cv)::DOUBLE AS b
+  FROM embeddings e, cent c
+),
+vc AS (
+  SELECT vec_id, cid, sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cos
+  FROM vcp GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid, cos AS ccos FROM (
+    SELECT vec_id, cid, cos,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+ord AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY floor(ccos * 10000000) ASC, vec_id ASC) AS rnk
+  FROM assign
+),
+pr AS (
+  SELECT a.vec_id AS vid, b.vec_id AS wid,
+         unnest(x.embedding)::DOUBLE AS xa, unnest(y.embedding)::DOUBLE AS yb
+  FROM ord a JOIN ord b ON a.cid = b.cid AND b.rnk < a.rnk
+  JOIN embeddings x ON x.vec_id = a.vec_id
+  JOIN embeddings y ON y.vec_id = b.vec_id
+),
+ps AS (
+  SELECT vid, wid, sum(xa * yb) / (sqrt(sum(xa * xa)) * sqrt(sum(yb * yb))) AS cos
+  FROM pr GROUP BY vid, wid
+),
+mx AS (SELECT vid, max(cos) AS m FROM ps GROUP BY vid)
+SELECT o.vec_id, CAST(o.cid - 1 AS INT) AS list_id,
+       coalesce(floor(m * 10000) >= floor(0.4 * 10000), FALSE) AS is_dup
+FROM ord o LEFT JOIN mx ON mx.vid = o.vec_id
+"""
+
     o["dedup_jaccard_pairs"] = """
 WITH toks AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents

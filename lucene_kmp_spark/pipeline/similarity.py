@@ -253,14 +253,20 @@ def ivf_train_centroids(
     return centroids
 
 
-def ivf_assign_col(vec_col: str, centroids: list[list[float]]):
-    """list id = argmax cosine over centroids, as a pure column expression."""
+def _assign_struct(vec_col: str, centroids: list[list[float]]):
+    """(cos, idx) of the winning centroid — argmax cosine, ties to the higher
+    index (the ``array_max`` struct comparison rule)."""
     structs = []
     for i, c in enumerate(centroids):
         arr = F.array(*[F.lit(float(v)) for v in c])
         cos = _dot(F.col(vec_col), arr) / (_norm(F.col(vec_col)) * _norm(arr))
         structs.append(F.struct(cos.alias("cos"), F.lit(i).alias("idx")))
-    return F.array_max(F.array(*structs))["idx"]
+    return F.array_max(F.array(*structs))
+
+
+def ivf_assign_col(vec_col: str, centroids: list[list[float]]):
+    """list id = argmax cosine over centroids, as a pure column expression."""
+    return _assign_struct(vec_col, centroids)["idx"]
 
 
 def nearest_lists(
@@ -322,3 +328,81 @@ def ivf_topk(
     )
     probe = assigned.filter(F.col("_list").isin(probe_lists))
     return cosine_topk(probe, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------- SemDeDup
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    clustering embeddings and removing within-cluster semantic duplicates.
+
+    Each vector is assigned to its nearest centroid (cosine); within a
+    cluster, members are visited in (similarity-to-centroid ASC, id ASC)
+    order — the paper's keep-the-example-farthest-from-the-centroid policy —
+    and a member is a duplicate if its max cosine to any EARLIER member
+    reaches ``threshold`` (the published implementation's upper-triangular
+    max test). Returns every row as (id, list, is_dup).
+
+    Scale shape: assignment is a pure column expression; the per-cluster
+    pairwise pass is ONE shuffle keyed by the cluster id (free if ``df``
+    carries a write-time ``_list`` partition column) with numpy matrix
+    products inside Arrow batches. The quadratic is cluster-bounded — the
+    algorithm's own cost model: ``n_lists`` grows with the corpus so cluster
+    sizes stay constant (the paper uses k=50k at 1B examples).
+
+    Float protocol: the visit order quantizes centroid-cosine at 1e-7 and the
+    duplicate test quantizes max-pair-cosine at 1e-4 (ties broken by id), so
+    the decision is reproducible across engines (numpy / SQL doubles).
+    """
+    thr_q = int(np.floor(threshold * 10000))
+    best = _assign_struct(vec_col, centroids)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_vec"),
+        best["idx"].alias("_list"),
+        F.floor(best["cos"] * 10000000).cast("long").alias("_ccos_q"),
+    )
+
+    id_field = df.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, list int, is_dup boolean"
+
+    def _cluster_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ccos_q", id_col], kind="mergesort").reset_index(drop=True)
+        v = np.asarray(pdf["_vec"].tolist(), dtype=np.float64)
+        norms = np.sqrt((v * v).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        v /= norms[:, None]
+        sims = v @ v.T
+        n = len(pdf)
+        dup = np.zeros(n, dtype=bool)
+        for i in range(1, n):
+            dup[i] = np.floor(sims[i, :i].max() * 10000) >= thr_q
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "list": np.full(n, int(pdf["_list"].iloc[0]), dtype=np.int32),
+                "is_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("_list").applyInPandas(_cluster_dedup, out_schema)
+
+
+def semdedup_keep(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The surviving rows of ``semdedup`` — the semantically deduplicated
+    corpus (an inner join on the kept id set, broadcast-sized per partition)."""
+    kept = semdedup(df, centroids, threshold, vec_col, id_col).filter(
+        ~F.col("is_dup")
+    ).select(id_col)
+    return df.join(kept, id_col, "inner")

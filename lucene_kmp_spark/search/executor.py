@@ -348,10 +348,12 @@ class IndexSearcher:
         )
 
         def gen(batches):
+            import pyarrow as pa
+
             from lucene_kmp_spark.util.packing import block_decode, delta_block_decode
 
             for pdf in batches:
-                recs = {"term": [], "doc_id": [], "tf": [], "norm": [], "positions": []}
+                terms_o, docs_o, tfs_o, norms_o, pos_o = [], [], [], [], []
                 for term, de, fe, ne, pe in zip(
                     pdf["term"].values, pdf["doc_ids_enc"].values, pdf["freqs_enc"].values,
                     pdf["norms_enc"].values, pdf["positions_enc"].values,
@@ -366,13 +368,31 @@ class IndexSearcher:
                     starts = ends - tfs
                     before = cs[starts] - deltas[starts]
                     pos_all = cs - np.repeat(before, tfs)
-                    splits = np.split(pos_all.astype(np.int32), ends[:-1])
-                    recs["term"].extend([term] * len(doc_ids))
-                    recs["doc_id"].extend(doc_ids.tolist())
-                    recs["tf"].extend(tfs.tolist())
-                    recs["norm"].extend(norms.tolist())
-                    recs["positions"].extend([s.tolist() for s in splits])
-                yield pd.DataFrame(recs)
+                    terms_o.append(np.repeat(term, len(doc_ids)))
+                    docs_o.append(doc_ids)
+                    tfs_o.append(tfs)
+                    norms_o.append(norms)
+                    pos_o.append(pos_all.astype(np.int32))
+                if not docs_o:
+                    continue
+                # Arrow-native list column (offsets + one flat values buffer):
+                # no per-doc Python lists — ~70x cheaper than tolist() per
+                # batch, which dominated hot-term phrase queries
+                all_tfs = np.concatenate(tfs_o)
+                offsets = np.zeros(len(all_tfs) + 1, dtype=np.int32)
+                np.cumsum(all_tfs, out=offsets[1:])
+                la = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(np.concatenate(pos_o))
+                )
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms_o),
+                        "doc_id": np.concatenate(docs_o),
+                        "tf": all_tfs.astype(np.int32),
+                        "norm": np.concatenate(norms_o).astype(np.int32),
+                        "positions": pd.Series(la, dtype=pd.ArrowDtype(pa.list_(pa.int32()))),
+                    }
+                )
 
         return rows.mapInPandas(gen, schema=_POS_SCHEMA)
 

@@ -1189,6 +1189,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["suggest_terms"] = q_suggest_terms
 
+    def q_mlt_like_doc(spark, sf_dir):
+        # MoreLikeThis (queries/mlt surface): select doc 1's interesting
+        # terms by tf*idf under Lucene's default thresholds, run the
+        # resulting SHOULD disjunction through the batched boolean path
+        from lucene_kmp_spark.search.mlt import MoreLikeThis
+
+        s = _searcher64(spark, sf_dir)
+        return _ranked_topk(s.execute(MoreLikeThis(s).like(1)))
+
+    q["mlt_like_doc"] = q_mlt_like_doc
+
     def q_facet_counts(spark, sf_dir):
         # facets-module StringValueFacetCounts shape: value counts of a
         # stored field over the query's match set
@@ -3770,6 +3781,33 @@ SELECT term, distance, df FROM (
 WHERE distance <= 2
 ORDER BY distance ASC, df DESC, term ASC LIMIT 5
 """
+    )
+
+    # MoreLikeThis(doc 1, Lucene defaults): selection = top-25 terms of the
+    # source doc by tf * (1 + ln((N+1)/(df+1))) with tf>=2, df>=5 (ties by
+    # term asc); ranking = BM25 sum over the selected SHOULD set
+    o["mlt_like_doc"] = (
+        _PRELUDE
+        + f""",
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+sel AS (
+  SELECT tf.term
+  FROM tf JOIN alldf USING (term) CROSS JOIN avgd a
+  WHERE tf.doc_id = 1 AND tf.tf >= 2 AND alldf.df >= 5
+  ORDER BY tf.tf * (1 + ln((a.n_docs + 1.0) / (alldf.df + 1.0))) DESC, tf.term ASC
+  LIMIT 25
+),
+w AS (
+  SELECT sel.term, ln(1 + (a.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+  FROM sel JOIN alldf d USING (term) CROSS JOIN avgd a
+),
+total AS (
+  SELECT tf.doc_id,
+         sum(w.w - w.w / (1 + tf.tf * (1.0 / ({K1} * (0.25 + {B} * norm.qdl / avgd.avgdl))))) AS s
+  FROM tf JOIN w USING (term) JOIN norm USING (doc_id) CROSS JOIN avgd
+  GROUP BY tf.doc_id
+)"""
+        + _rank_tail("total")
     )
 
     o["grouped_topk"] = (

@@ -1200,6 +1200,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mlt_like_doc"] = q_mlt_like_doc
 
+    def q_function_score(spark, sf_dir):
+        # FunctionScoreQuery (queries/function surface): score = wrapped
+        # query's BM25 score boosted by a stored-field expression, all
+        # JVM-side in whole-stage codegen
+        from lucene_kmp_spark.search.query import FunctionScoreQuery, TermQuery
+
+        s = _searcher64(spark, sf_dir)
+        fs = FunctionScoreQuery(TermQuery("merge"), "_score * (1.0 + n_chars / 1000.0)")
+        return _ranked_topk(s.execute(fs))
+
+    q["function_score_boost"] = q_function_score
+
+    def q_top_passages(spark, sf_dir):
+        # UnifiedHighlighter-analog passage extraction: fixed 16-token
+        # windows scored by unique-term idf * saturating tf over the
+        # OFFSETS postings view, best window per doc, global top-10
+        from lucene_kmp_spark.search.highlight import top_passages
+
+        s = _offsets_searcher64(spark, sf_dir)
+        # over-fetch, then apply the oracle-portable floor-quantized global
+        # cut here (the library's raw-double ordering refines quantized
+        # ordering except inside a quantization bucket)
+        out = top_passages(s, ["merge", "scan"], n=1_000_000, window=16, per_doc=1)
+        w = Window.orderBy(
+            F.desc(F.floor(F.col("score") * 10000)), F.asc("doc_id"), F.asc("window_id")
+        )
+        return (
+            out.withColumn("_g", F.row_number().over(w))
+            .filter(F.col("_g") <= 10)
+            .select(
+                "doc_id", "window_id", _q4(F.col("score")).alias("score"),
+                "start_offset", "end_offset", "snippet",
+            )
+        )
+
+    q["top_passages"] = q_top_passages
+
+    def q_infix_suggest(spark, sf_dir):
+        # AnalyzingInfixSuggester surface: suggestion table = first 5 tokens
+        # of each doc weighted by n_chars; 'data mer' = exact 'data' +
+        # prefix 'mer' on the final token, weight-desc rank, highlighted
+        from lucene_kmp_spark.search.suggest import infix_suggest
+
+        sugg = _docs(spark, sf_dir).select(
+            F.expr("array_join(slice(split(text, ' '), 1, 5), ' ')").alias("suggestion"),
+            F.col("n_chars").alias("weight"),
+        )
+        return infix_suggest(sugg, "data mer", k=5, highlight=True)
+
+    q["infix_suggest"] = q_infix_suggest
+
     def q_facet_counts(spark, sf_dir):
         # facets-module StringValueFacetCounts shape: value counts of a
         # stored field over the query's match set
@@ -3809,6 +3860,93 @@ total AS (
 )"""
         + _rank_tail("total")
     )
+
+    # FunctionScoreQuery: BM25('merge') score boosted by the stored
+    # n_chars expression — replayed op-for-op in double math
+    o["function_score_boost"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """,
+total AS (
+  SELECT sc0.doc_id, sc0.s * (1.0 + d.n_chars / 1000.0) AS s
+  FROM sc0 JOIN documents d ON d.doc_id = sc0.doc_id
+)"""
+        + _rank_tail("total")
+    )
+
+    # UnifiedHighlighter-analog passages: 16-token windows over the offsets
+    # view; score = sum over distinct terms present of idf * tf/(tf+1);
+    # best window per doc then global top-10 (floor-quantized ordering)
+    o["top_passages"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos FROM toks
+),
+offs AS (
+  SELECT doc_id, term, pos,
+         (COALESCE(sum(length(term)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pos) AS so
+  FROM tok
+),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  WHERE term IN ('merge', 'scan') GROUP BY 1
+),
+occ AS (
+  SELECT doc_id, term, pos // 16 AS window_id, so, so + length(term) AS eo
+  FROM offs WHERE term IN ('merge', 'scan')
+),
+per_term AS (
+  SELECT doc_id, window_id, term, count(*)::DOUBLE AS freq,
+         min(so) AS so, max(eo) AS eo
+  FROM occ GROUP BY 1, 2, 3
+),
+pass AS (
+  SELECT p.doc_id, p.window_id,
+         sum(ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (p.freq / (p.freq + 1.0))) AS s,
+         min(p.so) AS so, max(p.eo) AS eo
+  FROM per_term p JOIN dfs d USING (term) CROSS JOIN nd n
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY s DESC, window_id ASC) AS r
+  FROM pass
+),
+topn AS (
+  SELECT doc_id, window_id, s, so, eo,
+         row_number() OVER (ORDER BY floor(s * 10000) DESC, doc_id ASC, window_id ASC) AS g
+  FROM best WHERE r = 1
+)
+SELECT t.doc_id, t.window_id::INT AS window_id,
+       floor(t.s * 10000) / 10000 AS score,
+       t.so::INT AS start_offset, t.eo::INT AS end_offset,
+       substring(d.text, t.so::INT + 1, (t.eo - t.so)::INT) AS snippet
+FROM topn t JOIN documents d ON d.doc_id = t.doc_id
+WHERE t.g <= 10
+"""
+
+    # AnalyzingInfixSuggester: exact 'data' + final-token prefix 'mer',
+    # weight-desc rank, <b>-highlighted matched tokens
+    o["infix_suggest"] = """
+WITH sugg AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS suggestion,
+         n_chars AS weight
+  FROM documents
+)
+SELECT suggestion, weight,
+       array_to_string(list_transform(string_split(suggestion, ' '),
+         t -> CASE WHEN starts_with(t, 'mer') OR t = 'data'
+              THEN '<b>' || t || '</b>' ELSE t END), ' ') AS highlighted
+FROM sugg
+WHERE len(list_filter(string_split(suggestion, ' '), t -> starts_with(t, 'mer'))) > 0
+  AND list_contains(string_split(suggestion, ' '), 'data')
+ORDER BY weight DESC, suggestion ASC LIMIT 5
+"""
 
     o["grouped_topk"] = (
         _PRELUDE

@@ -50,6 +50,7 @@ from lucene_kmp_spark.search.query import (
     DisjunctionMaxQuery,
     FeatureQuery,
     FieldExistsQuery,
+    FunctionScoreQuery,
     FuzzyQuery,
     IndexSortRangeQuery,
     IndriAndQuery,
@@ -778,6 +779,8 @@ class IndexSearcher:
             return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
         if isinstance(q, FeatureQuery):
             return self._exec_feature(q)
+        if isinstance(q, FunctionScoreQuery):
+            return self._exec_function_score(q)
         if isinstance(q, MultiPhraseQuery):
             return self._exec_multi_phrase(q)
         if isinstance(q, SpanNearQuery):
@@ -904,6 +907,20 @@ class IndexSearcher:
         return (
             self.index.docs.filter(F.col(q.column).isNotNull() & (s > 0))
             .select("doc_id", (F.lit(float(q.boost)) * expr).alias("score"))
+        )
+
+    def _exec_function_score(self, q: FunctionScoreQuery) -> DataFrame:
+        """FunctionScoreQuery (upstream queries/function module): the wrapped
+        query supplies the match set and ``_score``; the final score is the
+        Catalyst expression ``q.source`` over the doc's stored-field row.
+        The docs join is column-pruned by Catalyst to exactly the fields the
+        expression references; the expression itself stays JVM-side in
+        whole-stage codegen."""
+        inner = self._exec(q.query).withColumnRenamed("score", "_score")
+        j = inner.join(self.index.docs, "doc_id")
+        val = F.expr(q.source).cast("double")
+        return j.select(
+            "doc_id", (F.lit(float(q.boost)) * val).cast("double").alias("score")
         )
 
     def _exec_multi_phrase(self, q: MultiPhraseQuery) -> DataFrame:
@@ -1802,7 +1819,7 @@ def _collect_terms(q: Query) -> set[str]:
     elif isinstance(q, DisjunctionMaxQuery):
         for sub in q.queries:
             out |= _collect_terms(sub)
-    elif isinstance(q, ConstantScoreQuery):
+    elif isinstance(q, (ConstantScoreQuery, FunctionScoreQuery)):
         out |= _collect_terms(q.query)
     return out
 

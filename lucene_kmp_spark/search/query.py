@@ -444,6 +444,39 @@ class ColumnFilterQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class FunctionScoreQuery(Query):
+    """Score-by-expression wrapper (upstream Lucene
+    ``queries/function/FunctionScoreQuery``; the reference repo does not port
+    the function module — same situation as grouping/mlt/suggest, we
+    implement the published surface so a reference user keeps their
+    workflow).
+
+    Matches exactly the wrapped query's docs; the returned score is ENTIRELY
+    the value of ``source`` — the DoubleValuesSource analog, expressed as a
+    Catalyst SQL expression over the index's stored-field columns plus the
+    pseudo-column ``_score`` (the wrapped query's score,
+    DoubleValuesSource.fromScorer). Whole-stage codegen, no UDF: the
+    expression runs JVM-side fused with the scoring plan.
+
+    ``boost_by_value`` mirrors FunctionScoreQuery.boostByValue (score =
+    query score * feature value)."""
+
+    query: Query
+    source: str
+    boost: float = 1.0
+
+    @staticmethod
+    def boost_by_value(query: Query, feature_expr: str, boost: float = 1.0) -> "FunctionScoreQuery":
+        return FunctionScoreQuery(query, f"_score * ({feature_expr})", boost)
+
+    def rewrite(self) -> "Query":
+        inner = rewrite_query(self.query)
+        if inner is self.query:
+            return self
+        return FunctionScoreQuery(inner, self.source, self.boost)
+
+
 def _sql_lit(v) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"

@@ -49,3 +49,55 @@ def suggest_terms(
     return scored.orderBy(
         F.asc("distance"), F.desc("df"), F.asc("term")
     ).limit(k)
+
+
+def infix_suggest(
+    suggestions: DataFrame,
+    query: str,
+    k: int = 5,
+    text_col: str = "suggestion",
+    weight_col: str = "weight",
+    highlight: bool = False,
+) -> DataFrame:
+    """Infix autocomplete over a suggestion table — the
+    AnalyzingInfixSuggester surface (upstream Lucene suggest module; beyond
+    the reference repo's own port surface, like DirectSpellChecker above).
+
+    Published semantics: the query's FINAL token matches any suggestion
+    token by PREFIX; every earlier query token must match a suggestion
+    token exactly (AnalyzingInfixSuggester.lookup's finalToken PrefixQuery
+    + TermQuery clauses). Results rank by weight desc (the suggester's
+    sort), tie-broken by suggestion asc for determinism.
+
+    ``highlight=True`` adds a ``highlighted`` column wrapping every matched
+    token in <b>..</b> (the suggester's highlight=true form) — built from
+    array ops, not regex, so it is engine-portable and stays JVM-side.
+
+    Scale shape: one filter + TakeOrdered over the suggestion table (pure
+    column predicates — `exists` over the token array is whole-stage
+    codegen); no shuffle, no Python. A 10^9-row suggestion table scans in
+    parallel and returns k rows."""
+    toks = [t for t in query.strip().split() if t]
+    if not toks:
+        raise ValueError("empty suggest query")
+    last, full = toks[-1], toks[:-1]
+    arr = F.split(F.col(text_col), " ")
+    cond = F.exists(arr, lambda t: t.startswith(last))
+    for t in full:
+        cond = cond & F.array_contains(arr, t)
+    out = suggestions.filter(cond)
+    if highlight:
+        exact = ", ".join("'" + t.replace("'", "''") + "'" for t in full)
+        in_full = f" OR t IN ({exact})" if full else ""
+        lastq = last.replace("'", "''")
+        out = out.withColumn(
+            "highlighted",
+            F.expr(
+                f"array_join(transform(split({text_col}, ' '), "
+                f"t -> CASE WHEN startswith(t, '{lastq}'){in_full} "
+                f"THEN concat('<b>', t, '</b>') ELSE t END), ' ')"
+            ),
+        )
+    return out.orderBy(
+        F.desc(weight_col), F.asc(text_col)
+    ).limit(int(k))

@@ -1251,6 +1251,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["infix_suggest"] = q_infix_suggest
 
+    def q_monitor(spark, sf_dir):
+        # monitor-module percolation: registered queries matched against the
+        # document batch (broadcast presearcher join + per-doc verification)
+        from lucene_kmp_spark.search.monitor import Monitor
+        from lucene_kmp_spark.search.query import (
+            BooleanQuery,
+            PhraseQuery,
+            PrefixQuery,
+            TermQuery,
+        )
+
+        m = Monitor(spark)
+        m.register("t_merge", TermQuery("merge"))
+        m.register(
+            "b_and_not",
+            BooleanQuery.build(
+                must=[TermQuery("merge"), TermQuery("scan")],
+                must_not=[TermQuery("sort")],
+            ),
+        )
+        m.register("p_order_sort", PhraseQuery(("order", "sort")))
+        m.register("pre_mer", PrefixQuery("mer"))
+        m.register(
+            "msm2",
+            BooleanQuery.build(
+                should=[TermQuery("agg"), TermQuery("window"), TermQuery("batch")],
+                minimum_should_match=2,
+            ),
+        )
+        return m.match(_docs(spark, sf_dir))
+
+    q["monitor_percolate"] = q_monitor
+
     def q_facet_counts(spark, sf_dir):
         # facets-module StringValueFacetCounts shape: value counts of a
         # stored field over the query's match set
@@ -3946,6 +3979,34 @@ FROM sugg
 WHERE len(list_filter(string_split(suggestion, ' '), t -> starts_with(t, 'mer'))) > 0
   AND list_contains(string_split(suggestion, ' '), 'data')
 ORDER BY weight DESC, suggestion ASC LIMIT 5
+"""
+
+    # monitor percolation: each registered query replayed exactly
+    o["monitor_percolate"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos FROM toks
+),
+t AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT doc_id, 't_merge' AS query_id FROM t WHERE term = 'merge'
+UNION ALL
+SELECT doc_id, 'b_and_not' AS query_id FROM (
+  SELECT doc_id FROM t WHERE term IN ('merge', 'scan')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+) x WHERE doc_id NOT IN (SELECT doc_id FROM t WHERE term = 'sort')
+UNION ALL
+SELECT DISTINCT a.doc_id, 'p_order_sort' AS query_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'order' AND b.term = 'sort'
+UNION ALL
+SELECT doc_id, 'pre_mer' AS query_id FROM (
+  SELECT DISTINCT doc_id FROM t WHERE starts_with(term, 'mer')
+) y
+UNION ALL
+SELECT doc_id, 'msm2' AS query_id FROM (
+  SELECT doc_id FROM t WHERE term IN ('agg', 'window', 'batch')
+  GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+) z
 """
 
     o["grouped_topk"] = (

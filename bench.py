@@ -354,6 +354,37 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     times["p_shape_circle_intersects"] = round(time.perf_counter() - t, 3)
     tris.unpersist()
 
+    # monitor percolation: 5 registered queries against the whole batch
+    from lucene_kmp_spark.search.monitor import Monitor
+    from lucene_kmp_spark.search.query import (
+        BooleanQuery as _BQ,
+        PhraseQuery as _PQ,
+        PrefixQuery as _PreQ,
+        TermQuery as _TQ,
+    )
+
+    mon = Monitor(spark)
+    mon.register("t_merge", _TQ("merge"))
+    mon.register("b_and_not", _BQ.build(must=[_TQ("merge"), _TQ("scan")], must_not=[_TQ("sort")]))
+    mon.register("p_order_sort", _PQ(("order", "sort")))
+    mon.register("pre_mer", _PreQ("mer"))
+    mon.register("msm2", _BQ.build(should=[_TQ("agg"), _TQ("window"), _TQ("batch")], minimum_should_match=2))
+    t = time.perf_counter()
+    mon.match(docs_pq).count()
+    times["p_monitor_percolate"] = round(time.perf_counter() - t, 3)
+
+    # passage extraction: offsets index build + top-10 passages (one timing —
+    # the build dominates; the query itself is a term-pruned occurrence scan)
+    from lucene_kmp_spark.index import build_index as _bi
+    from lucene_kmp_spark.search.executor import IndexSearcher as _IS
+    from lucene_kmp_spark.search.highlight import top_passages as _tp
+
+    t = time.perf_counter()
+    oidx = _bi(docs_pq.select("doc_id", "text"), index_options="offsets")
+    _tp(_IS(oidx), ["merge", "scan"], n=10, window=16).count()
+    times["p_passages_build_query"] = round(time.perf_counter() - t, 3)
+    oidx.unpersist()
+
     docs_pq.unpersist()
     return times
 

@@ -467,27 +467,39 @@ class InvertedIndex:
             except Exception:
                 pass
 
-    def write(self, path: str, term_sorted: bool = True):
-        """Persist to parquet. ``term_sorted`` range-partitions + sorts the
-        postings by (term, block_id) so a TermQuery's ``term = 'x'`` predicate
-        prunes whole files/row-groups via parquet min/max stats — the
-        blocktree term-dictionary lookup (``codecs/lucene90/blocktree``)
-        becomes storage-level pruning instead of a scan."""
-        self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    def write(self, path: str, term_sorted: bool = True, storage_format: str = "parquet"):
+        """Persist the index tables. ``term_sorted`` range-partitions + sorts
+        the postings by (term, block_id) so a TermQuery's ``term = 'x'``
+        predicate prunes whole files/row-groups via columnar min/max stats —
+        the blocktree term-dictionary lookup (``codecs/lucene90/blocktree``)
+        becomes storage-level pruning instead of a scan.
+
+        ``storage_format`` is any Spark DataSource V1/V2 format with min/max
+        column statistics: ``"parquet"`` (default), ``"orc"`` (same pruning,
+        tested in-container), or ``"iceberg"`` on a cluster with the Iceberg
+        runtime jars (path-based hadoop tables; Iceberg additionally gives
+        snapshot-isolation commits — the segment manifest in
+        ``index/segments.py`` provides the same semantics over plain files).
+        The choice is recorded in the manifest so ``read`` is format-blind."""
+        fmt = storage_format
+
+        def _save(df, sub):
+            df.write.mode("overwrite").format(fmt).save(os.path.join(path, sub))
+
+        _save(self.docs, "docs")
         postings = self.postings
         if term_sorted:
             postings = postings.repartitionByRange("term", "block_id").sortWithinPartitions(
                 "term", "block_id"
             )
-        postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
-        self.term_dict.write.mode("overwrite").parquet(os.path.join(path, "term_dict"))
+        _save(postings, "postings")
+        _save(self.term_dict, "term_dict")
         if self.norms is not None:
-            self.norms.write.mode("overwrite").parquet(os.path.join(path, "norms"))
+            _save(self.norms, "norms")
         if self.term_vectors is not None:
-            self.term_vectors.write.mode("overwrite").parquet(
-                os.path.join(path, "term_vectors")
-            )
+            _save(self.term_vectors, "term_vectors")
         manifest = {
+            "storage_format": fmt,
             "field": self.field_name,
             "key_cols": list(self.key_cols),
             "stats": self.stats.to_dict(),
@@ -506,18 +518,23 @@ class InvertedIndex:
     def read(spark: SparkSession, path: str) -> "InvertedIndex":
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
+        fmt = manifest.get("storage_format", "parquet")
         norms_path = os.path.join(path, "norms")
         tv_path = os.path.join(path, "term_vectors")
+
+        def _load(sub):
+            return spark.read.format(fmt).load(os.path.join(path, sub))
+
         return InvertedIndex(
             spark=spark,
             field_name=manifest["field"],
-            docs=spark.read.parquet(os.path.join(path, "docs")),
-            postings=spark.read.parquet(os.path.join(path, "postings")),
-            term_dict=spark.read.parquet(os.path.join(path, "term_dict")),
+            docs=_load("docs"),
+            postings=_load("postings"),
+            term_dict=_load("term_dict"),
             stats=IndexStats(**manifest["stats"]),
             key_cols=tuple(manifest["key_cols"]),
-            norms=spark.read.parquet(norms_path) if os.path.isdir(norms_path) else None,
-            term_vectors=spark.read.parquet(tv_path) if os.path.isdir(tv_path) else None,
+            norms=_load("norms") if os.path.isdir(norms_path) else None,
+            term_vectors=_load("term_vectors") if os.path.isdir(tv_path) else None,
             extra={
                 "index_options": manifest.get("index_options", "positions"),
                 "has_payloads": manifest.get("has_payloads", False),

@@ -267,6 +267,21 @@ def test_index_roundtrip_write_read(tmp_path, spark, index, naive, searcher):
     assert_topk_equal(_topk(s2, q), naive.top_k(q))
 
 
+def test_index_roundtrip_orc_format(tmp_path, spark, index, naive):
+    """storage_format plumb-through: any stats-bearing columnar format
+    persists the same index (ORC here; Iceberg takes the same path on a
+    cluster with the runtime jars). The manifest records the format, so
+    read() is format-blind."""
+    from lucene_kmp_spark.index.builder import InvertedIndex
+
+    path = str(tmp_path / "idx_orc")
+    index.write(path, storage_format="orc")
+    idx2 = InvertedIndex.read(spark, path)
+    s2 = IndexSearcher(idx2)
+    q = BooleanQuery.build(must=(TermQuery("the"),), should=(TermQuery("hope"),))
+    assert_topk_equal(_topk(s2, q), naive.top_k(q))
+
+
 # ----------------------------------------------------------- stored fields
 
 def test_stored_fields_doc(spark, corpus, searcher):

@@ -1284,6 +1284,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["monitor_percolate"] = q_monitor
 
+    def q_boost_by_query(spark, sf_dir):
+        # FunctionScoreQuery.boostByQuery: BM25('merge') x2 where the doc
+        # also matches 'scan' (conditional multiplier, match set unchanged)
+        from lucene_kmp_spark.search.query import BoostByQueryScoreQuery, TermQuery
+
+        s = _searcher64(spark, sf_dir)
+        return _ranked_topk(
+            s.execute(BoostByQueryScoreQuery(TermQuery("merge"), TermQuery("scan"), 2.0))
+        )
+
+    q["boost_by_query_score"] = q_boost_by_query
+
+    def q_range_facets(spark, sf_dir):
+        # facets-module LongRangeFacetCounts: overlapping inclusive ranges
+        # over n_chars among 'merge' matches, one aggregate row unpivoted
+        from lucene_kmp_spark.search.grouping import range_facet_counts
+        from lucene_kmp_spark.search.query import TermQuery
+
+        s = _searcher64(spark, sf_dir)
+        return range_facet_counts(
+            s,
+            TermQuery("merge"),
+            "n_chars",
+            [("short", None, 199), ("mid", 200, 399), ("long", 400, None), ("all", None, None)],
+        )
+
+    q["range_facet_counts"] = q_range_facets
+
     def q_facet_counts(spark, sf_dir):
         # facets-module StringValueFacetCounts shape: value counts of a
         # stored field over the query's match set
@@ -3979,6 +4007,40 @@ FROM sugg
 WHERE len(list_filter(string_split(suggestion, ' '), t -> starts_with(t, 'mer'))) > 0
   AND list_contains(string_split(suggestion, ' '), 'data')
 ORDER BY weight DESC, suggestion ASC LIMIT 5
+"""
+
+    # boostByQuery: conditional x2 where the doc also contains 'scan'
+    o["boost_by_query_score"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """,
+total AS (
+  SELECT sc0.doc_id,
+         sc0.s * (CASE WHEN EXISTS (
+           SELECT 1 FROM tf WHERE tf.doc_id = sc0.doc_id AND tf.term = 'scan'
+         ) THEN 2.0 ELSE 1.0 END) AS s
+  FROM sc0
+)"""
+        + _rank_tail("total")
+    )
+
+    # LongRangeFacetCounts: inclusive overlapping ranges over n_chars
+    o["range_facet_counts"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+j AS (SELECT d.n_chars FROM m JOIN documents d USING (doc_id))
+SELECT label, cnt::BIGINT AS count FROM (
+  SELECT 0 AS i, 'short' AS label, (SELECT count(*) FROM j WHERE n_chars <= 199) AS cnt
+  UNION ALL
+  SELECT 1, 'mid', (SELECT count(*) FROM j WHERE n_chars BETWEEN 200 AND 399)
+  UNION ALL
+  SELECT 2, 'long', (SELECT count(*) FROM j WHERE n_chars >= 400)
+  UNION ALL
+  SELECT 3, 'all', (SELECT count(*) FROM j)
+) x ORDER BY i
 """
 
     # monitor percolation: each registered query replayed exactly

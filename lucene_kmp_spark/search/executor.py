@@ -49,6 +49,7 @@ from lucene_kmp_spark.search.query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FeatureQuery,
+    BoostByQueryScoreQuery,
     FieldExistsQuery,
     FunctionScoreQuery,
     FuzzyQuery,
@@ -781,6 +782,17 @@ class IndexSearcher:
             return self._exec_feature(q)
         if isinstance(q, FunctionScoreQuery):
             return self._exec_function_score(q)
+        if isinstance(q, BoostByQueryScoreQuery):
+            # boostByQuery: left join the boost query's match SET (never its
+            # scores) and multiply conditionally — matches are unchanged
+            inner = self._exec(q.query)
+            bset = self._doc_set(q.boost_match).withColumn("_bm", F.lit(1))
+            j = inner.join(bset, "doc_id", "left")
+            mult = F.when(F.col("_bm").isNotNull(), F.lit(float(q.value))).otherwise(F.lit(1.0))
+            return j.select(
+                "doc_id",
+                (F.col("score") * mult * F.lit(float(q.boost))).cast("double").alias("score"),
+            )
         if isinstance(q, MultiPhraseQuery):
             return self._exec_multi_phrase(q)
         if isinstance(q, SpanNearQuery):
@@ -1821,6 +1833,8 @@ def _collect_terms(q: Query) -> set[str]:
             out |= _collect_terms(sub)
     elif isinstance(q, (ConstantScoreQuery, FunctionScoreQuery)):
         out |= _collect_terms(q.query)
+    elif isinstance(q, BoostByQueryScoreQuery):
+        out |= _collect_terms(q.query) | _collect_terms(q.boost_match)
     return out
 
 

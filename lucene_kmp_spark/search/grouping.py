@@ -85,3 +85,46 @@ def facet_counts(
         .orderBy(F.desc("count"), F.asc(facet_col))
         .limit(top_n)
     )
+
+
+def range_facet_counts(
+    searcher,
+    q,
+    value_col: str,
+    ranges: list[tuple[str, int | float | None, int | float | None]],
+) -> DataFrame:
+    """Numeric range facets over a query's match set — the facets-module
+    LongRangeFacetCounts / DoubleRangeFacetCounts shape (upstream Lucene
+    facet/range; beyond the reference repo's port surface like the string
+    facets above). ``ranges`` are (label, min, max) with INCLUSIVE bounds
+    (LongRange's minInclusive/maxInclusive default form; None = open end);
+    ranges may overlap — a doc counts once per range it falls in, exactly
+    the module's per-range counters.
+
+    Plan: one scored match set, one doc_id join to the stored column, then
+    a single projection of per-range indicator sums (one aggregate row —
+    no per-range scans, no shuffle beyond the match join). Returns
+    (label, count) in the caller's range order."""
+    matches = searcher.execute(q).select("doc_id")
+    j = matches.join(searcher.index.docs.select("doc_id", value_col), "doc_id")
+    aggs = []
+    for label, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(value_col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(value_col) <= F.lit(hi))
+        aggs.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(label)
+        )
+    row = j.agg(*aggs)
+    # unpivot to (label, count) preserving caller order via an index column
+    labels = [label for label, _lo, _hi in ranges]
+    stack = ", ".join(f"'{i}:{l}', `{l}`" for i, l in enumerate(labels))
+    return (
+        row.selectExpr(f"stack({len(labels)}, {stack}) AS (_k, count)")
+        .withColumn("label", F.expr("substring_index(_k, ':', -1)"))
+        .withColumn("_i", F.expr("CAST(substring_index(_k, ':', 1) AS INT)"))
+        .orderBy("_i")
+        .select("label", "count")
+    )

@@ -477,6 +477,26 @@ class FunctionScoreQuery(Query):
         return FunctionScoreQuery(inner, self.source, self.boost)
 
 
+@dataclass(frozen=True)
+class BoostByQueryScoreQuery(Query):
+    """FunctionScoreQuery.boostByQuery: the wrapped query's score is
+    multiplied by ``value`` for docs that ALSO match ``boost_match``
+    (which contributes no matches of its own — a pure conditional
+    multiplier, the QueryValueSource conditional form)."""
+
+    query: Query
+    boost_match: Query
+    value: float
+    boost: float = 1.0
+
+    def rewrite(self) -> "Query":
+        inner = rewrite_query(self.query)
+        bm = rewrite_query(self.boost_match)
+        if inner is self.query and bm is self.boost_match:
+            return self
+        return BoostByQueryScoreQuery(inner, bm, self.value, self.boost)
+
+
 def _sql_lit(v) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"

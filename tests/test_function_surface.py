@@ -129,3 +129,32 @@ def test_infix_suggest(spark):
     assert got[1]["highlighted"] == "<b>spark</b> <b>sql</b> engine"
     # k cut
     assert infix_suggest(sugg, "s", k=2).count() == 2
+
+
+def test_boost_by_query(env):
+    from lucene_kmp_spark.search.query import BoostByQueryScoreQuery
+
+    s, _ = env
+    base = {r["doc_id"]: r["score"] for r in s.execute(TermQuery("alpha")).collect()}
+    q = BoostByQueryScoreQuery(TermQuery("alpha"), TermQuery("omicron"), 2.0)
+    got = {r["doc_id"]: r["score"] for r in s.execute(q).collect()}
+    assert set(got) == set(base)  # boost_match adds no matches
+    # doc 3 contains both alpha and omicron -> x2; docs 0/1 unchanged
+    assert got[3] == pytest.approx(base[3] * 2.0, rel=1e-12)
+    assert got[0] == pytest.approx(base[0], rel=1e-12)
+    assert got[1] == pytest.approx(base[1], rel=1e-12)
+
+
+def test_range_facet_counts(env):
+    from lucene_kmp_spark.search.grouping import range_facet_counts
+
+    s, _ = env
+    # alpha matches docs 0 (n_chars 100), 1 (250), 3 (175)
+    rows = range_facet_counts(
+        s,
+        TermQuery("alpha"),
+        "n_chars",
+        [("lo", None, 150), ("mid", 150, 300), ("overlap", 100, 175), ("all", None, None)],
+    ).collect()
+    got = [(r["label"], r["count"]) for r in rows]
+    assert got == [("lo", 1), ("mid", 2), ("overlap", 2), ("all", 3)]

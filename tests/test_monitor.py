@@ -111,3 +111,32 @@ def test_deregister(spark):
     m.deregister("t")
     got = {r["query_id"] for r in m.match(docs).collect()}
     assert got == {"u"}
+
+
+def test_monitor_stream_foreachbatch(spark, tmp_path):
+    """Streaming percolation: the stateless batch op applied per micro-batch
+    equals the batch run over the union — the alerting-flow twin."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string").filter("text <> ''")
+    src = str(tmp_path / "incoming")
+    docs.filter("doc_id < 3").coalesce(1).write.parquet(src + "/f1")
+    docs.filter("doc_id >= 3").coalesce(1).write.parquet(src + "/f2")
+
+    m = Monitor(spark)
+    for qid, q in QUERIES.items():
+        m.register(qid, q)
+
+    got = []
+
+    def per_batch(batch_df, _bid):
+        got.extend(
+            (r["doc_id"], r["query_id"]) for r in m.match(batch_df).collect()
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream.writeStream.foreachBatch(per_batch).trigger(availableNow=True).start()
+    q.awaitTermination(timeout=180)
+    assert set(got) == _expected()

@@ -850,6 +850,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mix_token_budget"] = q_mix_budget
 
+    # ---- sequence packing (concat-then-chunk; pipeline/pack.py) ----
+    def q_pack(spark, sf_dir):
+        from lucene_kmp_spark.pipeline import pack
+
+        return pack.pack_sequences(_docs(spark, sf_dir), ctx_len=128).select(
+            "doc_id", "n_tokens", "start_offset", "seq_first", "seq_last", "off_in_seq"
+        )
+
+    q["pack_sequences"] = q_pack
+
     # ---- benchmark decontamination ----
     def q_decontam(spark, sf_dir):
         d = _docs(spark, sf_dir)
@@ -1474,6 +1484,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["soft_delete_docset"] = q_soft_deletes
+
+    def q_dv_update(spark, sf_dir):
+        """doc-values update overlay (IndexWriter.updateNumericDocValue,
+        IndexWriter.kt:1702): two generations of numeric updates without
+        re-indexing; the later generation shadows the earlier one where both
+        match, and untouched docs keep the stored value."""
+        import os
+        import shutil
+        import tempfile
+
+        from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+
+        root = os.path.join(
+            tempfile.gettempdir(), "spark_graft_dvu_" + sf_dir.strip("/").replace("/", "_")
+        )
+        done = os.path.join(root, "_dvu_ok")
+        if not os.path.exists(done):
+            shutil.rmtree(root, ignore_errors=True)
+            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+            base = (
+                _docs(spark, sf_dir)
+                .filter(F.col("doc_id") < 2000)
+                .withColumnRenamed("doc_id", "orig_id")
+                .withColumn("views", (F.col("orig_id") % 100).cast("long"))
+            )
+            w.add_batch(base, batch_key="b0")
+            w.update_numeric_docvalue("views", 500, query=TermQuery("merge"))
+            w.update_numeric_docvalue(
+                "views",
+                777,
+                query=BooleanQuery.build(must=(TermQuery("merge"), TermQuery("sort"))),
+            )
+            with open(done, "w") as fh:
+                fh.write("ok")
+        else:
+            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+        reader = w.reader()
+        return reader.index.docs.select(F.col("orig_id").alias("doc_id"), "views")
+
+    q["dv_update_overlay"] = q_dv_update
 
     def q_dedup_pipeline(spark, sf_dir):
         """the composed 100 TB near-dup pipeline: banded LSH candidates ->
@@ -2774,6 +2824,17 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
 WHERE term = 'merge' AND doc_id % 7 <> 0
 """
 
+    # doc-values overlay: gen2 (merge AND sort -> 777) shadows gen1
+    # (merge -> 500); untouched docs keep the stored doc_id % 100
+    o["dv_update_overlay"] = """
+SELECT doc_id,
+       (CASE WHEN list_contains(ts, 'merge') AND list_contains(ts, 'sort') THEN 777
+             WHEN list_contains(ts, 'merge') THEN 500
+             ELSE doc_id % 100 END)::BIGINT AS views
+FROM (SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE doc_id < 2000)
+"""
+
     # ComplexPhraseQueryParser '"(merge OR join) order"': a token in the OR
     # group immediately followed by 'order' (SpanNear(SpanOr, term), slop 0,
     # ordered)
@@ -3493,6 +3554,22 @@ WHERE substr(md5('sample|' || doc_id), 1, 8) <
                   WHEN 'src1' THEN '{_hex_threshold(0.25)}'
                   WHEN 'src2' THEN '{_hex_threshold(0.75)}'
                   ELSE '{_hex_threshold(0.05)}' END
+"""
+
+    o["pack_sequences"] = r"""
+WITH t AS (SELECT doc_id,
+                  len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens,
+                  substr(md5('pack|' || doc_id), 1, 8) AS k
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+      FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       (start_offset // 128)::BIGINT AS seq_first,
+       ((start_offset + GREATEST(n_tokens, 1) - 1) // 128)::BIGINT AS seq_last,
+       (start_offset % 128)::BIGINT AS off_in_seq
+FROM c
 """
 
     o["mix_token_budget"] = """

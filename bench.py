@@ -314,6 +314,13 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     lm_cross_entropy(docs_pq, uni, bi, vocab).count()
     times["p_lm_xent"] = round(time.perf_counter() - t, 3)
 
+    # sequence packing (global offsets via bucketed two-phase cumsum)
+    from lucene_kmp_spark.pipeline.pack import pack_sequences
+
+    t = time.perf_counter()
+    pack_sequences(docs_pq, ctx_len=2048).count()
+    times["p_pack_sequences"] = round(time.perf_counter() - t, 3)
+
     # stable-turn-order conversation assembly (one hash aggregate)
     from lucene_kmp_spark.pipeline.events import assemble_conversations
 

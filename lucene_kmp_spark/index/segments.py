@@ -57,6 +57,35 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _apply_dv_overlay(spark, docs: DataFrame, entries: list[dict]) -> DataFrame:
+    """Overlay doc-values updates onto a docs DataFrame: per field, the
+    highest-generation value per doc wins; docs without an update keep the
+    stored value (coalesce). A field with no stored column is created
+    (Lucene requires the DV field to exist; the columnar analog can mint it).
+    One small left join per updated field — broadcast-sized by construction."""
+    by_field: dict[str, list[dict]] = {}
+    for e in entries:
+        by_field.setdefault(e["field"], []).append(e)
+    for field, es in by_field.items():
+        ov = None
+        for e in es:
+            df = spark.read.parquet(e["path"]).withColumn(
+                "_gen", F.lit(int(e["generation"]))
+            )
+            ov = df if ov is None else ov.unionByName(df)
+        latest = ov.groupBy("doc_id").agg(F.max_by("value", "_gen").alias("_dvu"))
+        if field in docs.columns:
+            tgt = docs.schema[field].dataType
+            docs = (
+                docs.join(latest, "doc_id", "left")
+                .withColumn(field, F.coalesce(F.col("_dvu").cast(tgt), F.col(field)))
+                .drop("_dvu")
+            )
+        else:
+            docs = docs.join(latest, "doc_id", "left").withColumnRenamed("_dvu", field)
+    return docs
+
+
 LOG_MERGE_FACTOR = 10             # LogMergePolicy.kt DEFAULT_MERGE_FACTOR
 LOG_MIN_MERGE_DOCS = 1000         # LogDocMergePolicy.kt DEFAULT_MIN_MERGE_DOCS
 LOG_MIN_MERGE_BYTES = 1 << 21     # LogByteSizeMergePolicy.kt ~1.6-2 MB floor
@@ -229,6 +258,83 @@ class SegmentedIndexWriter:
         incoming keys, then add — atomic at the manifest level."""
         self.delete_by_keys(df.select(*self.key_cols).distinct())
         return self.add_batch(df, batch_key=batch_key)
+
+    # ------------------------------------------------------ docvalue updates
+    def update_numeric_docvalue(self, field: str, value, keys=None, query=None):
+        """IndexWriter.updateNumericDocValue (IndexWriter.kt:1702): set a
+        per-doc numeric field for every CURRENT doc matching ``keys`` (a
+        key-cols DataFrame) or ``query``, WITHOUT re-indexing the text.
+
+        Lucene writes a new doc-values generation file (.dvd/.dvm, gen
+        suffix) that readers overlay on the base values; here the overlay is
+        a tiny ``(doc_id, value)`` parquet per update referenced from the
+        manifest, applied at read time via a left join + coalesce (latest
+        generation wins per doc). DocIDs never remap in this design, so the
+        overlay stays valid across merges; ``fold_docvalue_updates`` bakes it
+        into segment storage (the reference's merge-time DV rewrite).
+
+        Scale: the overlay is bounded by the number of updated docs — tiny
+        vs the corpus — so AQE turns the read-time join into a broadcast."""
+        self._update_docvalue(field, value, "numeric", keys, query)
+
+    def update_binary_docvalue(self, field: str, value, keys=None, query=None):
+        """IndexWriter.updateBinaryDocValue (IndexWriter.kt:1745) analog:
+        string payload instead of raw bytes (the consumable form here)."""
+        self._update_docvalue(field, value, "binary", keys, query)
+
+    def _update_docvalue(self, field: str, value, kind: str, keys, query):
+        if (keys is None) == (query is None):
+            raise ValueError("pass exactly one of keys= / query=")
+        if field == "doc_id" or field in self.key_cols or field == self.text_col:
+            raise ValueError(f"cannot docvalue-update structural field {field!r}")
+        reader = self.reader()
+        if keys is not None:
+            doc_ids = reader.index.docs.join(
+                keys, list(self.key_cols), "left_semi"
+            ).select("doc_id")
+        else:
+            from lucene_kmp_spark.search.executor import IndexSearcher
+
+            doc_ids = IndexSearcher(reader.index)._doc_set(query).select("doc_id")
+        m = self.manifest()
+        gen = m["generation"]
+        path = os.path.join(self.root, "dv_updates", f"dvu-{gen:05d}")
+        val_col = (
+            F.lit(value).cast("long") if kind == "numeric" else F.lit(value).cast("string")
+        )
+        doc_ids.distinct().withColumn("value", val_col).write.mode("overwrite").parquet(path)
+        m.setdefault("dv_updates", []).append(
+            {"path": path, "generation": gen, "field": field, "kind": kind}
+        )
+        m["generation"] += 1
+        self._write_manifest(m)
+
+    def fold_docvalue_updates(self) -> int:
+        """Bake pending doc-values updates into the segments' stored docs and
+        clear the overlay list — what Lucene's merge does with DV generations
+        (the overlay join disappears from every subsequent read plan).
+        Returns the number of segments rewritten."""
+        import shutil
+
+        m = self.manifest()
+        if not m.get("dv_updates"):
+            return 0
+        overlay_entries = list(m["dv_updates"])
+        rewritten = 0
+        for s in m["segments"]:
+            base = os.path.join(self.root, "segments", s["id"])
+            docs = self.spark.read.parquet(os.path.join(base, "docs"))
+            docs = _apply_dv_overlay(self.spark, docs, overlay_entries)
+            tmp = os.path.join(base, "docs_dvfold_tmp")
+            docs.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(os.path.join(base, "docs"))
+            os.rename(tmp, os.path.join(base, "docs"))
+            rewritten += 1
+        m = self.manifest()
+        m["dv_updates"] = []
+        m["generation"] += 1
+        self._write_manifest(m)
+        return rewritten
 
     # --------------------------------------------------------------- reader
     def reader(
@@ -546,6 +652,10 @@ class SegmentedReader:
             sum_df += st["sum_doc_freq"]
         if docs is None:
             raise ValueError("empty index: no segments committed yet")
+        # doc-values update overlay (IndexWriter.updateNumericDocValue):
+        # latest-generation value per (doc, field) shadows the stored column
+        if manifest.get("dv_updates"):
+            docs = _apply_dv_overlay(spark, docs, manifest["dv_updates"])
         term_dict = term_dict.groupBy("term").agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
         num_terms = term_dict.count()
         self.index = InvertedIndex(

@@ -141,20 +141,25 @@ class FilterCache:
     are persisted doc_id DataFrames (the cached DocIdSet analog). Evicted
     entries are unpersisted."""
 
-    def __init__(self, max_entries: int = 32):
+    def __init__(self, max_entries: int = 32, policy: "UsageTrackingCachingPolicy | None" = None):
         from collections import OrderedDict
 
         self.max_entries = max_entries
+        self.policy = policy
         self._entries: "OrderedDict" = OrderedDict()
         self.hits = 0
         self.misses = 0
 
-    def get_or_compute(self, key, compute):
+    def get_or_compute(self, key, compute, query=None):
+        if self.policy is not None and query is not None:
+            self.policy.on_use(query)
         if key in self._entries:
             self.hits += 1
             self._entries.move_to_end(key)
             return self._entries[key]
         self.misses += 1
+        if self.policy is not None and query is not None and not self.policy.should_cache(query):
+            return compute()  # evaluate uncached (QueryCachingPolicy veto)
         df = compute().persist()
         self._entries[key] = df
         if len(self._entries) > self.max_entries:
@@ -172,6 +177,97 @@ class FilterCache:
             except Exception:
                 pass
         self._entries.clear()
+
+
+class UsageTrackingCachingPolicy:
+    """search/UsageTrackingQueryCachingPolicy.kt over a
+    util/FrequencyTrackingRingBuffer.kt: a filter is admitted into the
+    FilterCache only once it has appeared often enough in the last
+    ``history_size`` filter uses. Doc-sets that are costly to BUILD
+    (multi-term expansions, point/column predicates — isCostly,
+    UsageTrackingQueryCachingPolicy.kt:115) cache after 2 uses, compound
+    queries after 4 (the A-OR-B note at :41-48), everything else after 5;
+    queries whose doc-set is already cheap to recompute (TermQuery,
+    FieldExistsQuery, MatchAll/MatchNoDocs, empty compounds —
+    shouldNeverCache :126-160) are never cached."""
+
+    def __init__(self, history_size: int = 256):
+        if history_size < 2:
+            raise ValueError("history_size must be at least 2")
+        self.history_size = history_size
+        self._buf: list = [None] * history_size
+        self._pos = 0
+        self._freq: dict = {}
+
+    @staticmethod
+    def _unwrap(query):
+        from lucene_kmp_spark.search.query import ConstantScoreQuery
+
+        while isinstance(query, ConstantScoreQuery):
+            query = query.query
+        return query
+
+    @staticmethod
+    def _is_costly(query) -> bool:
+        from lucene_kmp_spark.search import query as qm
+
+        return isinstance(
+            query,
+            (
+                qm.PrefixQuery, qm.WildcardQuery, qm.RegexpQuery, qm.FuzzyQuery,
+                qm.TermRangeQuery, qm.TermInSetQuery,  # MultiTermQuery family
+                qm.ColumnFilterQuery, qm.RangeFieldQuery,  # point-based family
+                qm.SortedNumericRangeQuery, qm.SortedNumericSetQuery,
+                qm.SortedSetRangeQuery,
+            ),
+        )
+
+    @classmethod
+    def _should_never_cache(cls, query) -> bool:
+        from lucene_kmp_spark.search import query as qm
+
+        if isinstance(query, (qm.TermQuery, qm.FieldExistsQuery,
+                              qm.MatchAllDocsQuery, qm.MatchNoDocsQuery)):
+            return True
+        if isinstance(query, qm.BooleanQuery) and not query.clauses:
+            return True
+        if isinstance(query, qm.DisjunctionMaxQuery) and not query.queries:
+            return True
+        return False
+
+    @classmethod
+    def _min_frequency(cls, query) -> int:
+        from lucene_kmp_spark.search import query as qm
+
+        if cls._is_costly(query):
+            return 2
+        if isinstance(query, (qm.BooleanQuery, qm.DisjunctionMaxQuery)):
+            return 4
+        return 5
+
+    def on_use(self, query):
+        query = self._unwrap(query)
+        if self._should_never_cache(query):
+            return
+        removed = self._buf[self._pos]
+        if removed is not None:
+            left = self._freq.get(removed, 0) - 1
+            if left <= 0:
+                self._freq.pop(removed, None)
+            else:
+                self._freq[removed] = left
+        self._buf[self._pos] = query
+        self._freq[query] = self._freq.get(query, 0) + 1
+        self._pos = (self._pos + 1) % self.history_size
+
+    def frequency(self, query) -> int:
+        return self._freq.get(self._unwrap(query), 0)
+
+    def should_cache(self, query) -> bool:
+        query = self._unwrap(query)
+        if self._should_never_cache(query):
+            return False
+        return self._freq.get(query, 0) >= self._min_frequency(query)
 
 
 class IndexSearcher:
@@ -1226,7 +1322,7 @@ class IndexSearcher:
                 # entries die with the index object (LRUQueryCache keys per
                 # segment core reader, LRUQueryCache.kt:79)
                 return self.filter_cache.get_or_compute(
-                    (id(self.index), q2), lambda: self._doc_set(q2, dedup=False)
+                    (id(self.index), q2), lambda: self._doc_set(q2, dedup=False), query=q2
                 )
             return self._doc_set(q2, dedup=False)
 

@@ -1,0 +1,83 @@
+"""Time-limited query execution.
+
+Reference analogs: ``search/TimeLimitingBulkScorer.kt`` (scores documents in
+growing windows and raises ``TimeExceededException`` once the budget is
+gone) and ``index/ExitableDirectoryReader.kt`` (wraps every enum with a
+timeout check). A Spark job has no per-row hook the driver can piggyback
+on, so the analog operates at the unit Spark DOES expose: the job group.
+The search runs in a worker thread under its own job group; if the budget
+expires first, the group is cancelled cluster-wide (every executor task
+gets interrupted — the ExitableDirectoryReader sweep) and
+``TimeExceededError`` carries how long the query actually ran.
+
+Semantic delta vs Lucene (documented in DEVIATIONS.md): Lucene can return
+the hits collected before the deadline (``partialResultsAfterTimeout``); a
+cancelled Spark job yields no partial collect, so a timed-out search here
+raises instead of returning a partial page. Callers that want partial
+results should shrink the search (fewer clauses, smaller k) and re-issue.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+
+
+class TimeExceededError(Exception):
+    """search/TimeLimitingBulkScorer.TimeExceededException analog."""
+
+    def __init__(self, timeout_sec: float, elapsed_sec: float):
+        super().__init__(
+            f"query exceeded its {timeout_sec:.3f}s budget (ran {elapsed_sec:.3f}s)"
+        )
+        self.timeout_sec = timeout_sec
+        self.elapsed_sec = elapsed_sec
+
+
+def run_with_time_limit(spark, action, timeout_sec: float):
+    """Run ``action()`` (any driver-side call that triggers Spark jobs —
+    typically a ``.collect()`` / ``.count()`` closure) under ``timeout_sec``.
+
+    Returns the action's result, or raises :class:`TimeExceededError` after
+    cancelling every Spark job the action started. Job-group scoping is
+    thread-local in Spark, so concurrent searches don't cancel each other.
+    """
+    sc = spark.sparkContext
+    group = f"timelimit-{uuid.uuid4().hex[:12]}"
+    out: dict = {}
+
+    def _run():
+        sc.setJobGroup(group, f"time-limited search ({timeout_sec}s)", True)
+        try:
+            out["result"] = action()
+        except BaseException as e:  # surfaced below on the caller thread
+            out["error"] = e
+        finally:
+            sc.setJobGroup("", "", False)
+
+    t0 = time.perf_counter()
+    worker = threading.Thread(target=_run, daemon=True)
+    worker.start()
+    worker.join(timeout_sec)
+    if worker.is_alive():
+        sc.cancelJobGroup(group)
+        worker.join(30.0)  # tasks get interrupted; bounded drain
+        raise TimeExceededError(timeout_sec, time.perf_counter() - t0)
+    if "error" in out:
+        err = out["error"]
+        # a cancel racing a just-finished timer shows up as a Spark error
+        if worker.is_alive() or "cancelled" in str(err).lower():
+            raise TimeExceededError(timeout_sec, time.perf_counter() - t0) from err
+        raise err
+    return out["result"]
+
+
+def top_k_with_timeout(searcher, query, k: int, timeout_sec: float, **top_k_kwargs):
+    """Time-limited ``IndexSearcher.top_k``: returns the collected rows, or
+    raises :class:`TimeExceededError` (IndexSearcher.search-with-timeout
+    surface)."""
+    spark = searcher.index.spark
+    return run_with_time_limit(
+        spark, lambda: searcher.top_k(query, k, **top_k_kwargs).collect(), timeout_sec
+    )

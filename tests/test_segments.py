@@ -369,3 +369,61 @@ def test_add_indexes_reader_form(spark, writer, tmp_path):
     ids = [r["doc_id"] for r in reader.index.docs.select("doc_id").collect()]
     assert sorted(ids) == list(range(len(ids)))  # contiguous global docIDs
     _check_parity(writer)
+
+
+def test_docvalue_updates_numeric_binary_and_fold(spark, writer):
+    """updateNumericDocValue / updateBinaryDocValue (IndexWriter.kt:1702,1745):
+    per-doc field overlay without re-indexing; latest generation wins;
+    fold_docvalue_updates bakes the overlay into segment storage."""
+    base = synth_transcripts(spark, n_convs=30).withColumn(
+        "views", (F.col("turn_idx") % 10).cast("long")
+    )
+    writer.add_batch(base, batch_key="b0")
+
+    writer.update_numeric_docvalue("views", 777, query=TermQuery("the"))
+    r = writer.reader()
+    hit = {row.doc_id for row in r.searcher()._doc_set(TermQuery("the")).collect()}
+    assert hit
+    for row in r.index.docs.select("doc_id", "views", "turn_idx").collect():
+        expected = 777 if row.doc_id in hit else row.turn_idx % 10
+        assert row.views == expected, row
+
+    # later generation shadows earlier for the overlapping docs
+    sub = r.index.docs.filter(F.col("doc_id") % 2 == 0).select("conv_id", "turn_idx")
+    writer.update_numeric_docvalue("views", 5, keys=sub)
+    r2 = writer.reader()
+    for row in r2.index.docs.select("doc_id", "views", "turn_idx").collect():
+        if row.doc_id % 2 == 0:
+            expected = 5
+        elif row.doc_id in hit:
+            expected = 777
+        else:
+            expected = row.turn_idx % 10
+        assert row.views == expected, row
+
+    # binary (string) update minting a NEW field; non-updated docs get NULL
+    writer.update_binary_docvalue("tag", "gold", query=TermQuery("the"))
+    r3 = writer.reader()
+    for row in r3.index.docs.select("doc_id", "tag").collect():
+        assert row.tag == ("gold" if row.doc_id in hit else None), row
+
+    # structural fields are protected
+    with pytest.raises(ValueError):
+        writer.update_numeric_docvalue("doc_id", 0, query=TermQuery("the"))
+    with pytest.raises(ValueError):
+        writer.update_numeric_docvalue("views", 0)
+
+    # fold: overlay baked into parquet, manifest list cleared, values survive
+    before = {
+        (row.doc_id): (row.views, row.tag)
+        for row in r3.index.docs.select("doc_id", "views", "tag").collect()
+    }
+    assert writer.fold_docvalue_updates() == 1
+    assert writer.manifest()["dv_updates"] == []
+    r4 = writer.reader()
+    after = {
+        (row.doc_id): (row.views, row.tag)
+        for row in r4.index.docs.select("doc_id", "views", "tag").collect()
+    }
+    assert after == before
+    _check_parity(writer)

@@ -1,0 +1,60 @@
+"""Time-limited search (TimeLimitingBulkScorer.kt / ExitableDirectoryReader.kt
+analog): a query that overruns its budget is cancelled cluster-wide and
+raises TimeExceededError; a query within budget returns normal results."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_kmp_spark.data.transcripts import synth_transcripts
+from lucene_kmp_spark.index import assign_doc_ids, build_index
+from lucene_kmp_spark.search.executor import IndexSearcher
+from lucene_kmp_spark.search.query import TermQuery
+from lucene_kmp_spark.search.timelimit import (
+    TimeExceededError,
+    run_with_time_limit,
+    top_k_with_timeout,
+)
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=30, seed=5)).persist()
+    docs.count()
+    return build_index(docs)
+
+
+def test_within_budget_returns_results(spark, idx):
+    s = IndexSearcher(idx)
+    rows = top_k_with_timeout(s, TermQuery("the"), 10, timeout_sec=120.0)
+    plain = s.top_k(TermQuery("the"), 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
+
+
+def test_overrun_is_cancelled(spark):
+    # a deliberately slow job: per-row python sleep via a UDF
+    from pyspark.sql.types import IntegerType
+
+    @F.udf(IntegerType())
+    def slow(x):
+        time.sleep(0.5)
+        return x
+
+    df = spark.range(200).select(slow(F.col("id")).alias("v"))
+    t0 = time.perf_counter()
+    with pytest.raises(TimeExceededError) as ei:
+        run_with_time_limit(spark, lambda: df.collect(), timeout_sec=2.0)
+    elapsed = time.perf_counter() - t0
+    assert ei.value.timeout_sec == 2.0
+    assert elapsed < 40.0  # cancelled, not run to completion (~100s serial)
+
+
+def test_errors_propagate(spark):
+    def boom():
+        raise RuntimeError("inner failure")
+
+    with pytest.raises(RuntimeError, match="inner failure"):
+        run_with_time_limit(spark, boom, timeout_sec=5.0)

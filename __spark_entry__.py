@@ -1333,6 +1333,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["facet_counts"] = q_facet_counts
 
+    def q_blockjoin_parents(spark, sf_dir):
+        # join-module ToParentBlockJoinQuery (ScoreMode.Max): score parents
+        # ('source') by their best child BM25('merge') score. Columnar model:
+        # one hash aggregate on the parent key — no block layout needed.
+        from lucene_kmp_spark.search.blockjoin import to_parent_scores
+        from lucene_kmp_spark.search.query import TermQuery
+
+        s = _searcher64(spark, sf_dir)
+        scored = to_parent_scores(s, TermQuery("merge"), "source", score_mode="max")
+        return _ranked_topk(scored, id_col="source")
+
+    q["blockjoin_parent_topk"] = q_blockjoin_parents
+
+    def q_blockjoin_children(spark, sf_dir):
+        # join-module ToChildBlockJoinQuery: all child docs whose parent
+        # ('source') has >=1 child matching 'window'; parent match set
+        # derived from the children themselves (the common sibling form).
+        from lucene_kmp_spark.search.blockjoin import to_child_docset
+        from lucene_kmp_spark.search.query import TermQuery
+
+        s = _searcher64(spark, sf_dir)
+        return to_child_docset(s, child_query=TermQuery("window"), parent_col="source")
+
+    q["blockjoin_child_docset"] = q_blockjoin_children
+
     def q_bpe_token_counts(spark, sf_dir):
         # real BPE (Sennrich): merges learned from the distributed word-count
         # table (driver loop is vocabulary-scale by definition), exact
@@ -3953,6 +3978,39 @@ FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') m
 JOIN documents d USING (doc_id)
 GROUP BY d.source
 ORDER BY count DESC, d.source ASC LIMIT 10
+"""
+    )
+
+    o["blockjoin_parent_topk"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """,
+total AS (
+  SELECT d.source, max(sc0.s) AS s
+  FROM sc0 JOIN documents d USING (doc_id)
+  GROUP BY d.source
+)
+SELECT source, rank, score FROM (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, source ASC) AS INT) AS rank,
+         floor(s * 10000) / 10000 AS score
+  FROM total
+) WHERE rank <= 10
+ORDER BY rank
+"""
+    )
+
+    o["blockjoin_child_docset"] = (
+        _PRELUDE
+        + """
+SELECT d.doc_id
+FROM documents d
+WHERE d.source IN (
+  SELECT DISTINCT c.source
+  FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'window') m
+  JOIN documents c USING (doc_id)
+)
 """
     )
 

@@ -56,8 +56,26 @@ class MultiFieldSearcher:
         k1: float = 1.2,
         b: float = 0.75,
         dtype=np.float32,
+        similarity=None,
     ):
-        self.searchers = {f: IndexSearcher(ix, k1, b, dtype) for f, ix in indexes.items()}
+        # similarity may be a PerFieldSimilarityWrapper
+        # (PerFieldSimilarityWrapper.kt): each field's searcher is built with
+        # get(field) so scorer routing matches the reference's
+        # CollectionStatistics.field dispatch. A plain Similarity applies to
+        # every field; None keeps the (k1, b) BM25 default.
+        from lucene_kmp_spark.search.similarities import PerFieldSimilarityWrapper
+
+        def _sim_for(field):
+            if similarity is None:
+                return None
+            if isinstance(similarity, PerFieldSimilarityWrapper):
+                return similarity.get(field)
+            return similarity
+
+        self.searchers = {
+            f: IndexSearcher(ix, k1, b, dtype, similarity=_sim_for(f))
+            for f, ix in indexes.items()
+        }
         self.k1, self.b, self.dtype = k1, b, dtype
 
     def _spark(self):

@@ -502,3 +502,34 @@ class MultiSimilarity(Similarity):
                 return acc.astype(dtype)
 
         return _Multi()
+
+
+class PerFieldSimilarityWrapper(Similarity):
+    """PerFieldSimilarityWrapper.kt: delegate every scorer/norm computation
+    to ``get(field_name)``. In the columnar engine a "field" is a text
+    column with its own InvertedIndex, so the wrapper is consumed by
+    MultiFieldSearcher, which builds each field's IndexSearcher with
+    ``wrapper.get(field)`` — the same routing the reference does inside
+    computeNorm/scorer via CollectionStatistics.field."""
+
+    name = "PerField"
+
+    def get(self, name: str) -> Similarity:
+        raise NotImplementedError
+
+    def scorer(self, boost, term_stats, doc_count, sum_ttf, dtype=np.float32):
+        raise TypeError(
+            "PerFieldSimilarityWrapper must be resolved per field via get(); "
+            "pass it to MultiFieldSearcher(similarity=...)"
+        )
+
+
+class PerFieldSimilarity(PerFieldSimilarityWrapper):
+    """Dict-backed concrete wrapper: ``get(f)`` -> mapping[f] or default."""
+
+    def __init__(self, mapping: dict[str, Similarity], default: Similarity | None = None):
+        self.mapping = dict(mapping)
+        self.default = default if default is not None else BM25Similarity()
+
+    def get(self, name: str) -> Similarity:
+        return self.mapping.get(name, self.default)

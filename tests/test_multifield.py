@@ -207,3 +207,47 @@ def test_search_all_fields(env):
         exp[d] = max(vals) + 0.1 * (sum(vals) - max(vals))
     ranked = sorted(exp.items(), key=lambda x: (-x[1], x[0]))[:10]
     assert [d for d, _ in hits] == [d for d, _ in ranked]
+
+
+def test_per_field_similarity_wrapper(env, spark):
+    """PerFieldSimilarityWrapper routes each field to its own similarity:
+    scores match single-field searchers built directly with that
+    similarity."""
+    from lucene_kmp_spark.search.executor import IndexSearcher
+    from lucene_kmp_spark.search.query import TermQuery
+    from lucene_kmp_spark.search.similarities import (
+        BM25Similarity,
+        ClassicSimilarity,
+        PerFieldSimilarity,
+        PerFieldSimilarityWrapper,
+    )
+
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, title string, body string"
+    )
+    docs = assign_doc_ids(df).persist()
+    docs.count()
+    idxs = build_field_indexes(docs, ("title", "body"))
+    wrapper = PerFieldSimilarity({"title": ClassicSimilarity()}, default=BM25Similarity())
+    mf = MultiFieldSearcher(idxs, similarity=wrapper)
+
+    q = TermQuery("spark")
+    got_title = {r["doc_id"]: r["score"] for r in mf.searchers["title"].execute(q).collect()}
+    exp_title = {
+        r["doc_id"]: r["score"]
+        for r in IndexSearcher(idxs["title"], similarity=ClassicSimilarity()).execute(q).collect()
+    }
+    assert got_title == exp_title and got_title
+
+    got_body = {r["doc_id"]: r["score"] for r in mf.searchers["body"].execute(q).collect()}
+    exp_body = {
+        r["doc_id"]: r["score"] for r in IndexSearcher(idxs["body"]).execute(q).collect()
+    }
+    assert got_body == exp_body and got_body
+
+    # the wrapper itself refuses direct scorer() use (must be field-resolved)
+    with pytest.raises(TypeError):
+        wrapper.scorer(1.0, [(1, 1)], 10, 100)
+    # abstract base contract
+    with pytest.raises(NotImplementedError):
+        PerFieldSimilarityWrapper().get("x")

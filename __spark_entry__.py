@@ -1358,6 +1358,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["blockjoin_child_docset"] = q_blockjoin_children
 
+    def q_multireader(spark, sf_dir):
+        # MultiReader composite (index/MultiReader.kt): two disjoint-docID
+        # leaves searched as one — merged df/ttf/collection stats make BM25
+        # identical to the single whole-corpus index, so the oracle is the
+        # plain bm25_term SQL. Union is metadata-only; term_dict re-agg is
+        # the lone vocabulary-scale shuffle.
+        from lucene_kmp_spark.index import build_index
+        from lucene_kmp_spark.index.multireader import multi_reader
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import TermQuery
+
+        docs = _docs(spark, sf_dir)
+        mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+        comp = multi_reader(
+            build_index(docs.filter(F.col("doc_id") <= mid), text_col="text"),
+            build_index(docs.filter(F.col("doc_id") > mid), text_col="text"),
+        )
+        s = IndexSearcher(comp, dtype=np.float64)
+        return _ranked_topk(s.execute(TermQuery("merge")))
+
+    q["multireader_term"] = q_multireader
+
     def q_bpe_token_counts(spark, sf_dir):
         # real BPE (Sennrich): merges learned from the distributed word-count
         # table (driver loop is vocabulary-scale by definition), exact
@@ -4000,6 +4022,8 @@ SELECT source, rank, score FROM (
 ORDER BY rank
 """
     )
+
+    o["multireader_term"] = _PRELUDE + "," + _sc_cte("sc0", "merge") + _rank_tail("sc0")
 
     o["blockjoin_child_docset"] = (
         _PRELUDE

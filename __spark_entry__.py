@@ -1380,6 +1380,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multireader_term"] = q_multireader
 
+    def q_topk_with_total(spark, sf_dir):
+        # TopDocs shape (TopDocs.kt scoreDocs+totalHits) from ONE persisted
+        # scored pass — the MultiCollector/CollectorManager surface
+        from lucene_kmp_spark.search.collectors import topk_with_total
+        from lucene_kmp_spark.search.query import TermQuery
+
+        s = _searcher64(spark, sf_dir)
+        out = topk_with_total(s, TermQuery("merge"), k=10)
+        return out.select("doc_id", "rank", _q4(F.col("score")).alias("score"), "total_hits")
+
+    q["topk_with_total"] = q_topk_with_total
+
     def q_bpe_token_counts(spark, sf_dir):
         # real BPE (Sennrich): merges learned from the distributed word-count
         # table (driver loop is vocabulary-scale by definition), exact
@@ -4024,6 +4036,21 @@ ORDER BY rank
     )
 
     o["multireader_term"] = _PRELUDE + "," + _sc_cte("sc0", "merge") + _rank_tail("sc0")
+
+    o["topk_with_total"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """
+SELECT doc_id, rank, score, (SELECT count(*)::BIGINT FROM sc0) AS total_hits FROM (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY floor(s * 10000) DESC, doc_id ASC) AS INT) AS rank,
+         floor(s * 10000) / 10000 AS score
+  FROM sc0
+) WHERE rank <= 10
+ORDER BY rank
+"""
+    )
 
     o["blockjoin_child_docset"] = (
         _PRELUDE

@@ -165,6 +165,17 @@ def run_once(
             t = time.perf_counter()
             suggest_terms(s, "hpoe", k=5).collect()
             qtimes["q_suggest"] = round(time.perf_counter() - t, 3)
+            # join-module parent ranking (one hash agg on the parent key) and
+            # the TopDocs totalHits shape (one persisted pass, two jobs)
+            from lucene_kmp_spark.search.blockjoin import to_parent_topk
+            from lucene_kmp_spark.search.collectors import topk_with_total
+
+            t = time.perf_counter()
+            to_parent_topk(s, _TQ("hope"), "conv_id", k=10, score_mode="max").collect()
+            qtimes["q_blockjoin"] = round(time.perf_counter() - t, 3)
+            t = time.perf_counter()
+            topk_with_total(s, _TQ("hope"), k=10).collect()
+            qtimes["q_topk_total"] = round(time.perf_counter() - t, 3)
             out["suite_sec"] = round(time.perf_counter() - suite0, 3)
             out["queries"] = qtimes
             lat = sorted(qtimes.values())

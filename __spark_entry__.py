@@ -1392,6 +1392,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_with_total"] = q_topk_with_total
 
+    def q_simpletext_roundtrip(spark, sf_dir):
+        # SimpleText codec analog (codecs/simpletext): plain-text dump +
+        # parallel reload; BM25 through the reloaded index must equal the
+        # binary index, so the oracle is the plain bm25_term SQL
+        import tempfile
+
+        from lucene_kmp_spark.index.simpletext import read_simpletext, write_simpletext
+        from lucene_kmp_spark.search.executor import IndexSearcher
+        from lucene_kmp_spark.search.query import TermQuery
+
+        idx = _index_for(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="simpletext-")
+        write_simpletext(idx, path)
+        back = read_simpletext(spark, path)
+        s = IndexSearcher(back, dtype=np.float64)
+        return _ranked_topk(s.execute(TermQuery("merge")))
+
+    q["simpletext_roundtrip_term"] = q_simpletext_roundtrip
+
     def q_bpe_token_counts(spark, sf_dir):
         # real BPE (Sennrich): merges learned from the distributed word-count
         # table (driver loop is vocabulary-scale by definition), exact
@@ -4036,6 +4055,10 @@ ORDER BY rank
     )
 
     o["multireader_term"] = _PRELUDE + "," + _sc_cte("sc0", "merge") + _rank_tail("sc0")
+
+    o["simpletext_roundtrip_term"] = (
+        _PRELUDE + "," + _sc_cte("sc0", "merge") + _rank_tail("sc0")
+    )
 
     o["topk_with_total"] = (
         _PRELUDE

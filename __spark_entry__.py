@@ -1411,6 +1411,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simpletext_roundtrip_term"] = q_simpletext_roundtrip
 
+    def q_long_distance_feature(spark, sf_dir):
+        # document/LongDistanceFeatureQuery.kt (LongField
+        # newDistanceFeatureQuery — recency boosting): score =
+        # boost * pivot / (pivot + |n_chars - 300|), pure column expr
+        from lucene_kmp_spark.search.query import LongDistanceFeatureQuery
+
+        s = _searcher64(spark, sf_dir)
+        return _ranked_topk(
+            s.execute(LongDistanceFeatureQuery("n_chars", origin=300, pivot=50, boost=1.5))
+        )
+
+    q["long_distance_feature_topk"] = q_long_distance_feature
+
     def q_bpe_token_counts(spark, sf_dir):
         # real BPE (Sennrich): merges learned from the distributed word-count
         # table (driver loop is vocabulary-scale by definition), exact
@@ -4058,6 +4071,16 @@ ORDER BY rank
 
     o["simpletext_roundtrip_term"] = (
         _PRELUDE + "," + _sc_cte("sc0", "merge") + _rank_tail("sc0")
+    )
+
+    o["long_distance_feature_topk"] = (
+        _PRELUDE
+        + """,
+total AS (
+  SELECT doc_id, 1.5 * 50.0 / (50.0 + abs(n_chars - 300)) AS s FROM documents
+  WHERE n_chars IS NOT NULL
+)"""
+        + _rank_tail("total")
     )
 
     o["topk_with_total"] = (

@@ -58,6 +58,7 @@ from lucene_kmp_spark.search.query import (
     InetAddressRangeQuery,
     LatLonBoxQuery,
     LatLonDistanceFeatureQuery,
+    LongDistanceFeatureQuery,
     LatLonDistanceQuery,
     LatLonPolygonQuery,
     XYBoxQuery,
@@ -870,6 +871,19 @@ class IndexSearcher:
             from lucene_kmp_spark.search.geo import distance_feature_scores
 
             return distance_feature_scores(self.index.docs, q)
+        if isinstance(q, LongDistanceFeatureQuery):
+            # document/LongDistanceFeatureQuery.kt score shape — pure column
+            # expression over the stored field, no Python, no shuffle
+            score = (
+                F.lit(float(q.boost))
+                * F.lit(float(q.pivot))
+                / (F.lit(float(q.pivot)) + F.abs(F.col(q.field) - F.lit(int(q.origin))))
+            )
+            return self._live(
+                self.index.docs.filter(F.col(q.field).isNotNull()).select(
+                    "doc_id", score.cast("double").alias("score")
+                )
+            )
         if isinstance(q, IndexSortRangeQuery):
             return self._doc_set(q).withColumn("score", F.lit(float(q.boost)).cast("double"))
         if isinstance(q, FieldExistsQuery):

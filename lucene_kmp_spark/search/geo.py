@@ -556,3 +556,21 @@ def xy_polygon_docset(docs, q):
             yield pd.DataFrame({"doc_id": pdf["doc_id"][keep]})
 
     return pre.mapInPandas(_contains, schema="doc_id long")
+
+
+def nearest_neighbors(docs, lat_col: str, lon_col: str, lat: float, lon: float, k: int = 10):
+    """LatLonPoint.nearest (``document/NearestNeighbor.kt``): the k points
+    closest to the origin, nearest first (ties by doc_id asc). The
+    reference runs best-first BKD traversal; the distributed analog is one
+    Catalyst scan with per-partition top-k heaps merged on the driver
+    (TakeOrderedAndProject) over the haversine of the quantized point —
+    no shuffle, scales linearly with partitions."""
+    dlat = decode_lat_col(encode_lat_col(F.col(lat_col)))
+    dlon = decode_lon_col(encode_lon_col(F.col(lon_col)))
+    dist = haversin_meters_expr(dlat, dlon, lat, lon)
+    return (
+        docs.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .select("doc_id", dist.cast("double").alias("distance_m"))
+        .orderBy(F.asc("distance_m"), F.asc("doc_id"))
+        .limit(int(k))
+    )

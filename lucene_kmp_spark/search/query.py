@@ -731,6 +731,23 @@ class LatLonDistanceFeatureQuery(Query):
 
 
 @dataclass(frozen=True)
+class LongDistanceFeatureQuery(Query):
+    """Numeric proximity boosting (``document/LongDistanceFeatureQuery.kt``,
+    the LongField.newDistanceFeatureQuery path — recency boosting on
+    timestamps is the canonical use): matches every doc with a value;
+    score = boost * pivot / (pivot + |value - origin|)."""
+
+    field: str
+    origin: int
+    pivot: int
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.pivot <= 0:
+            raise ValueError(f"pivotDistance must be > 0, got {self.pivot}")
+
+
+@dataclass(frozen=True)
 class XYBoxQuery(Query):
     """Cartesian points within a rectangle (``document/XYPointField.kt``
     box queries over ``geo/XYRectangle.kt``): coordinates quantize to

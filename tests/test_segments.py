@@ -427,3 +427,36 @@ def test_docvalue_updates_numeric_binary_and_fold(spark, writer):
     }
     assert after == before
     _check_parity(writer)
+
+
+def test_persistent_snapshot_across_writer_restart(spark, tmp_path):
+    """PersistentSnapshotDeletionPolicy.kt: snapshots are durable state — a
+    NEW writer over the same directory still sees the pin, serves the
+    point-in-time view, and must not purge the pinned segments."""
+    import os
+
+    from lucene_kmp_spark.data.transcripts import synth_transcripts
+    from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+    from lucene_kmp_spark.search.query import TermQuery
+
+    corpus = synth_transcripts(spark, n_convs=8, seed=41).persist()
+    root = str(tmp_path / "psnap")
+    w1 = SegmentedIndexWriter(spark, root, merge_policy="log_doc", merge_factor=2)
+    w1.add_batch(corpus.filter(F.col("conv_id") < "conv-00000004"), batch_key="b0")
+    w1.add_batch(corpus.filter(F.col("conv_id") >= "conv-00000004"), batch_key="b1")
+    snap = w1.snapshot()
+    pre_ids = {s["id"] for s in w1.manifest()["segments"]}
+    pre_count = w1.reader().searcher().count(TermQuery("the"))
+    del w1  # "process exit"
+
+    w2 = SegmentedIndexWriter(spark, root, merge_policy="log_doc", merge_factor=2)
+    assert snap in w2.snapshots()  # pin survived the restart
+    w2.maybe_merge()
+    assert w2.purge_unreferenced() == []
+    for sid in pre_ids:
+        assert os.path.isdir(os.path.join(root, "segments", sid))
+    assert w2.reader(snapshot=snap).searcher().count(TermQuery("the")) == pre_count
+
+    w2.release(snap)
+    assert set(w2.purge_unreferenced()) == pre_ids
+    corpus.unpersist()

@@ -50,20 +50,33 @@ def top_groups(
     )
     hits = scored.join(searcher.index.docs.select("doc_id", group_col), "doc_id")
     w_in = Window.partitionBy(group_col).orderBy(F.desc(rank_key), F.asc("doc_id"))
-    within = hits.withColumn("within_rank", F.row_number().over(w_in).cast("int"))
-    heads = within.filter(F.col("within_rank") == 1)
-    top_heads = heads.orderBy(F.desc(rank_key), F.asc("doc_id")).limit(k)
-    # k rows only: the global rank window runs on one tiny partition
-    w_g = Window.orderBy(F.desc(rank_key), F.asc("doc_id"))
-    groups = top_heads.select(
-        group_col, F.row_number().over(w_g).cast("int").alias("group_rank")
+    # the ranked set feeds BOTH the group-head TakeOrdered and the final
+    # within-group cut — persist it so the scored subtree (the expensive
+    # postings scan + window shuffle) runs ONCE, not once per consumer;
+    # the result is <= k * docs_per_group rows, so materializing eagerly
+    # and releasing the cache before returning costs nothing
+    within = (
+        hits.withColumn("within_rank", F.row_number().over(w_in).cast("int"))
+        .filter(F.col("within_rank") <= docs_per_group)
+        .persist()
     )
-    return (
-        within.filter(F.col("within_rank") <= docs_per_group)
-        .join(groups, group_col)
-        .select(group_col, "group_rank", "within_rank", "doc_id", "score")
-        .orderBy("group_rank", "within_rank")
-    )
+    try:
+        heads = within.filter(F.col("within_rank") == 1)
+        top_heads = heads.orderBy(F.desc(rank_key), F.asc("doc_id")).limit(k)
+        # k rows only: the global rank window runs on one tiny partition
+        w_g = Window.orderBy(F.desc(rank_key), F.asc("doc_id"))
+        groups = top_heads.select(
+            group_col, F.row_number().over(w_g).cast("int").alias("group_rank")
+        )
+        out = (
+            within.join(groups, group_col)
+            .select(group_col, "group_rank", "within_rank", "doc_id", "score")
+            .orderBy("group_rank", "within_rank")
+        )
+        rows = out.collect()
+        return searcher.index.spark.createDataFrame(rows, out.schema)
+    finally:
+        within.unpersist()
 
 
 def facet_counts(

@@ -92,3 +92,45 @@ def test_geo_box_raw_range_pushed_to_scan(spark, tmp_path_factory):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:400]
     assert "lat" in pushed and "lon" in pushed, pushed
+
+
+def test_blockjoin_parent_agg_is_partial(disk_index):
+    """to_parent_scores must plan as a hash aggregate with a map-side
+    partial (partial_max before the exchange) — the property that bounds
+    the shuffle by DISTINCT parents, not child rows."""
+    from lucene_kmp_spark.search.blockjoin import to_parent_scores
+
+    s = IndexSearcher(disk_index)
+    plan = (
+        to_parent_scores(s, TermQuery("hope"), "conv_id", "max")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_max" in plan, plan[:3000]
+
+
+def test_multireader_term_filter_still_pushed(spark, tmp_path_factory):
+    """The composite's unioned scan must still push the term predicate to
+    BOTH leaves' parquet scans (pruning survives the union)."""
+    from pyspark.sql import functions as F
+
+    from lucene_kmp_spark.index.multireader import multi_reader
+
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=20, seed=3)).persist()
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    base = tmp_path_factory.mktemp("mr")
+    leaves = []
+    for i, part in enumerate(
+        (docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid))
+    ):
+        p = str(base / f"leaf{i}")
+        build_index(part).write(p)
+        leaves.append(InvertedIndex.read(spark, p))
+    comp = multi_reader(*leaves)
+    s = IndexSearcher(comp)
+    plan = s.execute(TermQuery("hope"))._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.count("PushedFilters")
+    assert pushed >= 2, plan[:3000]
+    for seg in plan.split("PushedFilters")[1:]:
+        assert "term" in seg[:200], seg[:300]

@@ -1,6 +1,6 @@
-"""IndexUpgrader analog — rewrite an on-disk index into another storage
-format (``index/IndexUpgrader.kt`` / UpgradeIndexMergePolicy rewrite old
-segments into the current codec; here "codec" = the Spark DataSource
+"""Index-upgrade job — rewrite an on-disk index into another storage
+format (``index/UpgradeIndexMergePolicy.kt`` rewrites old-codec segments
+into the current codec; Lucene's IndexUpgrader CLI drives it; here "codec" = the Spark DataSource
 format: parquet <-> orc, or iceberg where its runtime jars exist).
 
     spark-submit --py-files lucene_kmp_spark.zip \

@@ -705,6 +705,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_dict_top20"] = q_term_dict
 
+    def q_term_ords(spark, sf_dir):
+        # BlockTreeOrds analog: dense term ordinals in term-sorted order
+        # (codecs/blocktreeords/OrdsSegmentTermsEnum.kt seekExact(ord)/ord())
+        from lucene_kmp_spark.index.ords import term_ordinals
+
+        idx = _index_for(spark, sf_dir)
+        return (
+            term_ordinals(idx)
+            .filter((F.col("ord") >= 40) & (F.col("ord") < 60))
+            .select(F.col("ord").cast("long"), "term", F.col("df").cast("long"))
+        )
+
+    q["term_ords_slice"] = q_term_ords
+
     def q_stats(spark, sf_dir):
         st = _index_for(spark, sf_dir).stats
         return spark.createDataFrame(
@@ -3433,6 +3447,15 @@ td AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf FROM tf GROUP
 SELECT term, df, ttf, rank FROM (
   SELECT term, df, ttf, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank FROM td
 ) WHERE rank <= 20
+"""
+    )
+    o["term_ords_slice"] = (
+        _PRELUDE
+        + """,
+td AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT ord, term, df FROM (
+  SELECT (row_number() OVER (ORDER BY term ASC) - 1)::BIGINT AS ord, term, df FROM td
+) WHERE ord >= 40 AND ord < 60
 """
     )
     o["collection_stats"] = (

@@ -304,6 +304,9 @@ class IndexSearcher:
         # optional float-vector column store (doc_id, embedding) for
         # KnnFloatVectorQuery (search/knn.py)
         self.vectors = vectors
+        # DirectPostingsFormat analog (warm_terms): decoded hot-term postings
+        self._direct_terms: set | None = None
+        self._direct_df: DataFrame | None = None
         self._stats_cache: dict[str, TermStats | None] = {}
         s = index.stats
         self.avgdl = bm25.avg_field_length(s.sum_total_term_freq, s.doc_count, dtype)
@@ -368,6 +371,14 @@ class IndexSearcher:
         }
         if not scorers:
             return self._empty_scored()
+        if (
+            postings_rows is None
+            and self._direct_df is not None
+            and set(scorers) <= self._direct_terms
+        ):
+            # DirectPostingsFormat path: serve from the decoded hot-term
+            # cache (warm_terms) — identical rows, block decode skipped
+            return self._scored_from_direct(scorers)
         base = (
             postings_rows
             if postings_rows is not None
@@ -437,6 +448,86 @@ class IndexSearcher:
                     yield pd.concat(outs, ignore_index=True)
 
         return rows.mapInPandas(gen, schema="term string, doc_id long, tf int")
+
+    # -------------------------------------------------- direct (hot) terms
+    def warm_terms(self, terms: list[str]) -> int:
+        """DirectPostingsFormat analog (codecs/memory/DirectPostingsFormat.kt):
+        decode the freqs-level postings of designated hot terms ONCE and pin
+        the decoded ``(term, doc_id, tf, norm)`` rows in executor storage;
+        every later scoring scan over a covered term set serves from the
+        cache instead of re-decoding blocks. The reference trades RAM for
+        skipping its wire format on every postings enumeration — here the
+        per-query cost bought out is the Arrow block decode. Scores are NOT
+        cached (they depend on boost/similarity), so results stay identical
+        bit-for-bit. Returns the number of cached postings rows."""
+        terms = sorted(set(terms))
+        rows = self.index.postings.filter(F.col("term").isin(terms)).select(
+            "term", "doc_ids_enc", "freqs_enc", "norms_enc"
+        )
+
+        def gen(batches):
+            from lucene_kmp_spark.util.packing import block_decode, delta_block_decode
+
+            for pdf in batches:
+                outs = {"term": [], "doc_id": [], "tf": [], "norm": []}
+                for term, de, fe, ne in zip(
+                    pdf["term"].values, pdf["doc_ids_enc"].values,
+                    pdf["freqs_enc"].values, pdf["norms_enc"].values,
+                ):
+                    d = delta_block_decode(bytes(de))
+                    outs["term"].append(np.repeat(term, len(d)))
+                    outs["doc_id"].append(d)
+                    outs["tf"].append(block_decode(bytes(fe)).astype(np.int32))
+                    outs["norm"].append(
+                        np.frombuffer(bytes(ne), dtype=np.uint8).astype(np.int32)
+                    )
+                if outs["doc_id"]:
+                    yield pd.DataFrame(
+                        {k: np.concatenate(v) for k, v in outs.items()}
+                    )
+
+        df = rows.mapInPandas(
+            gen, schema="term string, doc_id long, tf int, norm int"
+        ).persist()
+        n = df.count()  # materialize the pin eagerly (the "load into RAM")
+        self.cool_terms()
+        self._direct_terms = set(terms)
+        self._direct_df = df
+        return n
+
+    def cool_terms(self) -> None:
+        """Drop the direct-postings cache (close() of the direct reader)."""
+        if getattr(self, "_direct_df", None) is not None:
+            try:
+                self._direct_df.unpersist()
+            except Exception:
+                pass
+        self._direct_df = None
+        self._direct_terms = None
+
+    def _scored_from_direct(self, scorers: dict) -> DataFrame:
+        """Score straight off the decoded cache — no block decode."""
+        base = self._direct_df.filter(F.col("term").isin(list(scorers)))
+
+        def gen(batches):
+            for pdf in batches:
+                tvals = pdf["term"].values
+                tfs = pdf["tf"].values
+                norms = pdf["norm"].values.astype(np.int64)
+                scores = np.empty(len(pdf), dtype=np.float64)
+                for t in pd.unique(tvals):
+                    m = tvals == t
+                    scores[m] = scorers[t].score(tfs[m], norms[m]).astype(np.float64)
+                yield pd.DataFrame(
+                    {
+                        "term": tvals,
+                        "doc_id": pdf["doc_id"].values,
+                        "tf": tfs.astype(np.int32),
+                        "score": scores,
+                    }
+                )
+
+        return base.mapInPandas(gen, schema=_SCORED_SCHEMA)
 
     def _positions_df(self, terms: list[str]) -> DataFrame:
         """(term, doc_id, tf, norm, positions) — the POSITIONS postings view."""

@@ -151,6 +151,13 @@ def run_once(
                 t = time.perf_counter()
                 s.top_k(q, 10).collect()
                 qtimes[name] = round(time.perf_counter() - t, 3)
+            # DirectPostingsFormat analog: hottest term served from the
+            # decoded in-memory cache (decode bought out at warm time)
+            s.warm_terms(["the"])
+            t = time.perf_counter()
+            s.top_k(_TQ("the"), 10).collect()
+            qtimes["q_term_hot_direct"] = round(time.perf_counter() - t, 3)
+            s.cool_terms()
             # search-adjacent surfaces over the same index: grouping /
             # facets (stored-field joins) + term-dict spell suggestion
             from lucene_kmp_spark.search.grouping import facet_counts, top_groups
@@ -165,6 +172,12 @@ def run_once(
             t = time.perf_counter()
             suggest_terms(s, "hpoe", k=5).collect()
             qtimes["q_suggest"] = round(time.perf_counter() - t, 3)
+            # BlockTreeOrds analog: full-vocabulary ordinal ranking
+            from lucene_kmp_spark.index.ords import term_ordinals
+
+            t = time.perf_counter()
+            term_ordinals(idx).count()
+            qtimes["q_term_ords"] = round(time.perf_counter() - t, 3)
             # join-module parent ranking (one hash agg on the parent key) and
             # the TopDocs totalHits shape (one persisted pass, two jobs)
             from lucene_kmp_spark.search.blockjoin import to_parent_topk

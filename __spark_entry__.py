@@ -401,6 +401,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_filter_clause"] = _bm25_query(
         lambda: BooleanQuery.build(must=(TermQuery("merge"),), filter=(TermQuery("join"),))
     )
+
+    def _iodv_query():
+        # IndexOrDocValuesQuery.kt: postings TermInSet as the index form, the
+        # semantically identical stored-column predicate as the dv form; the
+        # executor picks per leadCost < indexCost >>> 3
+        from lucene_kmp_spark.search.query import ColumnFilterQuery, IndexOrDocValuesQuery, TermInSetQuery
+
+        return BooleanQuery.build(
+            must=(TermQuery("merge"),),
+            filter=(
+                IndexOrDocValuesQuery(
+                    TermInSetQuery(("join", "scan")),
+                    ColumnFilterQuery(
+                        "array_contains(split(text, ' '), 'join')"
+                        " OR array_contains(split(text, ' '), 'scan')"
+                    ),
+                ),
+            ),
+        )
+
+    q["iodv_filter_topk"] = _bm25_query(_iodv_query)
     q["bm25_phrase"] = _bm25_query(lambda: PhraseQuery(("order", "sort")))
 
     def q_phrase_sloppy(spark, sf_dir):
@@ -2717,6 +2738,18 @@ total AS (
 total AS (
   SELECT doc_id, s FROM sc0
   WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'join')
+)"""
+        + _rank_tail("total")
+    )
+
+    o["iodv_filter_topk"] = (
+        _PRELUDE
+        + ","
+        + _sc_cte("sc0", "merge")
+        + """,
+total AS (
+  SELECT doc_id, s FROM sc0
+  WHERE doc_id IN (SELECT doc_id FROM tf WHERE term IN ('join', 'scan'))
 )"""
         + _rank_tail("total")
     )

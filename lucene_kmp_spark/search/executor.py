@@ -53,6 +53,7 @@ from lucene_kmp_spark.search.query import (
     FieldExistsQuery,
     FunctionScoreQuery,
     FuzzyQuery,
+    IndexOrDocValuesQuery,
     IndexSortRangeQuery,
     IndriAndQuery,
     InetAddressRangeQuery,
@@ -757,6 +758,8 @@ class IndexSearcher:
             return self.index.spark.createDataFrame([], schema="doc_id long")
         if isinstance(q, ConstantScoreQuery):
             return self._doc_set(q.query)
+        if isinstance(q, IndexOrDocValuesQuery):
+            return self._doc_set(q.index_query)
         # general fallback: scored execution, keep doc ids
         return self.execute(q).select("doc_id")
 
@@ -940,6 +943,13 @@ class IndexSearcher:
             return self._exec_fuzzy(q)
         if isinstance(q, ConstantScoreQuery):
             return self._doc_set(q.query).withColumn("score", F.lit(float(q.boost)).cast("double"))
+        if isinstance(q, IndexOrDocValuesQuery):
+            # bulk scoring consumes the whole doc set -> index form always
+            # (IndexOrDocValuesQuery.kt:145-148 bulkScorer override)
+            out = self._exec(q.index_query)
+            if q.boost != 1.0:
+                out = out.select("doc_id", (F.col("score") * F.lit(float(q.boost))).alias("score"))
+            return out
         if isinstance(q, MatchAllDocsQuery):
             return self.index.docs.select("doc_id").withColumn("score", F.lit(float(q.boost)).cast("double"))
         if isinstance(q, MatchNoDocsQuery):
@@ -1431,10 +1441,24 @@ class IndexSearcher:
                 )
             return self._doc_set(q2, dedup=False)
 
+        # leadCost of the conjunction = the cheapest required clause's cost
+        # (ConjunctionDISI lead); SHOULD-only bases cost the disjunction sum
+        lead_cost = None
+        if musts:
+            lead_cost = min(self._cost_estimate(m) for m in musts)
+        elif shoulds:
+            costs = [self._cost_estimate(sq) for sq in shoulds]
+            lead_cost = sum(c for c in costs if c < (1 << 60)) or None
+
+        def _resolve(q2):
+            if isinstance(q2, IndexOrDocValuesQuery):
+                return self._iodv_choose(q2, lead_cost)
+            return q2
+
         for f_q in filters:
-            base = base.join(_join_set(f_q), "doc_id", "left_semi")
+            base = base.join(_join_set(_resolve(f_q)), "doc_id", "left_semi")
         for n_q in must_nots:
-            base = base.join(_join_set(n_q), "doc_id", "left_anti")
+            base = base.join(_join_set(_resolve(n_q)), "doc_id", "left_anti")
         if q.boost != 1.0:
             base = base.select("doc_id", (F.col("score") * F.lit(float(q.boost))).alias("score"))
         return base
@@ -1611,7 +1635,29 @@ class IndexSearcher:
         out.sort(key=lambda x: (-x[0], x[1]))
         return [term for _sim, term in out[: q.max_expansions]]
 
+    def _iodv_choose(self, q: "IndexOrDocValuesQuery", lead_cost: int | None) -> Query:
+        """ScorerSupplier.get(leadCost) dispatch
+        (IndexOrDocValuesQuery.kt:131-140): dv form iff
+        ``leadCost < indexCost >>> 3`` — the arbitrary 8x penalty because a
+        dv check runs once per candidate while the index iterator organizes
+        its matches. With no cost anchor the index form wins (bulk path)."""
+        if lead_cost is None:
+            return q.index_query
+        ic = self._cost_estimate(q.index_query)
+        if ic >= (1 << 60):
+            # refine unknown term-level costs from the term dictionary —
+            # a metadata-scale, term-pruned aggregate (the reference reads
+            # the same number off its terms index for free)
+            pred = self._term_pred(q.index_query)
+            if pred is not None:
+                row = self.index.term_dict.filter(pred).agg(F.sum("df")).collect()[0][0]
+                ic = int(row or 0)
+        return q.dv_query if (ic >> 3) > lead_cost else q.index_query
+
     def _cost_estimate(self, q: Query) -> int:
+        if isinstance(q, IndexOrDocValuesQuery):
+            # cost() reports the index form (IndexOrDocValuesQuery.kt:150-152)
+            return self._cost_estimate(q.index_query)
         if isinstance(q, TermQuery):
             st = self.term_stats([q.term])
             return st[q.term].df if q.term in st else 0

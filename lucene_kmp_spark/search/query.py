@@ -150,6 +150,36 @@ class ConstantScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class IndexOrDocValuesQuery(Query):
+    """search/IndexOrDocValuesQuery.kt: wraps two queries the CALLER
+    guarantees match the same docs — ``index_query`` with a good iterator
+    (postings/points form, costly to initialize) and ``dv_query`` cheap to
+    initialize but linear to verify per candidate (doc-values form).
+
+    Reference semantics preserved: standalone / bulk scoring always runs
+    the index form (``bulkScorer()`` override); inside a conjunction the dv
+    form is chosen exactly when ``leadCost < indexCost >>> 3`` (the 8x dv
+    penalty, IndexOrDocValuesQuery.kt:131-140); ``cost()`` reports the
+    index form's cost. In this engine the two forms surface as different
+    SCANS in the plan — a postings-driven doc-set vs a docs-table column
+    predicate — while Catalyst/AQE still owns the physical join strategy
+    (the part of the reference's trade-off Spark already does)."""
+
+    index_query: "Query"
+    dv_query: "Query"
+    boost: float = 1.0
+
+    def rewrite(self) -> "Query":
+        iq = self.index_query.rewrite()
+        dq = self.dv_query.rewrite()
+        if isinstance(iq, MatchNoDocsQuery):
+            return MatchNoDocsQuery()
+        if iq is self.index_query and dq is self.dv_query:
+            return self
+        return IndexOrDocValuesQuery(iq, dq, self.boost)
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """score = max(clauses) + tie_breaker * sum(others)
     (search/DisjunctionMaxQuery.kt:25)."""

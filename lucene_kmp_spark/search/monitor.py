@@ -113,6 +113,24 @@ def _presearch_terms(q: Query) -> set[str] | None:
     return None
 
 
+def _verify_vocab(q: Query, terms: set, prefixes: set) -> None:
+    """Collect the vocabulary verification can touch: exact terms + prefix
+    families. Everything else (MatchAll/None) reads no positions at all."""
+    if isinstance(q, TermQuery):
+        terms.add(q.term)
+    elif isinstance(q, TermInSetQuery):
+        terms.update(q.terms)
+    elif isinstance(q, PhraseQuery):
+        terms.update(q.terms)
+    elif isinstance(q, PrefixQuery):
+        prefixes.add(q.prefix)
+    elif isinstance(q, ConstantScoreQuery):
+        _verify_vocab(q.query, terms, prefixes)
+    elif isinstance(q, BooleanQuery):
+        for c in q.clauses:
+            _verify_vocab(c.query, terms, prefixes)
+
+
 def _verify(q: Query, pos: dict) -> bool:
     """Exact per-document evaluation over {term: [positions]} — the
     MemoryIndex percolation check."""
@@ -231,22 +249,43 @@ class Monitor:
             return self.spark.createDataFrame([], "doc_id long, query_id string")
 
         cand_by_doc = cand.groupBy("doc_id").agg(F.collect_set("query_id").alias("_qids"))
-        data = toks.join(cand_by_doc, "doc_id")
+
+        # verification only reads positions of terms the queries mention
+        # (plus prefix-covered terms) — prune the token stream BEFORE the
+        # per-doc pivot so candidate docs don't drag their whole vocabulary
+        # through the shuffle (MemoryIndex builds only what the query asks)
+        vterms, vprefixes = set(), set()
+        for q in self._queries.values():
+            _verify_vocab(q, vterms, vprefixes)
+        pred = None
+        if vterms:
+            pred = F.col("term").isin(sorted(vterms))
+        for p in sorted(vprefixes):
+            c = F.col("term").startswith(p)
+            pred = c if pred is None else (pred | c)
+        toks_v = toks.filter(pred) if pred is not None else toks
+
+        doc_pos = toks_v.groupBy("doc_id").agg(
+            F.map_from_entries(F.collect_list(F.struct("term", "positions"))).alias("_pos")
+        )
+        # left join: a candidate doc may contain NO verify-relevant terms
+        # (e.g. an ANYTOKEN MatchAll query) — it still needs verification
+        data = cand_by_doc.join(doc_pos, "doc_id", "left")
         queries = dict(self._queries)
 
-        def verify(pdf):
+        def verify(batches):
             import pandas as pd
 
-            pos = dict(zip(pdf["term"].values, pdf["positions"].values))
-            pos = {t: list(p) for t, p in pos.items()}
-            doc = pdf["doc_id"].iloc[0]
-            hits = [
-                qid
-                for qid in sorted(pdf["_qids"].iloc[0])
-                if _verify(queries[qid], pos)
-            ]
-            return pd.DataFrame({"doc_id": [doc] * len(hits), "query_id": hits})
+            for pdf in batches:
+                out_doc, out_qid = [], []
+                for doc, qids, pos_raw in zip(
+                    pdf["doc_id"].values, pdf["_qids"].values, pdf["_pos"].values
+                ):
+                    pos = {} if pos_raw is None else {t: list(p) for t, p in dict(pos_raw).items()}
+                    for qid in sorted(qids):
+                        if _verify(queries[qid], pos):
+                            out_doc.append(doc)
+                            out_qid.append(qid)
+                yield pd.DataFrame({"doc_id": out_doc, "query_id": out_qid})
 
-        return data.groupBy("doc_id").applyInPandas(
-            verify, "doc_id long, query_id string"
-        )
+        return data.mapInPandas(verify, "doc_id long, query_id string")

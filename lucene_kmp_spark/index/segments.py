@@ -109,6 +109,7 @@ class SegmentedIndexWriter:
         merge_policy: str = "tiered",
         merge_factor: int = LOG_MERGE_FACTOR,
         soft_deletes_retention=None,
+        merged_segment_warmer=None,
     ):
         assert merge_policy in ("tiered", "log_doc", "log_bytes", "none")
         self.spark = spark
@@ -122,6 +123,7 @@ class SegmentedIndexWriter:
         # hard deletes always purge. Soft-deleted docs stay invisible to
         # normal readers either way — retention is about recoverability.
         self.soft_deletes_retention = soft_deletes_retention
+        self.merged_segment_warmer = merged_segment_warmer
         os.makedirs(os.path.join(root, "segments"), exist_ok=True)
         if not os.path.exists(self._manifest_path()):
             self._write_manifest({"generation": 0, "segments": [], "deletes": [], "batches": {}})
@@ -444,6 +446,15 @@ class SegmentedIndexWriter:
         seg_id = f"seg-merged-{m['generation']:05d}"
         seg_path = os.path.join(self.root, "segments", seg_id)
         idx.write(seg_path)
+        if self.merged_segment_warmer is not None:
+            # IndexWriter.IndexReaderWarmer / SimpleMergedSegmentWarmer.kt:
+            # the warmer sees the merged segment BEFORE the commit makes it
+            # visible, so the first searcher over the new generation never
+            # pays its cold cost (here: e.g. persist hot postings, prime
+            # Arrow decode, collect stats)
+            from lucene_kmp_spark.index.builder import InvertedIndex
+
+            self.merged_segment_warmer(InvertedIndex.read(self.spark, seg_path))
         idx.unpersist()
         n_docs = live_docs.count()
         doc_base = min(s["doc_base"] for s in segments)

@@ -1573,6 +1573,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merged_segments_term"] = q_merged_segments
 
+    def q_bloom_pruned(spark, sf_dir):
+        """codecs/bloom analog end-to-end: 3 segments split so 'dup' lives
+        only in segment 0; reader(prune_query=) consults each segment's
+        term bloom and drops provably-absent segments from the scan while
+        stats stay whole-corpus — the answer must equal single-index BM25
+        (oracle = the plain bm25 SQL for 'dup')."""
+        import os
+        import shutil
+        import tempfile
+
+        from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+
+        root = os.path.join(
+            tempfile.gettempdir(), "spark_graft_bloom_" + sf_dir.strip("/").replace("/", "_")
+        )
+        done = os.path.join(root, "_bloom_ok")
+        if not os.path.exists(done):
+            shutil.rmtree(root, ignore_errors=True)
+            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+            base = _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id")
+            has = F.array_contains(F.split(F.col("text"), " "), "dup")
+            w.add_batch(base.filter(has), batch_key="b0")
+            w.add_batch(base.filter(~has & (F.col("orig_id") % 2 == 0)), batch_key="b1")
+            w.add_batch(base.filter(~has & (F.col("orig_id") % 2 == 1)), batch_key="b2")
+            with open(done, "w") as fh:
+                fh.write("ok")
+        else:
+            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+        reader = w.reader(prune_query=TermQuery("dup"))
+        s = reader.searcher(dtype=np.float64)
+        scored = s.execute(TermQuery("dup"))
+        ext = scored.join(reader.index.docs.select("doc_id", "orig_id"), "doc_id").select(
+            F.col("orig_id").alias("doc_id"), "score"
+        )
+        return _ranked_topk(ext)
+
+    q["bloom_pruned_term"] = q_bloom_pruned
+
     def q_soft_deletes(spark, sf_dir):
         """soft-delete visibility (PendingSoftDeletes / SoftDeletesDirectory-
         ReaderWrapper): docs with orig_id % 7 == 0 soft-delete; the default
@@ -4524,6 +4562,8 @@ FROM page2
 
     # merged segments must answer exactly like one index over the union
     o["merged_segments_term"] = o["bm25_term"]
+    # bloom-pruned segmented read == whole-corpus BM25 for the same term
+    o["bloom_pruned_term"] = _PRELUDE + "," + _sc_cte("sc0", "dup") + _rank_tail("sc0")
 
     o["dedup_pipeline_near_dups"] = """
 WITH tok AS (

@@ -197,9 +197,52 @@ def run_once(
             # per the task brief): measured on the same session
             if sf_dir and os.path.isdir(sf_dir):
                 out["pipeline"] = _pipeline_suite(spark, sf_dir)
+                out["bloom"] = _bloom_suite(spark, sf_dir)
         return out
     finally:
         spark.stop()
+
+
+def _bloom_suite(spark, sf_dir: str) -> dict:
+    """Bloom segment pruning (codecs/bloom analog): 3 segments split so
+    'dup' lives only in segment 0; the pruned reader's scan touches one
+    segment's parquet instead of three. Reports both latencies + how many
+    segments the bloom proved out."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+    from lucene_kmp_spark.search.query import TermQuery
+
+    root = tempfile.mkdtemp(prefix="bench_bloom_")
+    try:
+        w = SegmentedIndexWriter(spark, root, key_cols=("doc_id",), text_col="text")
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        has = F.array_contains(F.split(F.col("text"), " "), "dup")
+        w.add_batch(base.filter(has), batch_key="b0")
+        w.add_batch(base.filter(~has & (F.col("doc_id") % 2 == 0)), batch_key="b1")
+        w.add_batch(base.filter(~has & (F.col("doc_id") % 2 == 1)), batch_key="b2")
+        q = TermQuery("dup")
+        full = w.reader()
+        s_full = full.searcher()
+        s_full.top_k(q, 10).collect()  # warm
+        t = time.perf_counter()
+        s_full.top_k(q, 10).collect()
+        t_full = round(time.perf_counter() - t, 3)
+        pruned = w.reader(prune_query=q)
+        t = time.perf_counter()
+        pruned.searcher().top_k(q, 10).collect()
+        t_pruned = round(time.perf_counter() - t, 3)
+        return {
+            "q_bloom_full_sec": t_full,
+            "q_bloom_pruned_sec": t_pruned,
+            "segments_pruned": len(pruned.pruned_segments),
+            "segments_total": 3,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _pipeline_suite(spark, sf_dir: str) -> dict:

@@ -110,6 +110,7 @@ class SegmentedIndexWriter:
         merge_factor: int = LOG_MERGE_FACTOR,
         soft_deletes_retention=None,
         merged_segment_warmer=None,
+        term_bloom: bool = True,
     ):
         assert merge_policy in ("tiered", "log_doc", "log_bytes", "none")
         self.spark = spark
@@ -124,6 +125,10 @@ class SegmentedIndexWriter:
         # normal readers either way — retention is about recoverability.
         self.soft_deletes_retention = soft_deletes_retention
         self.merged_segment_warmer = merged_segment_warmer
+        # codecs/bloom/BloomFilteringPostingsFormat.kt: per-segment term
+        # bloom written at flush/merge, consulted to skip segments whose
+        # filter PROVES the query's required terms absent (reader(prune_query=))
+        self.term_bloom = bool(term_bloom)
         os.makedirs(os.path.join(root, "segments"), exist_ok=True)
         if not os.path.exists(self._manifest_path()):
             self._write_manifest({"generation": 0, "segments": [], "deletes": [], "batches": {}})
@@ -170,6 +175,7 @@ class SegmentedIndexWriter:
         seg_id = f"seg-{len(m['segments']):05d}-{m['generation']:05d}"
         seg_path = os.path.join(self.root, "segments", seg_id)
         idx.write(seg_path)
+        has_bloom = self._write_bloom(idx, seg_path)
         record = {
             "id": seg_id,
             "doc_base": doc_base,
@@ -178,6 +184,7 @@ class SegmentedIndexWriter:
             "bytes": _dir_bytes(seg_path),
             "created_at": time.time(),
             "batch_key": batch_key,
+            "bloom": has_bloom,
             "metrics": {
                 "docs_indexed": n_docs,
                 "postings_rows": idx.postings.count(),
@@ -192,6 +199,22 @@ class SegmentedIndexWriter:
         self._write_manifest(m)
         idx.unpersist()
         return record
+
+    def _write_bloom(self, idx, seg_path: str) -> bool:
+        """Distributed per-segment term bloom (BloomFilteringPostingsFormat
+        flush): partition-local bitsets folded in mapInPandas, ORed on the
+        driver, downsized to <=0.5 saturation; skipped entirely when even
+        the filter would be >90% saturated (DefaultBloomFilterFactory)."""
+        if not self.term_bloom:
+            return False
+        from lucene_kmp_spark.util.bloom import bloom_from_term_dict
+
+        fz = bloom_from_term_dict(idx.term_dict, idx.stats.num_terms)
+        if fz is None:
+            return False
+        with open(os.path.join(seg_path, "bloom.bin"), "wb") as f:
+            f.write(fz.serialize())
+        return True
 
     def delete_by_keys(self, keys: DataFrame):
         """Buffered deletes by (key_cols): resolved to docIDs now, applied at
@@ -340,16 +363,24 @@ class SegmentedIndexWriter:
 
     # --------------------------------------------------------------- reader
     def reader(
-        self, snapshot: str | None = None, include_soft_deleted: bool = False
+        self, snapshot: str | None = None, include_soft_deleted: bool = False,
+        prune_query=None,
     ) -> "SegmentedReader":
         """Point-in-time reader over the current commit, or over a pinned
         snapshot's manifest (SnapshotDeletionPolicy.getSnapshot view).
         The default hides soft-deleted docs (SoftDeletesDirectoryReaderWrapper
-        view); ``include_soft_deleted=True`` is the unwrapped reader."""
+        view); ``include_soft_deleted=True`` is the unwrapped reader.
+
+        ``prune_query``: bloom-prune the composite for THIS query — segments
+        whose term bloom proves a required term absent are left out of the
+        postings/docs union entirely (their parquet never enters the scan).
+        Collection and term statistics still aggregate over ALL segments, so
+        scores are identical to the unpruned reader; the contract is that
+        the searcher is used for (subqueries of) ``prune_query`` only."""
         m = self._snapshot_manifest(snapshot) if snapshot else self.manifest()
         return SegmentedReader(
             self.spark, self.root, m, self.text_col, self.key_cols,
-            include_soft_deleted=include_soft_deleted,
+            include_soft_deleted=include_soft_deleted, prune_query=prune_query,
         )
 
     # ---------------------------------------------------------------- merge
@@ -446,6 +477,7 @@ class SegmentedIndexWriter:
         seg_id = f"seg-merged-{m['generation']:05d}"
         seg_path = os.path.join(self.root, "segments", seg_id)
         idx.write(seg_path)
+        merged_bloom = self._write_bloom(idx, seg_path)
         if self.merged_segment_warmer is not None:
             # IndexWriter.IndexReaderWarmer / SimpleMergedSegmentWarmer.kt:
             # the warmer sees the merged segment BEFORE the commit makes it
@@ -466,6 +498,7 @@ class SegmentedIndexWriter:
             "bytes": _dir_bytes(seg_path),
             "created_at": time.time(),
             "batch_key": None,
+            "bloom": merged_bloom,
             "metrics": {"merged_from": sorted(ids), "docs_indexed": n_docs},
         }
         m = self.manifest()
@@ -639,28 +672,57 @@ class SegmentedReader:
 
     def __init__(
         self, spark, root, manifest, text_col, key_cols,
-        include_soft_deleted: bool = False,
+        include_soft_deleted: bool = False, prune_query=None,
     ):
         self.generation = manifest["generation"]
         self.manifest = manifest  # retained for lifetime pinning (record())
         segs = manifest["segments"]
+        # Bloom segment pruning (BloomFilteringPostingsFormat consult): a
+        # pruned segment contributes stats + term_dict (score parity with
+        # the unpruned reader) but NOT postings/docs — its files never
+        # enter any scan. If every segment prunes, one is kept so the
+        # composite still has a schema; it provably matches nothing.
+        self.pruned_segments: list[str] = []
+        skip: set[str] = set()
+        if prune_query is not None:
+            from lucene_kmp_spark.search.query import rewrite_query
+            from lucene_kmp_spark.util.bloom import FuzzySet, segment_may_match
+
+            pq = rewrite_query(prune_query)
+            for s in segs:
+                bpath = os.path.join(root, "segments", s["id"], "bloom.bin")
+                if not (s.get("bloom") and os.path.exists(bpath)):
+                    continue
+                with open(bpath, "rb") as f:
+                    fz = FuzzySet.deserialize(f.read())
+
+                def _contains(t, _fz=fz):
+                    return bool(_fz.contains_batch([t.encode("utf-8")])[0])
+
+                if not segment_may_match(pq, _contains):
+                    skip.add(s["id"])
+            if len(skip) == len(segs) and segs:
+                skip.discard(segs[0]["id"])
+            self.pruned_segments = sorted(skip)
         docs = postings = term_dict = None
         max_doc = doc_count = sum_ttf = sum_df = 0
         for s in segs:
             base = os.path.join(root, "segments", s["id"])
-            d = spark.read.parquet(os.path.join(base, "docs"))
-            p = spark.read.parquet(os.path.join(base, "postings")).withColumn(
-                "segment_id", F.lit(s["id"])
-            )
             t = spark.read.parquet(os.path.join(base, "term_dict"))
-            docs = d if docs is None else docs.unionByName(d)
-            postings = p if postings is None else postings.unionByName(p)
             term_dict = t if term_dict is None else term_dict.unionByName(t)
             st = s["stats"]
             max_doc += st["max_doc"]
             doc_count += st["doc_count"]
             sum_ttf += st["sum_total_term_freq"]
             sum_df += st["sum_doc_freq"]
+            if s["id"] in skip:
+                continue
+            d = spark.read.parquet(os.path.join(base, "docs"))
+            p = spark.read.parquet(os.path.join(base, "postings")).withColumn(
+                "segment_id", F.lit(s["id"])
+            )
+            docs = d if docs is None else docs.unionByName(d)
+            postings = p if postings is None else postings.unionByName(p)
         if docs is None:
             raise ValueError("empty index: no segments committed yet")
         # doc-values update overlay (IndexWriter.updateNumericDocValue):

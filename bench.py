@@ -561,6 +561,7 @@ def main():
             "query_p95_sec": main_run["query_p95_sec"],
         },
         "pipeline": main_run.get("pipeline", {}),
+        "bloom": main_run.get("bloom", {}),
     }
 
     if do_scaling:

@@ -343,6 +343,16 @@ class SortField:
     expr: str | None = None
     name: str | None = None  # output column alias (required for expr sorts)
 
+    @staticmethod
+    def feature(column: str) -> "SortField":
+        """FeatureSortField (document/FeatureSortField.kt): sort by a
+        FeatureField value DESCENDING; docs without the feature sort as 0
+        (the reference's FeatureComparator leaves values[slot] = 0 when the
+        feature postings skip the doc). Features live in stored numeric
+        columns here, so the comparator is a COALESCE expression sort."""
+        return SortField(expr=f"coalesce({column}, 0.0)", ascending=False,
+                         name=f"feature_{column}")
+
 
 @dataclass(frozen=True)
 class KnnFloatVectorQuery(Query):

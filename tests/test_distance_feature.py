@@ -80,3 +80,29 @@ def test_nearest_neighbors(spark, env):
     assert [d for d, _ in got] == [d for d, _ in exp]
     for (_, g), (_, e) in zip(got, exp):
         assert math.isclose(g, e, rel_tol=1e-9)
+
+
+def test_feature_sort_field(env):
+    """FeatureSortField (document/FeatureSortField.kt): descending feature
+    order, missing feature sorts as 0, docID asc tiebreak."""
+    from lucene_kmp_spark.search.query import MatchAllDocsQuery, SortField
+
+    s, docs = env
+    # a feature column with nulls (docs the feature field skips)
+    feat = docs.withColumn(
+        "pagerank",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("double")).otherwise(
+            F.pmod(F.col("doc_id") * 37, F.lit(100)).cast("double")
+        ),
+    )
+    from lucene_kmp_spark.index import build_index
+    from lucene_kmp_spark.search.executor import IndexSearcher
+
+    s2 = IndexSearcher(build_index(feat))
+    got = s2.search_sorted(MatchAllDocsQuery(), [SortField.feature("pagerank")], k=15).collect()
+    rows = feat.select("doc_id", "pagerank").collect()
+    want = sorted(
+        ((r["pagerank"] or 0.0), r["doc_id"]) for r in rows
+    )
+    want = [d for v, d in sorted(want, key=lambda t: (-t[0], t[1]))][:15]
+    assert [r["doc_id"] for r in got] == want

@@ -198,6 +198,7 @@ def run_once(
             if sf_dir and os.path.isdir(sf_dir):
                 out["pipeline"] = _pipeline_suite(spark, sf_dir)
                 out["bloom"] = _bloom_suite(spark, sf_dir)
+                out["leadprune"] = _leadprune_suite(spark, corpus)
         return out
     finally:
         spark.stop()
@@ -243,6 +244,48 @@ def _bloom_suite(spark, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _leadprune_suite(spark, corpus) -> dict:
+    """Lead-term skip pruning A/B (ConjunctionDISI lead-cost analog): a
+    clustered rare lead ('zebra', 1,000 contiguous docs) in a rare+hot
+    phrase — pruned plan decodes the hot term's positions only inside the
+    lead's doc windows. Same index, same query, parity asserted."""
+    from pyspark.sql import functions as F
+
+    from lucene_kmp_spark.index import assign_doc_ids, build_index
+    from lucene_kmp_spark.search.executor import IndexSearcher
+    from lucene_kmp_spark.search.query import PhraseQuery
+
+    docs = assign_doc_ids(corpus)
+    lo = 1000
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 1000),
+            F.concat(F.col("text"), F.lit(" zebra the")),
+        ).otherwise(F.col("text")),
+    )
+    idx = build_index(docs, text_col="text", serve_partitions=8)
+    q = PhraseQuery(("zebra", "the"))
+    out = {}
+    for mode in ("pruned", "unpruned"):
+        s = IndexSearcher(idx)
+        if mode == "unpruned":
+            s._LEAD_PRUNE_MIN_RATIO = 10**9
+        s.top_k(q, 10).collect()  # warm + populate the interval cache
+        best = 1e9
+        for _ in range(2):
+            t = time.perf_counter()
+            rows = s.top_k(q, 10).collect()
+            best = min(best, time.perf_counter() - t)
+        out[f"q_leadprune_{mode}_sec"] = round(best, 3)
+        out[f"{mode}_top10"] = [int(r["doc_id"]) for r in rows]
+        if mode == "pruned":
+            out["engaged"] = s._last_lead_prune == "pruned"
+    assert out.pop("pruned_top10") == out.pop("unpruned_top10"), "lead-prune parity"
+    idx.unpersist()
+    return out
 
 
 def _pipeline_suite(spark, sf_dir: str) -> dict:
@@ -562,6 +605,7 @@ def main():
         },
         "pipeline": main_run.get("pipeline", {}),
         "bloom": main_run.get("bloom", {}),
+        "leadprune": main_run.get("leadprune", {}),
     }
 
     if do_scaling:

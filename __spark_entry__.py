@@ -2548,6 +2548,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda: SortedSetRangeQuery("tags", "aa", "mm", True, False)
     )
 
+    # SortedSetSelector.Type MIDDLE_MAX (search/SortedSetSelector.kt:321):
+    # sort by the upper-middle of the doc's ascending value list
+    def q_dv_middle_sort(spark, sf_dir):
+        from lucene_kmp_spark.search.query import MatchAllDocsQuery, SortField
+
+        s = _dv_searcher(spark, sf_dir)
+        res = s.search_sorted(
+            MatchAllDocsQuery(),
+            [
+                SortField(
+                    expr="array(orig_id % 7 * 3, orig_id % 11 * 2, orig_id % 13, orig_id % 5)",
+                    selector="middle_max",
+                    name="mid",
+                )
+            ],
+            k=20,
+        )
+        return res.join(s.index.docs.select("doc_id", "orig_id"), "doc_id").select(
+            F.col("orig_id").alias("doc_id"), F.col("mid").cast("long").alias("mid")
+        )
+
+    q["dv_middle_sort"] = q_dv_middle_sort
+
+    # DocValuesRewriteMethod (search/DocValuesRewriteMethod.kt): the same
+    # prefix expansion answered through the docvalues access path (the
+    # term-vector forward index) — match set must equal the postings form
+    def q_prefix_dv(spark, sf_dir):
+        from lucene_kmp_spark.index import build_index
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        key = sf_dir + "::tv"
+        if key not in _INDEX_CACHE:
+            _INDEX_CACHE[key] = build_index(
+                _docs(spark, sf_dir), text_col="text", term_vectors=True
+            )
+        s = IndexSearcher(_INDEX_CACHE[key])
+        return (
+            s.execute(PrefixQuery("sc", rewrite_method="doc_values"))
+            .select("doc_id")
+            .distinct()
+        )
+
+    q["multiterm_prefix_dv"] = q_prefix_dv
+
     # ---- indexed shapes (LatLonShape/Tessellator/SpatialQuery analog) ----
     def _shape_tris(spark, sf_dir):
         from lucene_kmp_spark.search import shape as _shape
@@ -5200,6 +5244,19 @@ WHERE len(list_filter([doc_id % 7 * 3, doc_id % 11 * 2, doc_id % 13],
     o["dv_sorted_set_range"] = """
 SELECT doc_id FROM documents
 WHERE len(list_filter([lang, source], v -> v >= 'aa' AND v < 'mm')) > 0"""
+
+    # middle_max selector: upper-middle of the sorted 4-element list =
+    # 0-based index 2 = 1-based [3] (SortedSetSelector.kt:321 n >>> 1)
+    o["dv_middle_sort"] = """
+WITH k AS (
+  SELECT doc_id,
+         list_sort([doc_id % 7 * 3, doc_id % 11 * 2, doc_id % 13, doc_id % 5])[3]::BIGINT AS mid
+  FROM documents)
+SELECT doc_id, mid FROM k ORDER BY mid, doc_id LIMIT 20"""
+
+    o["multiterm_prefix_dv"] = (
+        _PRELUDE + "SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'sc%'"
+    )
 
     # indexed-shape relation rows: the docs are axis-aligned rectangles, so
     # the tessellated-triangle evaluation must reduce EXACTLY to encoded-grid

@@ -873,6 +873,8 @@ class IndexSearcher:
         """doc_ids matching q (ScoreMode.NO_SCORES path). ``dedup=False``
         skips the distinct() shuffle — safe whenever the result feeds a
         semi/anti join, which dedups implicitly."""
+        if getattr(q, "rewrite_method", None) == "doc_values":
+            return self._docvalues_docset(q)
         pred = self._term_pred(q)
         if pred is not None:
             return self._docs_for_term_filter(pred, dedup)
@@ -947,6 +949,33 @@ class IndexSearcher:
 
         out = rows.mapInPandas(gen, schema="doc_id long")
         return out.distinct() if dedup else out
+
+    def _docvalues_docset(self, q: Query) -> DataFrame:
+        """DocValuesRewriteMethod (search/DocValuesRewriteMethod.kt): evaluate
+        a multi-term query through the DOCVALUES access path instead of
+        postings — the reference runs the automaton over the field's
+        SORTED_SET docvalues TermsEnum, collects accepted ords into a bitset,
+        and matches docs whose per-doc ord list intersects it. The engine's
+        per-doc sorted-set view of an analyzed field is the term-vector
+        forward index (``build_index(term_vectors=True)`` — one row per
+        (doc_id, term)), so the rewrite is ONE predicate-pushed scan of that
+        table: the term predicate prunes Parquet row groups (the ord-bitset
+        analog) and the distinct doc_ids come back without touching postings.
+        RegexpQuery keeps its term-dict DFA expansion first (the reference
+        also enumerates the terms dictionary) and pushes the matched set as
+        an ``isin``. Match parity with the postings form is guaranteed by
+        construction — both derive from the same tokenize pass."""
+        if self.index.term_vectors is None:
+            raise ValueError(
+                "doc_values rewrite needs the docvalues access path — build "
+                "the index with term_vectors=True (the per-doc sorted-set view)"
+            )
+        pred = self._term_pred(q)
+        if pred is None:
+            raise NotImplementedError(
+                f"doc_values rewrite does not apply to {type(q).__name__}"
+            )
+        return self.index.term_vectors.filter(pred).select("doc_id").distinct()
 
     def _regexp_terms(self, q: RegexpQuery) -> list[str]:
         """Expand a Lucene-syntax regexp (RegExp.kt grammar — union,
@@ -1070,6 +1099,12 @@ class IndexSearcher:
             return self._exec_phrase(q)
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery)):
             rw = getattr(q, "rewrite_method", "constant_score")
+            if rw == "doc_values":
+                # DocValuesRewriteMethod (search/DocValuesRewriteMethod.kt):
+                # constant-score over the docvalues access path
+                return self._docvalues_docset(q).withColumn(
+                    "score", F.lit(float(getattr(q, "boost", 1.0))).cast("double")
+                )
             if rw in ("constant_score", "constant_score_blended"):
                 # CONSTANT_SCORE[_BLENDED] rewrite (MultiTermQuery.kt:21-70,
                 # :247): match set, score = boost — the default
@@ -2167,6 +2202,17 @@ class IndexSearcher:
                 key = F.array_min(key)
             elif sf.selector == "max":
                 key = F.array_max(key)
+            elif sf.selector in ("middle_min", "middle_max"):
+                # SortedSetSelector.Type MIDDLE_MIN/MIDDLE_MAX
+                # (search/SortedSetSelector.kt:256,321): over the doc's
+                # ASCENDING value list, pick index (n-1)>>>1 / n>>>1 —
+                # the lower/upper middle (equal for odd n). element_at is
+                # 1-based; greatest(...,1) keeps the empty-array branch
+                # (NULL via the when guard) from building index 0.
+                srt = F.array_sort(key)
+                half = F.size(srt) - F.lit(1) if sf.selector == "middle_min" else F.size(srt)
+                idx = F.greatest(F.floor(half / F.lit(2)).cast("int") + F.lit(1), F.lit(1))
+                key = F.when(F.size(srt) > 0, F.element_at(srt, idx)).otherwise(F.lit(None))
             name = sf.name or sf.column or f"sort_key_{i}"
             joined = joined.withColumn(name, key)
             out_names.append(name)

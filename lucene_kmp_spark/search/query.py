@@ -68,9 +68,11 @@ class PrefixQuery(Query):
     prefix: str
     boost: float = 1.0
     # MultiTermQuery.RewriteMethod (MultiTermQuery.kt:247 CONSTANT_SCORE_BLENDED
-    # default; ScoringRewrite.kt:152 SCORING_BOOLEAN; TopTermsRewrite.kt):
+    # default; ScoringRewrite.kt:152 SCORING_BOOLEAN; TopTermsRewrite.kt;
+    # DocValuesRewriteMethod.kt):
     # "constant_score" | "scoring_boolean" | "constant_score_boolean" |
-    # "top_terms_scoring_boolean" | "top_terms_blended_freqs" | "top_terms_boost"
+    # "top_terms_scoring_boolean" | "top_terms_blended_freqs" |
+    # "top_terms_boost" | "doc_values" (needs term_vectors=True at build)
     rewrite_method: str = "constant_score"
     rewrite_size: int = 50  # top-terms PQ size (capped at MAX_CLAUSE_COUNT)
 
@@ -331,7 +333,9 @@ class SortField:
     selectors). ``column`` names a stored/doc-value column; ``expr`` is a SQL
     expression instead (the CUSTOM sort type — Catalyst evaluates it);
     ``selector`` picks min/max from a multi-valued (array) column
-    (SortedNumericSelector.Type MIN/MAX); ``missing_last`` forces docs with
+    (SortedNumericSelector.Type MIN/MAX) or the lower/upper middle value
+    ("middle_min"/"middle_max" — SortedSetSelector.Type MIDDLE_MIN/
+    MIDDLE_MAX over the ascending value list); ``missing_last`` forces docs with
     null keys to the end regardless of direction (the missingValue
     first/last policy — arbitrary sentinel missing values reduce to a
     COALESCE in ``expr``)."""
@@ -339,7 +343,7 @@ class SortField:
     column: str | None = None
     ascending: bool = True
     missing_last: bool | None = None
-    selector: str | None = None  # None | "min" | "max"
+    selector: str | None = None  # None | "min" | "max" | "middle_min" | "middle_max"
     expr: str | None = None
     name: str | None = None  # output column alias (required for expr sorts)
 

@@ -364,7 +364,7 @@ class SegmentedIndexWriter:
     # --------------------------------------------------------------- reader
     def reader(
         self, snapshot: str | None = None, include_soft_deleted: bool = False,
-        prune_query=None,
+        prune_query=None, committed: bool = False,
     ) -> "SegmentedReader":
         """Point-in-time reader over the current commit, or over a pinned
         snapshot's manifest (SnapshotDeletionPolicy.getSnapshot view).
@@ -376,8 +376,20 @@ class SegmentedIndexWriter:
         postings/docs union entirely (their parquet never enters the scan).
         Collection and term statistics still aggregate over ALL segments, so
         scores are identical to the unpruned reader; the contract is that
-        the searcher is used for (subqueries of) ``prune_query`` only."""
-        m = self._snapshot_manifest(snapshot) if snapshot else self.manifest()
+        the searcher is used for (subqueries of) ``prune_query`` only.
+
+        ``committed=True`` opens the LAST COMMIT (DirectoryReader.open(
+        Directory) — two-phase commit visibility) instead of the NRT working
+        state; raises if the index was never committed
+        (IndexNotFoundException semantics)."""
+        if committed:
+            m = self.last_commit()
+            if m is None:
+                raise FileNotFoundError(
+                    "no commit in index (IndexNotFoundException): call commit() first"
+                )
+        else:
+            m = self._snapshot_manifest(snapshot) if snapshot else self.manifest()
         return SegmentedReader(
             self.spark, self.root, m, self.text_col, self.key_cols,
             include_soft_deleted=include_soft_deleted, prune_query=prune_query,
@@ -627,12 +639,89 @@ class SegmentedIndexWriter:
         with open(os.path.join(self.root, "snapshots", snap_id + ".json")) as f:
             return json.load(f)
 
+    # --------------------------------------------------- two-phase commit
+    # index/TwoPhaseCommit.kt + IndexWriter.prepareCommit/commit/rollback:
+    # the working manifest (manifest.json) is the NRT view every mutation
+    # updates; commit.json is the durable segments_N the two-phase protocol
+    # promotes atomically. reader(committed=True) = DirectoryReader.open(
+    # Directory) — only the last commit; the default reader stays the
+    # open(IndexWriter) NRT view.
+    def _commit_path(self) -> str:
+        return os.path.join(self.root, "commit.json")
+
+    def _pending_path(self) -> str:
+        return os.path.join(self.root, "commit.pending.json")
+
+    def prepare_commit(self, commit_data: dict | None = None) -> int:
+        """First phase (TwoPhaseCommit.prepareCommit): freeze the CURRENT
+        working state as the pending commit — all the expensive work (the
+        segments themselves) already sits durably under ``segments/``, so
+        this writes only the pending manifest (the fsync-without-rename of
+        Lucene's prepareCommit). Mutations after prepare are NOT part of the
+        eventual commit, exactly like the reference. ``commit_data`` is the
+        setLiveCommitData userData map, stored in the commit."""
+        if os.path.exists(self._pending_path()):
+            raise RuntimeError(
+                "prepareCommit was already called with no corresponding call to commit"
+            )
+        m = self.manifest()
+        if commit_data is not None:
+            m["commit_data"] = commit_data
+        tmp = self._pending_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._pending_path())
+        return int(m["generation"])
+
+    def commit(self, commit_data: dict | None = None) -> int:
+        """Second phase (TwoPhaseCommit.commit): promote the pending
+        manifest to commit.json with one atomic rename — "very little work"
+        per the contract. Without a prior :meth:`prepare_commit` this
+        prepares and finishes in one call (IndexWriter.commit())."""
+        if not os.path.exists(self._pending_path()):
+            self.prepare_commit(commit_data)
+        with open(self._pending_path()) as f:
+            gen = int(json.load(f)["generation"])
+        os.replace(self._pending_path(), self._commit_path())
+        return gen
+
+    def rollback(self) -> None:
+        """TwoPhaseCommit.rollback / IndexWriter.rollback: discard every
+        change since the last successful commit — the working manifest is
+        restored from commit.json (or to empty if never committed), any
+        pending commit is dropped, and segment directories the restored
+        state no longer references are purged (snapshot pins still hold)."""
+        if os.path.exists(self._pending_path()):
+            os.remove(self._pending_path())
+        if os.path.exists(self._commit_path()):
+            with open(self._commit_path()) as f:
+                self._write_manifest(json.load(f))
+        else:
+            self._write_manifest(
+                {"generation": 0, "segments": [], "deletes": [], "batches": {}}
+            )
+        self.purge_unreferenced()
+
+    def last_commit(self) -> dict | None:
+        """The last committed manifest (segments_N content), or None."""
+        if not os.path.exists(self._commit_path()):
+            return None
+        with open(self._commit_path()) as f:
+            return json.load(f)
+
     def purge_unreferenced(self) -> list[str]:
         """IndexDeletionPolicy enforcement (KeepOnlyLastCommitDeletionPolicy.kt
         + snapshot pins): delete segment directories referenced by neither
-        the current manifest nor any live snapshot. Merged-away segments
-        stay on disk until this runs — snapshots keep them recoverable."""
+        the current manifest, the last commit / pending commit, nor any live
+        snapshot. Merged-away segments stay on disk until this runs —
+        snapshots keep them recoverable."""
         referenced = {s["id"] for s in self.manifest()["segments"]}
+        for extra in (self.last_commit(),):
+            if extra is not None:
+                referenced |= {s["id"] for s in extra["segments"]}
+        if os.path.exists(self._pending_path()):
+            with open(self._pending_path()) as f:
+                referenced |= {s["id"] for s in json.load(f)["segments"]}
         for snap_id in self.snapshots():
             referenced |= {s["id"] for s in self._snapshot_manifest(snap_id)["segments"]}
         removed = []
@@ -765,3 +854,52 @@ class SegmentedReader:
         from lucene_kmp_spark.search.executor import IndexSearcher
 
         return IndexSearcher(self.index, live_filter=self.deleted, **kw)
+
+
+# --------------------------------------------------------- TwoPhaseCommitTool
+class PrepareCommitFailError(IOError):
+    """index/TwoPhaseCommitTool.kt PrepareCommitFailException."""
+
+    def __init__(self, cause: BaseException, obj):
+        super().__init__(f"prepareCommit() failed on {obj!r}")
+        self.__cause__ = cause
+        self.obj = obj
+
+
+class CommitFailError(IOError):
+    """index/TwoPhaseCommitTool.kt CommitFailException."""
+
+    def __init__(self, cause: BaseException, obj):
+        super().__init__(f"commit() failed on {obj!r}")
+        self.__cause__ = cause
+        self.obj = obj
+
+
+def execute_two_phase(*objects) -> None:
+    """TwoPhaseCommitTool.execute: run a 2-phase commit over several
+    participants (anything with prepare_commit/commit/rollback — e.g. a
+    :class:`SegmentedIndexWriter` plus a side store, the cross-system
+    atomicity the protocol exists for). All participants prepare first; only
+    if every prepare succeeds do they commit. Any failure in either phase
+    rolls back EVERY participant (rollback exceptions swallowed, like the
+    reference) and raises :class:`PrepareCommitFailError` /
+    :class:`CommitFailError`. ``None`` entries are skipped."""
+
+    def _rollback_all():
+        for tpc in objects:
+            if tpc is not None:
+                try:
+                    tpc.rollback()
+                except BaseException:
+                    pass  # ensure every participant gets rolled back
+
+    for phase, err in (("prepare_commit", PrepareCommitFailError), ("commit", CommitFailError)):
+        tpc = None
+        try:
+            for obj in objects:
+                tpc = obj
+                if obj is not None:
+                    getattr(obj, phase)()
+        except BaseException as t:
+            _rollback_all()
+            raise err(t, tpc) from t

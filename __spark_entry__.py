@@ -965,6 +965,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = q_ann
 
+    def q_ann_quantized(spark, sf_dir):
+        # int8 scalar-quantized tier (pipeline/quantize.py): normalized
+        # codes, corrected-integer-dot candidates (4x oversample), exact
+        # float-cosine rescore — the 4x-less-IO ANN scan path
+        from lucene_kmp_spark.pipeline.quantize import quantize_params, quantized_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        params = quantize_params(emb)
+        qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        return quantized_topk(emb.filter(F.col("vec_id") != 0), qvec, params, k=10, rescore=4)
+
+    q["ann_quantized_topk"] = q_ann_quantized
+
     def q_knn_cosine(spark, sf_dir):
         # KnnFloatVectorQuery surface (search/knn.py): exact cosine top-k
         # with the reference's non-negative (1+cos)/2 mapping
@@ -4116,6 +4129,40 @@ FROM scored QUALIFY rank <= 10
 
     # full-probe IVF is exactly brute force — same oracle
     o["ann_ivf_full_probe"] = o["ann_cosine_topk"]
+
+    # scalar-quantized tier: replay normalize -> [min,max] interval ->
+    # half-up codes -> corrected integer candidate key (s^2*ID + mn*s*S_d)
+    # -> 40-candidate cut -> exact-cosine rescore, op for op
+    o["ann_quantized_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+  FROM embeddings e, q
+),
+nrms AS (SELECT vec_id, sqrt(sum(a * a)) AS nv FROM pairs GROUP BY vec_id),
+qn AS (SELECT sqrt(sum(b * b)) AS nq FROM (SELECT unnest(qv)::DOUBLE AS b FROM q)),
+pr AS (SELECT min(a / nv) AS mn, max(a / nv) AS mx
+       FROM pairs JOIN nrms USING (vec_id)),
+sc AS (SELECT mn, (mx - mn) / 255.0 AS s FROM pr),
+codes AS (
+  SELECT p.vec_id,
+         least(255, greatest(0, floor((a / nv - mn) / s + 0.5)))::BIGINT AS ca,
+         least(255, greatest(0, floor((b / nq - mn) / s + 0.5)))::BIGINT AS cb,
+         a, b
+  FROM pairs p JOIN nrms USING (vec_id), sc, qn
+  WHERE p.vec_id != 0
+),
+agg AS (SELECT vec_id, sum(ca * cb) AS idot, sum(ca) AS sd,
+               sum(a * b) AS dot, sum(a * a) AS na
+        FROM codes GROUP BY vec_id),
+cand AS (SELECT vec_id, dot, na FROM agg, sc
+         ORDER BY s * s * idot + mn * s * sd DESC, vec_id ASC LIMIT 40),
+scored AS (SELECT vec_id, floor(dot / (sqrt(na) * nq) * 10000) / 10000 AS score
+           FROM cand, qn)
+SELECT vec_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 10
+"""
 
     # partial probe with FIXED data-vector centroids (vec_id 1..8, engine
     # list idx = cid-1): assignment = argmax cosine (tie -> higher idx, the

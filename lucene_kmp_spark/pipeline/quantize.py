@@ -1,0 +1,190 @@
+"""Scalar-quantized vector search: the int8-codes IO tier for ANN at scale.
+
+Upstream Lucene stores vectors scalar-quantized (Lucene99ScalarQuantizedVectorsFormat
+/ ScalarQuantizer: a per-segment [min, max] interval maps each float component
+to a small integer code; COSINE vectors are L2-normalized first so quantized
+dot ~ cosine, and search scores codes with affine correction terms, optionally
+RESCORING top candidates against the raw floats). The reference repo ports the
+float HNSW surface only, but at 100 TB this tier is where the IO goes: int8
+codes are 4x smaller than float32, so the candidate-generation scan reads a
+quarter of the bytes — and the candidate key here reduces to two INTEGER
+sums per doc (exact, associative, partition-order-independent) combined with
+fixed double coefficients, so candidate sets are bit-deterministic across
+engines and cluster sizes.
+
+Math: with codes c = clamp(floor((x_norm - mn)/s + 0.5)) the dequantized
+component is mn + c*s, so the dequantized dot of doc d against query q is
+
+    dot = n*mn^2 + mn*s*(S_d + S_q) + s^2 * ID     where
+    ID  = sum_i c_d[i]*c_q[i]   (integer),  S_d = sum_i c_d[i]  (integer)
+
+Terms without d are rank-constant, so the candidate ORDER key is
+``s^2 * ID + mn*s * S_d`` — two exact integers scaled by shared literals
+(ScalarQuantizedVectorSimilarity's offset-correction algebra).
+
+Plan shape (all JVM column expressions — no Python in the scan):
+
+1. ``quantize_params`` — one aggregate for the global [min, max] interval of
+   the NORMALIZED components (the deterministic whole-data form of
+   ScalarQuantizer's sampled confidence interval).
+2. ``scalar_quantize`` — codes as a ``transform`` over the vector column;
+   write the codes column (4x smaller) and keep floats for rescoring.
+3. ``quantized_topk`` — stage 1 ranks by the corrected integer key above and
+   keeps ``rescore``·k candidates; stage 2 joins the (tiny, broadcast)
+   candidate set back to the raw float vectors and orders by exact cosine.
+   TakeOrderedAndProject at both stages.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _unit_expr(vec_col: str):
+    """L2-normalize in explicit double arithmetic (sequential in-array fold,
+    replayable in any engine): x / sqrt(sum x^2)."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+
+
+def quantize_params(df: DataFrame, vec_col: str = "embedding", bits: int = 8) -> dict:
+    """Global quantization interval over the NORMALIZED components: one
+    aggregate (exact min/max — deterministic). Returns {"min", "max",
+    "scale", "bits"} as python doubles; embed them as literals on every
+    engine that must agree."""
+    unit = _unit_expr(vec_col)
+    row = df.select(
+        F.min(F.array_min(unit)).alias("mn"), F.max(F.array_max(unit)).alias("mx")
+    ).collect()[0]
+    mn, mx = float(row["mn"]), float(row["mx"])
+    levels = (1 << bits) - 1
+    scale = (mx - mn) / levels if mx > mn else 1.0
+    return {"min": mn, "max": mx, "scale": scale, "bits": bits}
+
+
+def quantize_code_expr(vec_col: str, params: dict):
+    """codes = clamp_{0..2^bits-1}(floor((x_norm - min)/scale + 0.5)) as an
+    array<int> column expression (half-up rounding in explicit double
+    arithmetic)."""
+    mn, scale = params["min"], params["scale"]
+    maxq = (1 << params["bits"]) - 1
+    return F.transform(
+        _unit_expr(vec_col),
+        lambda x: F.least(
+            F.lit(maxq),
+            F.greatest(
+                F.lit(0),
+                F.floor((x - F.lit(mn)) / F.lit(scale) + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+
+
+def scalar_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    params: dict | None = None,
+    bits: int = 8,
+) -> tuple[DataFrame, dict]:
+    """Attach the int-codes column. At write time persist the codes (and
+    drop the float column from the hot path) — the candidate scan then reads
+    1/4 of the bytes; the float column is fetched only for the rescore join."""
+    params = params or quantize_params(df, vec_col, bits)
+    return df.withColumn(codes_col, quantize_code_expr(vec_col, params)), params
+
+
+def quantize_vector(vec, params: dict) -> list[int]:
+    """Driver-side twin of :func:`quantize_code_expr` for the query vector
+    (normalize, then code)."""
+    mn, scale = params["min"], params["scale"]
+    maxq = (1 << params["bits"]) - 1
+    nrm = 0.0
+    for x in vec:
+        nrm += float(x) * float(x)
+    nrm = math.sqrt(nrm)
+    return [
+        min(maxq, max(0, int(math.floor((float(x) / nrm - mn) / scale + 0.5))))
+        for x in vec
+    ]
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_vec,
+    params: dict,
+    k: int = 10,
+    rescore: int = 4,
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage quantized search: corrected-integer-dot candidates, exact
+    float-cosine rescore. Returns (id, score, rank) for the top ``k``;
+    candidate stage keeps ``rescore * k`` rows (Lucene's oversample-then-
+    rescore knob). Stage-1 ordering is (key desc, id asc) with the key built
+    from two exact per-doc integers, so the candidate cut is identical on
+    any partitioning/engine. Stage 2 only touches ``rescore*k`` rows: the
+    join back to the float vectors is broadcast-sized by construction."""
+    qcodes = quantize_vector(query_vec, params)
+    mn, s = params["min"], params["scale"]
+    codes = F.col(codes_col) if codes_col in df.columns else quantize_code_expr(vec_col, params)
+    qarr = F.array(*[F.lit(int(c)) for c in qcodes])
+    int_dot = F.aggregate(
+        F.zip_with(codes, qarr, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    code_sum = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    # rank-constant terms (n*mn^2, mn*s*S_q) dropped; coefficients are shared
+    # double literals over exact integers -> engine-independent ordering
+    key = F.lit(s * s) * int_dot.cast("double") + F.lit(mn * s) * code_sum.cast("double")
+    cands = (
+        df.select(F.col(id_col), key.alias("qkey"))
+        .orderBy(F.desc("qkey"), F.asc(id_col))
+        .limit(int(rescore) * int(k))
+    )
+    qn = 0.0
+    for x in query_vec:
+        qn += float(x) * float(x)
+    qn = math.sqrt(qn)
+    qf = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), qf, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    rescored = (
+        F.broadcast(cands)
+        .join(df.select(id_col, vec_col), id_col)
+        .select(F.col(id_col), (dot / (nrm * F.lit(qn))).alias("cosine"))
+        # floor-quantize the reported score so cross-engine float noise in
+        # the double reductions can't flip equal-score ranks
+        .withColumn("score", F.floor(F.col("cosine") * 10000) / 10000)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select(F.col(id_col), "score", "rank")
+    )

@@ -1,0 +1,131 @@
+"""Scalar-quantized vector search (pipeline/quantize.py): code correctness,
+scalar-model parity for both stages, partition invariance, and rescore
+recall vs exact brute force."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_kmp_spark.pipeline.quantize import (
+    quantize_params,
+    quantize_vector,
+    quantized_topk,
+    scalar_quantize,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(11)
+    rows = [(int(i), [float(x) for x in rng.randn(16).astype(np.float32)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist()
+    df.count()
+    return df, rows
+
+
+def _model_codes(v, params):
+    mn, sc, maxq = params["min"], params["scale"], (1 << params["bits"]) - 1
+    nrm = 0.0
+    for x in v:
+        nrm += float(x) * float(x)
+    nrm = math.sqrt(nrm)
+    return [
+        min(maxq, max(0, int(math.floor((float(x) / nrm - mn) / sc + 0.5)))) for x in v
+    ]
+
+
+def _model_topk(rows, params, q, k=10, rescore=4):
+    """Independent scalar model of the two-stage search."""
+    qc = quantize_vector(q, params)
+    mn, sc = params["min"], params["scale"]
+
+    def key(v):
+        cs = _model_codes(v, params)
+        idot = sum(a * b for a, b in zip(cs, qc))
+        return sc * sc * float(idot) + mn * sc * float(sum(cs))
+
+    cand = sorted(((key(v), i) for i, v in rows), key=lambda t: (-t[0], t[1]))[: rescore * k]
+    qn = math.sqrt(sum(float(x) * float(x) for x in q))
+    out = []
+    by_id = dict(rows)
+    for _, i in cand:
+        v = by_id[i]
+        dot = 0.0
+        na = 0.0
+        for a, b in zip(v, q):
+            dot += float(a) * float(b)
+            na += float(a) * float(a)
+        s = math.floor(dot / (math.sqrt(na) * qn) * 10000) / 10000
+        out.append((i, s))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return [(i, s, r + 1) for r, (i, s) in enumerate(out[:k])]
+
+
+def test_codes_bounded_and_accurate(vecs):
+    df, rows = vecs
+    qdf, params = scalar_quantize(df)
+    got = {r["vec_id"]: r["codes"] for r in qdf.select("vec_id", "codes").collect()}
+    maxq = (1 << params["bits"]) - 1
+    for i, v in rows[:50]:
+        cs = got[i]
+        assert all(0 <= c <= maxq for c in cs)
+        # dequantization error vs the NORMALIZED component bounded by a half-step
+        nrm = math.sqrt(sum(float(x) * float(x) for x in v))
+        for c, x in zip(cs, v):
+            deq = params["min"] + c * params["scale"]
+            assert abs(deq - float(x) / nrm) <= params["scale"] / 2 + 1e-9
+        assert cs == quantize_vector(v, params)  # driver twin agrees
+
+
+def test_quantized_topk_matches_scalar_model(vecs):
+    df, rows = vecs
+    params = quantize_params(df)
+    q = rows[0][1]
+    got = [
+        (r["vec_id"], r["score"], r["rank"])
+        for r in quantized_topk(df.filter("vec_id != 0"), q, params, k=10).collect()
+    ]
+    exp = _model_topk([r for r in rows if r[0] != 0], params, q, k=10)
+    assert [(i, r) for i, _, r in got] == [(i, r) for i, _, r in exp]
+    for (gi, gs, _), (ei, es, _) in zip(got, exp):
+        assert gi == ei and abs(gs - es) < 1e-9
+
+
+def test_partition_invariance(vecs):
+    df, rows = vecs
+    params = quantize_params(df)
+    q = rows[3][1]
+    a = quantized_topk(df.repartition(1), q, params, k=8).collect()
+    b = quantized_topk(df.repartition(13), q, params, k=8).collect()
+    assert [(r["vec_id"], r["score"], r["rank"]) for r in a] == [
+        (r["vec_id"], r["score"], r["rank"]) for r in b
+    ]
+
+
+def test_rescore_recall_vs_exact(vecs):
+    df, rows = vecs
+    params = quantize_params(df)
+    q = rows[0][1]
+    got = {r["vec_id"] for r in quantized_topk(df.filter("vec_id != 0"), q, params, k=10).collect()}
+    qn = np.sqrt(sum(float(x) ** 2 for x in q))
+    exact = sorted(
+        (
+            (-(np.dot(np.array(v, dtype=np.float64), np.array(q, dtype=np.float64)) / (np.linalg.norm(np.array(v, dtype=np.float64)) * qn)), i)
+            for i, v in rows
+            if i != 0
+        )
+    )[:10]
+    exact_ids = {i for _, i in exact}
+    # int8 + 4x oversample keeps ranking quality: near-total overlap with exact
+    assert len(got & exact_ids) >= 8
+
+
+def test_precomputed_codes_column_used(vecs):
+    df, rows = vecs
+    qdf, params = scalar_quantize(df)
+    q = rows[5][1]
+    with_codes = quantized_topk(qdf.filter("vec_id != 5"), q, params, k=5).collect()
+    on_the_fly = quantized_topk(df.filter("vec_id != 5"), q, params, k=5).collect()
+    assert [tuple(r) for r in with_codes] == [tuple(r) for r in on_the_fly]

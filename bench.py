@@ -325,6 +325,13 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
         similarity.lsh_near_dup_pairs(emb, threshold=0.4, n_planes=3).count()
         times["p_lsh_near_dup"] = round(time.perf_counter() - t, 3)
 
+        from lucene_kmp_spark.pipeline import quantize as _qz
+
+        t = time.perf_counter()
+        qparams = _qz.quantize_params(emb)
+        _qz.quantized_topk(emb, qvec, qparams, k=10, rescore=4).collect()
+        times["p_ann_quantized"] = round(time.perf_counter() - t, 3)
+
     # capped at 2,500 docs: the synthetic corpus is pathologically
     # near-dup-dense (~1M true >=0.9-jaccard pairs in 5k docs at sf0.1), so
     # the uncapped row measures the corpus, not the operator. 4 rows/band

@@ -188,3 +188,38 @@ def quantized_topk(
         .filter(F.col("rank") <= int(k))
         .select(F.col(id_col), "score", "rank")
     )
+
+
+def ivf_quantized_topk(
+    df: DataFrame,
+    query_vec,
+    centroids: list,
+    params: dict,
+    k: int = 10,
+    n_probe: int = 4,
+    rescore: int = 4,
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full scale path composed: IVF partition pruning × int8 codes ×
+    rescore. Over a table written by ``similarity.ivf_write_assigned`` (and
+    carrying a persisted ``codes`` column) the stage-1 scan reads
+    ~``n_probe/n_lists`` of the files (partition pruning on ``_list``) and a
+    quarter of the bytes within them (codes, not floats) — IO shrinks
+    multiplicatively; stage 2 rescoring stays O(k). Without ``_list`` the
+    assignment is computed on the fly (verification scale only), identical
+    results by construction."""
+    from lucene_kmp_spark.pipeline.similarity import ivf_assign_col, nearest_lists
+
+    probe_lists = nearest_lists(query_vec, centroids, n_probe)
+    assigned = (
+        df
+        if "_list" in df.columns
+        else df.withColumn("_list", ivf_assign_col(vec_col, centroids))
+    )
+    probe = assigned.filter(F.col("_list").isin(probe_lists))
+    return quantized_topk(
+        probe, query_vec, params, k=k, rescore=rescore,
+        vec_col=vec_col, codes_col=codes_col, id_col=id_col,
+    )

@@ -129,3 +129,40 @@ def test_precomputed_codes_column_used(vecs):
     with_codes = quantized_topk(qdf.filter("vec_id != 5"), q, params, k=5).collect()
     on_the_fly = quantized_topk(df.filter("vec_id != 5"), q, params, k=5).collect()
     assert [tuple(r) for r in with_codes] == [tuple(r) for r in on_the_fly]
+
+
+def test_ivf_quantized_composition(spark, vecs, tmp_path):
+    """IVF probe pruning x quantized candidates: identical to quantized_topk
+    restricted to the probed lists, and the persisted form prunes partitions
+    (PartitionFilters on _list in the scan)."""
+    from lucene_kmp_spark.pipeline.quantize import ivf_quantized_topk
+    from lucene_kmp_spark.pipeline.similarity import ivf_write_assigned, nearest_lists
+
+    df, rows = vecs
+    params = quantize_params(df)
+    centroids = [rows[i][1] for i in (1, 2, 3, 4)]
+    q = rows[0][1]
+    got = ivf_quantized_topk(df, q, centroids, params, k=5, n_probe=2).collect()
+    # reference: same probe filter spelled out, then plain quantized_topk
+    from lucene_kmp_spark.pipeline.similarity import ivf_assign_col
+
+    lists = nearest_lists(q, centroids, 2)
+    manual = quantized_topk(
+        df.withColumn("_list", ivf_assign_col("embedding", centroids)).filter(
+            F.col("_list").isin(lists)
+        ),
+        q,
+        params,
+        k=5,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in manual]
+
+    # write-time form: codes + _list persisted, partition pruning visible
+    qdf, _ = scalar_quantize(df, params=params)
+    path = str(tmp_path / "ivf_codes")
+    ivf_write_assigned(qdf, centroids, path)
+    stored = spark.read.parquet(path)
+    res = ivf_quantized_topk(stored, q, centroids, params, k=5, n_probe=2)
+    assert [tuple(r) for r in res.collect()] == [tuple(r) for r in got]
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_list" in plan.split("PartitionFilters")[1][:200]

@@ -16,6 +16,8 @@ naive oracle.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
 import numpy as np
@@ -97,6 +99,37 @@ _INDEX_CACHE: dict[str, object] = {}
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _cached_root(root: str, marker_name: str, build) -> None:
+    """Build an on-disk fixture index exactly once, race-safe: the builder
+    claims the root with one atomic ``mkdir`` and writes ``marker_name``
+    when done; a concurrent process (e.g. a driver run beside a pytest run)
+    that loses the claim WAITS for the marker instead of writing into the
+    same directories — two interleaved Spark writers sharing a segment dir
+    double its parquet files. A stale claim (crashed builder: directory but
+    no marker appearing) is torn down and rebuilt after the wait expires."""
+    import time as _time
+
+    marker = os.path.join(root, marker_name)
+    if os.path.exists(marker):
+        return
+    try:
+        os.makedirs(root)
+        claimed = True
+    except FileExistsError:
+        claimed = False
+    if not claimed:
+        for _ in range(300):
+            if os.path.exists(marker):
+                return
+            _time.sleep(1)
+        # stale partial build — take it over
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+    build()
+    with open(marker, "w") as fh:
+        fh.write("ok")
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
@@ -1119,9 +1152,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         path = os.path.join(
             tempfile.gettempdir(), "spark_graft_ivf_probe2_" + sf_dir.strip("/").replace("/", "_")
         )
-        if not os.path.isdir(path):
-            ivf_write_assigned(emb.filter(F.col("vec_id") != 0), cents, path)
-        assigned = spark.read.parquet(path)
+        # the partitioned table is written under a subdir so the claim
+        # marker never collides with Spark's own output files
+        _cached_root(
+            path,
+            "_ivf_ok",
+            lambda: ivf_write_assigned(
+                emb.filter(F.col("vec_id") != 0), cents, os.path.join(path, "data")
+            ),
+        )
+        assigned = spark.read.parquet(os.path.join(path, "data"))
         # k=50 pre-cut by raw cosine, final cut by the quantized rank — keeps
         # the top-10 boundary independent of sub-quantization float noise
         scored = ivf_topk(assigned, qvec, cents, k=50, n_probe=2).select(
@@ -1564,18 +1604,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         root = os.path.join(
             tempfile.gettempdir(), "spark_graft_seg_" + sf_dir.strip("/").replace("/", "_")
         )
-        done = os.path.join(root, "_merged_ok")
-        if not os.path.exists(done):
-            shutil.rmtree(root, ignore_errors=True)
+        def _build():
             w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
             base = _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id")
             for i in range(3):
                 w.add_batch(base.filter(F.col("orig_id") % 3 == i), batch_key=f"b{i}")
             w.merge(w.manifest()["segments"])
-            with open(done, "w") as fh:
-                fh.write("ok")
-        else:
-            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+
+        _cached_root(root, "_merged_ok", _build)
+        w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
         reader = w.reader()
         s = reader.searcher(dtype=np.float64)
         scored = s.execute(TermQuery("merge"))
@@ -1601,19 +1638,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         root = os.path.join(
             tempfile.gettempdir(), "spark_graft_bloom_" + sf_dir.strip("/").replace("/", "_")
         )
-        done = os.path.join(root, "_bloom_ok")
-        if not os.path.exists(done):
-            shutil.rmtree(root, ignore_errors=True)
+        def _build():
             w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
             base = _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id")
             has = F.array_contains(F.split(F.col("text"), " "), "dup")
             w.add_batch(base.filter(has), batch_key="b0")
             w.add_batch(base.filter(~has & (F.col("orig_id") % 2 == 0)), batch_key="b1")
             w.add_batch(base.filter(~has & (F.col("orig_id") % 2 == 1)), batch_key="b2")
-            with open(done, "w") as fh:
-                fh.write("ok")
-        else:
-            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+
+        _cached_root(root, "_bloom_ok", _build)
+        w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
         reader = w.reader(prune_query=TermQuery("dup"))
         s = reader.searcher(dtype=np.float64)
         scored = s.execute(TermQuery("dup"))
@@ -1638,19 +1672,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         root = os.path.join(
             tempfile.gettempdir(), "spark_graft_softdel_" + sf_dir.strip("/").replace("/", "_")
         )
-        done = os.path.join(root, "_soft_ok")
-        if not os.path.exists(done):
-            shutil.rmtree(root, ignore_errors=True)
+        def _build():
             w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
             base = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000).withColumnRenamed(
                 "doc_id", "orig_id"
             )
             w.add_batch(base, batch_key="b0")
             w.soft_delete_by_keys(base.filter(F.col("orig_id") % 7 == 0).select("orig_id"))
-            with open(done, "w") as fh:
-                fh.write("ok")
-        else:
-            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+
+        _cached_root(root, "_soft_ok", _build)
+        w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
         reader = w.reader()
         s = reader.searcher()
         hits = s.execute(TermQuery("merge")).select("doc_id")
@@ -1676,9 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         root = os.path.join(
             tempfile.gettempdir(), "spark_graft_dvu_" + sf_dir.strip("/").replace("/", "_")
         )
-        done = os.path.join(root, "_dvu_ok")
-        if not os.path.exists(done):
-            shutil.rmtree(root, ignore_errors=True)
+        def _build():
             w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
             base = (
                 _docs(spark, sf_dir)
@@ -1693,10 +1722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 777,
                 query=BooleanQuery.build(must=(TermQuery("merge"), TermQuery("sort"))),
             )
-            with open(done, "w") as fh:
-                fh.write("ok")
-        else:
-            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+
+        _cached_root(root, "_dvu_ok", _build)
+        w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
         reader = w.reader()
         return reader.index.docs.select(F.col("orig_id").alias("doc_id"), "views")
 

@@ -58,3 +58,32 @@ def test_errors_propagate(spark):
 
     with pytest.raises(RuntimeError, match="inner failure"):
         run_with_time_limit(spark, boom, timeout_sec=5.0)
+
+
+def test_knn_under_time_limit(spark, idx):
+    """TimeLimitingKnnCollectorManager composition (search/
+    TimeLimitingKnnCollectorManager.kt): a knn query runs under the same
+    job-group budget machinery — in budget it returns the exact top-k,
+    over budget it cancels and raises."""
+    import numpy as np
+
+    from lucene_kmp_spark.search.knn import knn_topk
+
+    rng = np.random.RandomState(3)
+    vecs = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.randn(8)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in rng.randn(8)]
+    direct = knn_topk(vecs, q, k=5, id_col="vec_id").collect()
+    timed = run_with_time_limit(spark, lambda: knn_topk(vecs, q, k=5, id_col="vec_id").collect(), 120.0)
+    assert [tuple(r) for r in timed] == [tuple(r) for r in direct]
+
+    slow = vecs.withColumn(
+        "embedding",
+        F.udf(lambda v: (time.sleep(2.0), v)[1], "array<float>")(F.col("embedding")),
+    )
+    t0 = time.time()
+    with pytest.raises(TimeExceededError):
+        run_with_time_limit(spark, lambda: knn_topk(slow, q, k=5, id_col="vec_id").collect(), 1.0)
+    assert time.time() - t0 < 60

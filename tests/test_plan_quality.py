@@ -134,3 +134,27 @@ def test_multireader_term_filter_still_pushed(spark, tmp_path_factory):
     assert pushed >= 2, plan[:3000]
     for seg in plan.split("PushedFilters")[1:]:
         assert "term" in seg[:200], seg[:300]
+
+
+def test_doc_values_rewrite_scans_term_vectors_only(spark, tmp_path_factory):
+    """DocValuesRewriteMethod plan shape: the term predicate is pushed into
+    the term-vectors parquet scan, and the postings table never enters the
+    plan (the whole point of the alternate access path)."""
+    from lucene_kmp_spark.search.query import PrefixQuery
+
+    path = str(tmp_path_factory.mktemp("idx") / "disk_tv")
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=30, seed=13))
+    build_index(docs, term_vectors=True).write(path)
+    idx = InvertedIndex.read(spark, path)
+    s = IndexSearcher(idx)
+    df = s.execute(PrefixQuery("sc", rewrite_method="doc_values"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "term_vectors" in plan, plan[:2000]
+    assert "PushedFilters" in plan
+    assert "StartsWith(term" in plan.split("PushedFilters")[1][:300], plan[:2000]
+    # no postings access: every FileScan in the plan reads term_vectors
+    import re
+
+    scans = re.findall(r"FileScan parquet \[[^\]]*\][^\n]*", plan)
+    assert scans and all("term_vectors" in sc or "postings" not in sc for sc in scans)
+    assert not any("/postings" in sc for sc in scans), scans

@@ -67,8 +67,45 @@ def test_dump_is_grepable_text(rt, spark):
     assert len(pos.split(",")) == int(tf)
 
 
-def test_offsets_index_rejected(spark):
-    docs = assign_doc_ids(synth_transcripts(spark, n_convs=3, seed=1))
-    idx = build_index(docs, index_options="offsets")
-    with pytest.raises(NotImplementedError):
-        write_simpletext(idx, "/tmp/should-not-write")
+def test_offsets_payloads_roundtrip(spark, tmp_path):
+    """OFFSETS + PAYLOADS cells round-trip through the text format
+    (SimpleTextFieldsWriter's s/e/pay lines): per-occurrence char offsets
+    and int payloads come back identical, and payload scoring agrees."""
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=8, seed=1)).persist()
+    docs.count()
+    idx = build_index(
+        docs,
+        index_options="offsets",
+        payload_fn=lambda term, pos, start, end: len(term) + pos,
+    )
+    path = str(tmp_path / "st_off")
+    write_simpletext(idx, path)
+    back = read_simpletext(spark, path)
+    assert back.extra["index_options"] == "offsets" and back.extra["has_payloads"]
+
+    def occs(i, term):
+        return sorted(
+            (r["doc_id"], r["position"], r["start_offset"], r["end_offset"])
+            for r in IndexSearcher(i).term_offsets(term).collect()
+        )
+
+    for t in ("hope", "the"):
+        assert occs(idx, t) == occs(back, t) and len(occs(idx, t)) > 0
+
+    def pay(i):
+        return sorted(
+            (r["doc_id"], r["score"])
+            for r in IndexSearcher(i).payload_scores("hope", agg="sum").collect()
+        )
+
+    assert pay(idx) == pay(back) and len(pay(idx)) > 0
+
+    # the sixth field is grep-able start:end pairs, one per occurrence
+    import glob
+
+    part = sorted(glob.glob(os.path.join(path, "postings.pst", "part-*")))[0]
+    with open(part) as f:
+        parts = f.readline().strip().split("\t")
+    assert len(parts) == 7
+    assert all(":" in p for p in parts[5].split(","))
+    assert len(parts[5].split(",")) == int(parts[2]) == len(parts[6].split(","))

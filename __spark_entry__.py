@@ -1011,6 +1011,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_quantized_topk"] = q_ann_quantized
 
+    def q_quality_classifier(spark, sf_dir):
+        """Trainable quality gate (pipeline/classifier.py — the CCNet/FineWeb
+        fastText-shaped linear filter): train on a deterministic
+        real-vs-spammified contrast set, score the corpus map-side.
+        Iterative MLlib training -> rows-only check (the brief's sanctioned
+        non-SQL class, like BPE)."""
+        from lucene_kmp_spark.pipeline.classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        pos = d.filter(F.col("doc_id") < 300).withColumn("label", F.lit(1.0))
+        neg = (
+            d.filter(F.col("doc_id") < 300)
+            .withColumn("doc_id", F.col("doc_id") + 100000)
+            .withColumn(
+                "text",
+                F.concat_ws(
+                    " ", F.array_repeat(F.element_at(F.split(F.col("text"), " "), 1), 25)
+                ),
+            )
+            .withColumn("label", F.lit(0.0))
+        )
+        clf = train_quality_classifier(pos.unionByName(neg), num_features=1 << 14)
+        return score_quality(d, clf).select(
+            "doc_id", F.floor(F.col("quality_prob") * 100).alias("qbin")
+        )
+
+    q["quality_classifier_scores"] = q_quality_classifier
+
     def q_knn_cosine(spark, sf_dir):
         # KnnFloatVectorQuery surface (search/knn.py): exact cosine top-k
         # with the reference's non-negative (1+cos)/2 mapping

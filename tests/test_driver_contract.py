@@ -51,7 +51,7 @@ ORACLES = entry_mod.oracle_sql()
 
 # genuinely non-SQL-expressible ops (iterative algorithms): the driver
 # records a weaker rows-only check for these; correctness is pytest-anchored
-ROWS_ONLY = {"bpe_token_counts"}
+ROWS_ONLY = {"bpe_token_counts", "quality_classifier_scores"}
 
 
 def test_every_query_has_oracle():

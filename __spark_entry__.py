@@ -112,24 +112,33 @@ def _cached_root(root: str, marker_name: str, build) -> None:
     import time as _time
 
     marker = os.path.join(root, marker_name)
-    if os.path.exists(marker):
+    for _attempt in range(3):
+        if os.path.exists(marker):
+            return
+        try:
+            os.makedirs(root)  # the atomic claim
+        except FileExistsError:
+            # lost the claim: wait for the winner's marker
+            for _ in range(300):
+                if os.path.exists(marker):
+                    return
+                _time.sleep(1)
+            # stale claim (crashed/killed builder). Tear it down and LOOP —
+            # the retry re-contends through the same atomic mkdir, so two
+            # waiters that both time out still end up with one builder.
+            shutil.rmtree(root, ignore_errors=True)
+            continue
+        try:
+            build()
+        except BaseException:
+            # never leave a claimed-but-markerless root: that stalls every
+            # later run for the full wait
+            shutil.rmtree(root, ignore_errors=True)
+            raise
+        with open(marker, "w") as fh:
+            fh.write("ok")
         return
-    try:
-        os.makedirs(root)
-        claimed = True
-    except FileExistsError:
-        claimed = False
-    if not claimed:
-        for _ in range(300):
-            if os.path.exists(marker):
-                return
-            _time.sleep(1)
-        # stale partial build — take it over
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
-    build()
-    with open(marker, "w") as fh:
-        fh.write("ok")
+    raise TimeoutError(f"could not build or adopt fixture index at {root}")
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
@@ -5351,14 +5360,17 @@ WHERE len(list_filter([doc_id % 7 * 3, doc_id % 11 * 2, doc_id % 13],
 SELECT doc_id FROM documents
 WHERE len(list_filter([lang, source], v -> v >= 'aa' AND v < 'mm')) > 0"""
 
-    # middle_max selector: upper-middle of the sorted 4-element list =
-    # 0-based index 2 = 1-based [3] (SortedSetSelector.kt:321 n >>> 1)
+    # middle_max selector: upper-middle (0-based n >>> 1) of the ASCENDING
+    # DISTINCT value list — SORTED_SET docvalues are an ord set, duplicates
+    # collapse first (SortedSetSelector.kt:321)
     o["dv_middle_sort"] = """
 WITH k AS (
   SELECT doc_id,
-         list_sort([doc_id % 7 * 3, doc_id % 11 * 2, doc_id % 13, doc_id % 5])[3]::BIGINT AS mid
+         list_sort(list_distinct(
+           [doc_id % 7 * 3, doc_id % 11 * 2, doc_id % 13, doc_id % 5])) AS s
   FROM documents)
-SELECT doc_id, mid FROM k ORDER BY mid, doc_id LIMIT 20"""
+SELECT doc_id, s[(len(s) >> 1) + 1]::BIGINT AS mid
+FROM k ORDER BY mid, doc_id LIMIT 20"""
 
     o["multiterm_prefix_dv"] = (
         _PRELUDE + "SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'sc%'"

@@ -678,7 +678,14 @@ class SegmentedIndexWriter:
         manifest to commit.json with one atomic rename — "very little work"
         per the contract. Without a prior :meth:`prepare_commit` this
         prepares and finishes in one call (IndexWriter.commit())."""
-        if not os.path.exists(self._pending_path()):
+        if os.path.exists(self._pending_path()):
+            if commit_data is not None:
+                raise ValueError(
+                    "commit_data cannot be changed on an already-prepared commit — "
+                    "pass it to prepare_commit (setLiveCommitData must precede "
+                    "prepareCommit in the reference, too)"
+                )
+        else:
             self.prepare_commit(commit_data)
         with open(self._pending_path()) as f:
             gen = int(json.load(f)["generation"])

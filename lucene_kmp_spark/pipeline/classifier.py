@@ -39,12 +39,15 @@ _FEATURES = "_qc_features"
 def _with_tokens(df: DataFrame, text_col: str, bigrams: bool) -> DataFrame:
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     if bigrams:
-        # word + joined-bigram hash buckets, the fastText n-gram trick
+        # word + joined-bigram hash buckets, the fastText n-gram trick.
+        # zip_with pads the shorter side with NULL; emit NULL there (not a
+        # bare token — concat_ws would silently drop the null half and
+        # duplicate the doc's last token as a fake bigram) and filter after.
         big = F.zip_with(
             toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda a, b: F.concat_ws("_", a, b),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws("_", a, b)),
         )
-        toks = F.concat(toks, F.filter(big, lambda x: x != ""))
+        toks = F.concat(toks, F.filter(big, lambda x: x.isNotNull()))
     return df.withColumn(_TOKENS, toks)
 
 

@@ -45,7 +45,9 @@ from pyspark.sql import functions as F
 
 def _unit_expr(vec_col: str):
     """L2-normalize in explicit double arithmetic (sequential in-array fold,
-    replayable in any engine): x / sqrt(sum x^2)."""
+    replayable in any engine): x / sqrt(sum x^2). An all-zero vector keeps
+    zero components (divide by 1, like the driver twin) instead of emitting
+    NaN codes that would sort unpredictably."""
     nrm = F.sqrt(
         F.aggregate(
             F.col(vec_col),
@@ -53,7 +55,8 @@ def _unit_expr(vec_col: str):
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    return F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    safe = F.when(nrm > 0.0, nrm).otherwise(F.lit(1.0))
+    return F.transform(F.col(vec_col), lambda x: x.cast("double") / safe)
 
 
 def quantize_params(df: DataFrame, vec_col: str = "embedding", bits: int = 8) -> dict:
@@ -111,7 +114,7 @@ def quantize_vector(vec, params: dict) -> list[int]:
     nrm = 0.0
     for x in vec:
         nrm += float(x) * float(x)
-    nrm = math.sqrt(nrm)
+    nrm = math.sqrt(nrm) or 1.0  # zero vector: keep zeros, like _unit_expr
     return [
         min(maxq, max(0, int(math.floor((float(x) / nrm - mn) / scale + 0.5))))
         for x in vec
@@ -158,7 +161,7 @@ def quantized_topk(
     qn = 0.0
     for x in query_vec:
         qn += float(x) * float(x)
-    qn = math.sqrt(qn)
+    qn = math.sqrt(qn) or 1.0  # zero query: scores become 0, not a crash
     qf = F.array(*[F.lit(float(x)) for x in query_vec])
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), qf, lambda a, b: a.cast("double") * b),
@@ -172,6 +175,7 @@ def quantized_topk(
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
+    nrm = F.when(nrm > 0.0, nrm).otherwise(F.lit(1.0))
     rescored = (
         F.broadcast(cands)
         .join(df.select(id_col, vec_col), id_col)

@@ -874,7 +874,7 @@ class IndexSearcher:
         skips the distinct() shuffle — safe whenever the result feeds a
         semi/anti join, which dedups implicitly."""
         if getattr(q, "rewrite_method", None) == "doc_values":
-            return self._docvalues_docset(q)
+            return self._docvalues_docset(q, dedup=dedup)
         pred = self._term_pred(q)
         if pred is not None:
             return self._docs_for_term_filter(pred, dedup)
@@ -950,7 +950,7 @@ class IndexSearcher:
         out = rows.mapInPandas(gen, schema="doc_id long")
         return out.distinct() if dedup else out
 
-    def _docvalues_docset(self, q: Query) -> DataFrame:
+    def _docvalues_docset(self, q: Query, dedup: bool = True) -> DataFrame:
         """DocValuesRewriteMethod (search/DocValuesRewriteMethod.kt): evaluate
         a multi-term query through the DOCVALUES access path instead of
         postings — the reference runs the automaton over the field's
@@ -975,7 +975,10 @@ class IndexSearcher:
             raise NotImplementedError(
                 f"doc_values rewrite does not apply to {type(q).__name__}"
             )
-        return self.index.term_vectors.filter(pred).select("doc_id").distinct()
+        out = self.index.term_vectors.filter(pred).select("doc_id")
+        # dedup=False callers (FILTER/MUST_NOT semi-joins) dedup implicitly —
+        # skip the distinct shuffle over the (doc, term) forward index
+        return out.distinct() if dedup else out
 
     def _regexp_terms(self, q: RegexpQuery) -> list[str]:
         """Expand a Lucene-syntax regexp (RegExp.kt grammar — union,
@@ -2205,11 +2208,13 @@ class IndexSearcher:
             elif sf.selector in ("middle_min", "middle_max"):
                 # SortedSetSelector.Type MIDDLE_MIN/MIDDLE_MAX
                 # (search/SortedSetSelector.kt:256,321): over the doc's
-                # ASCENDING value list, pick index (n-1)>>>1 / n>>>1 —
-                # the lower/upper middle (equal for odd n). element_at is
-                # 1-based; greatest(...,1) keeps the empty-array branch
-                # (NULL via the when guard) from building index 0.
-                srt = F.array_sort(key)
+                # ASCENDING DISTINCT value list (SORTED_SET docvalues are a
+                # set of ords — duplicates collapse before the middle is
+                # picked), index (n-1)>>>1 / n>>>1 — the lower/upper middle
+                # (equal for odd n). element_at is 1-based; greatest(...,1)
+                # keeps the empty-array branch (NULL via the when guard)
+                # from building index 0.
+                srt = F.array_sort(F.array_distinct(key))
                 half = F.size(srt) - F.lit(1) if sf.selector == "middle_min" else F.size(srt)
                 idx = F.greatest(F.floor(half / F.lit(2)).cast("int") + F.lit(1), F.lit(1))
                 key = F.when(F.size(srt) > 0, F.element_at(srt, idx)).otherwise(F.lit(None))

@@ -79,12 +79,12 @@ def test_doc_values_inside_filter_clause(env):
 
 
 def _middle_min(vals):
-    s = sorted(vals)
+    s = sorted(set(vals))  # SORTED_SET = distinct ords
     return s[(len(s) - 1) >> 1] if s else None
 
 
 def _middle_max(vals):
-    s = sorted(vals)
+    s = sorted(set(vals))
     return s[len(s) >> 1] if s else None
 
 

@@ -162,3 +162,32 @@ def test_tool_commit_failure_raises_commit_fail(spark, tmp_path, batches):
     # already-committed ones)
     assert good.log == ["prepare", "commit", "rollback"]
     assert bad.log == ["prepare", "commit-fail", "rollback"]
+
+
+def test_rollback_across_merge_respects_pins(spark, tmp_path, batches):
+    """commit -> merge (uncommitted) -> rollback: the working state returns
+    to the committed pre-merge segment list; the merged-away segment dir is
+    purged UNLESS a snapshot pinned it."""
+    import os
+
+    b1, b2 = batches
+    w = _writer(spark, tmp_path)
+    w.add_batch(b1, batch_key="b1")
+    w.add_batch(b2, batch_key="b2")
+    w.commit()
+    pre = [s["id"] for s in w.manifest()["segments"]]
+    n_pre = _count(w.reader())
+    merged = w.merge(w.manifest()["segments"])
+    snap = w.snapshot()  # pins the post-merge manifest (incl. merged segment)
+    w.rollback()
+    assert [s["id"] for s in w.manifest()["segments"]] == pre
+    assert _count(w.reader()) == n_pre
+    # merged segment survives: the snapshot references it
+    assert os.path.isdir(os.path.join(w.root, "segments", merged["id"]))
+    # released pin -> purge drops it
+    w.release(snap)
+    removed = w.purge_unreferenced()
+    assert merged["id"] in removed
+    assert not os.path.isdir(os.path.join(w.root, "segments", merged["id"]))
+    # committed reader still answers identically after all of it
+    assert _count(w.reader(committed=True)) == n_pre

@@ -103,38 +103,76 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cached_root(root: str, marker_name: str, build) -> None:
     """Build an on-disk fixture index exactly once, race-safe: the builder
-    claims the root with one atomic ``mkdir`` and writes ``marker_name``
-    when done; a concurrent process (e.g. a driver run beside a pytest run)
-    that loses the claim WAITS for the marker instead of writing into the
-    same directories — two interleaved Spark writers sharing a segment dir
-    double its parquet files. A stale claim (crashed builder: directory but
-    no marker appearing) is torn down and rebuilt after the wait expires."""
+    claims the root with one atomic ``mkdir``, HEARTBEATS the claim (a
+    background thread touches ``claim.heartbeat`` every few seconds while
+    the build runs), and writes ``marker_name`` when done. A concurrent
+    process (e.g. a driver run beside a pytest run) that loses the claim
+    WAITS for the marker instead of writing into the same directories — two
+    interleaved Spark writers sharing a segment dir double its parquet
+    files. Staleness is judged by heartbeat mtime, not a fixed wall-clock
+    cap: a live builder slower than any fixed timeout keeps its claim, while
+    a crashed builder (heartbeat frozen) is torn down and rebuilt."""
+    import threading as _threading
     import time as _time
 
     marker = os.path.join(root, marker_name)
+    heartbeat = os.path.join(root, "claim.heartbeat")
+    stale_after = 60.0  # heartbeat this old = builder died (beats every 5s)
+
+    def _beat(stop: "_threading.Event") -> None:
+        while not stop.wait(5.0):
+            try:
+                with open(heartbeat, "w") as fh:
+                    fh.write(str(_time.time()))
+            except OSError:
+                return
+
     for _attempt in range(3):
         if os.path.exists(marker):
             return
         try:
             os.makedirs(root)  # the atomic claim
         except FileExistsError:
-            # lost the claim: wait for the winner's marker
-            for _ in range(300):
+            # lost the claim: wait for the winner's marker while its
+            # heartbeat stays fresh
+            while True:
                 if os.path.exists(marker):
                     return
+                try:
+                    age = _time.time() - os.path.getmtime(heartbeat)
+                except OSError:
+                    # no heartbeat yet: give a just-claimed builder a grace
+                    # period keyed off the root dir itself
+                    try:
+                        age = _time.time() - os.path.getmtime(root)
+                    except OSError:
+                        break  # root vanished: another waiter tore it down
+                if age > stale_after:
+                    break
                 _time.sleep(1)
+            if os.path.exists(marker):
+                return
             # stale claim (crashed/killed builder). Tear it down and LOOP —
             # the retry re-contends through the same atomic mkdir, so two
             # waiters that both time out still end up with one builder.
             shutil.rmtree(root, ignore_errors=True)
             continue
+        stop = _threading.Event()
+        with open(heartbeat, "w") as fh:
+            fh.write(str(_time.time()))
+        beater = _threading.Thread(target=_beat, args=(stop,), daemon=True)
+        beater.start()
         try:
             build()
         except BaseException:
             # never leave a claimed-but-markerless root: that stalls every
-            # later run for the full wait
+            # later run until the heartbeat goes stale
+            stop.set()
+            beater.join(timeout=10)
             shutil.rmtree(root, ignore_errors=True)
             raise
+        stop.set()
+        beater.join(timeout=10)
         with open(marker, "w") as fh:
             fh.write("ok")
         return

@@ -155,6 +155,39 @@ class SegmentedIndexWriter:
         m = self.manifest()
         return max((s["doc_base"] + s["n_docs"] for s in m["segments"]), default=0)
 
+    def _next_seg_num(self) -> int:
+        """Monotonic segment counter persisted OUTSIDE the manifest —
+        Lucene's ``SegmentInfos.counter`` semantics (SegmentInfos.kt keeps
+        the name counter independent of the commit point). ``rollback()``
+        reverts the manifest but never this file, so a segment created after
+        a rollback can never reuse the directory name of a pre-rollback
+        segment kept alive by a snapshot pin (the id-collision hazard:
+        add+commit, add, snapshot, rollback, add — same (len, generation)
+        pair, same directory, pinned data silently overwritten)."""
+        path = os.path.join(self.root, "segment_counter")
+        n = 0
+        if os.path.exists(path):
+            with open(path) as f:
+                n = int(f.read().strip() or 0)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(n + 1))
+        os.replace(tmp, path)
+        return n
+
+    def _claim_seg_path(self, seg_id: str) -> str:
+        """Resolve and reserve a fresh segment directory; refuses to write
+        into an existing one (belt-and-suspenders against any id reuse —
+        an existing directory may be pinned by a snapshot reader)."""
+        seg_path = os.path.join(self.root, "segments", seg_id)
+        if os.path.exists(seg_path):
+            raise FileExistsError(
+                f"segment directory already exists: {seg_path} — refusing to "
+                "overwrite (it may be pinned by a snapshot); segment ids must "
+                "be fresh"
+            )
+        return seg_path
+
     # ------------------------------------------------------------ mutations
     def add_batch(self, df: DataFrame, batch_key: str | None = None) -> dict | None:
         """Index a batch of turns as one new segment. Idempotent per
@@ -172,8 +205,8 @@ class SegmentedIndexWriter:
         )
         n_docs = with_ids.count()
         idx = build_index(with_ids, text_col=self.text_col, cache=True)
-        seg_id = f"seg-{len(m['segments']):05d}-{m['generation']:05d}"
-        seg_path = os.path.join(self.root, "segments", seg_id)
+        seg_id = f"seg-{self._next_seg_num():05d}"
+        seg_path = self._claim_seg_path(seg_id)
         idx.write(seg_path)
         has_bloom = self._write_bloom(idx, seg_path)
         record = {
@@ -383,6 +416,11 @@ class SegmentedIndexWriter:
         state; raises if the index was never committed
         (IndexNotFoundException semantics)."""
         if committed:
+            if snapshot is not None:
+                raise ValueError(
+                    "committed=True and snapshot= are mutually exclusive — a "
+                    "snapshot IS a commit point; open it with reader(snapshot=...)"
+                )
             m = self.last_commit()
             if m is None:
                 raise FileNotFoundError(
@@ -486,8 +524,8 @@ class SegmentedIndexWriter:
             purge_soft = soft.join(keep.select("doc_id"), "doc_id", "left_anti")
             live_docs = live_docs.join(purge_soft, "doc_id", "left_anti")
         idx = build_index(live_docs, text_col=self.text_col, cache=True)
-        seg_id = f"seg-merged-{m['generation']:05d}"
-        seg_path = os.path.join(self.root, "segments", seg_id)
+        seg_id = f"seg-merged-{self._next_seg_num():05d}"
+        seg_path = self._claim_seg_path(seg_id)
         idx.write(seg_path)
         merged_bloom = self._write_bloom(idx, seg_path)
         if self.merged_segment_warmer is not None:
@@ -697,7 +735,14 @@ class SegmentedIndexWriter:
         change since the last successful commit — the working manifest is
         restored from commit.json (or to empty if never committed), any
         pending commit is dropped, and segment directories the restored
-        state no longer references are purged (snapshot pins still hold)."""
+        state no longer references are purged (snapshot pins still hold).
+
+        Note: the restored manifest carries the last commit's ``commit_data``
+        forward, so a later plain ``commit()`` re-commits it — the same
+        behavior as Lucene, where a writer (re)opened from a commit point
+        initializes liveCommitData from that commit's userData and keeps
+        committing it until ``setLiveCommitData`` changes it. Pass fresh
+        ``commit_data`` to ``prepare_commit``/``commit`` to replace it."""
         if os.path.exists(self._pending_path()):
             os.remove(self._pending_path())
         if os.path.exists(self._commit_path()):

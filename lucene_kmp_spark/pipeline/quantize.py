@@ -68,6 +68,11 @@ def quantize_params(df: DataFrame, vec_col: str = "embedding", bits: int = 8) ->
     row = df.select(
         F.min(F.array_min(unit)).alias("mn"), F.max(F.array_max(unit)).alias("mx")
     ).collect()[0]
+    if row["mn"] is None or row["mx"] is None:
+        raise ValueError(
+            "cannot derive quantization interval from an empty (or all-"
+            f"filtered) dataset: min/max over '{vec_col}' came back NULL"
+        )
     mn, mx = float(row["mn"]), float(row["mx"])
     levels = (1 << bits) - 1
     scale = (mx - mn) / levels if mx > mn else 1.0

@@ -191,3 +191,41 @@ def test_rollback_across_merge_respects_pins(spark, tmp_path, batches):
     assert not os.path.isdir(os.path.join(w.root, "segments", merged["id"]))
     # committed reader still answers identically after all of it
     assert _count(w.reader(committed=True)) == n_pre
+
+def test_post_rollback_segment_never_reuses_pinned_id(spark, tmp_path, batches):
+    """SegmentInfos.counter semantics: segment names come from a monotonic
+    counter that rollback() does NOT revert — a batch added after a rollback
+    must get a fresh directory even though (len(segments), generation) have
+    reverted, so a snapshot pinning the pre-rollback segment keeps serving
+    its original data."""
+    import os
+
+    b1, b2 = batches
+    w = _writer(spark, tmp_path)
+    w.add_batch(b1, batch_key="b1")
+    w.commit()
+    w.add_batch(b2, batch_key="b2")
+    pinned_id = w.manifest()["segments"][-1]["id"]
+    snap = w.snapshot()  # pins the b2 segment
+    pinned_bytes = os.path.getsize(
+        os.path.join(w.root, "segments", pinned_id, "manifest.json")
+    ) if os.path.exists(os.path.join(w.root, "segments", pinned_id, "manifest.json")) else None
+    n_snap = _count(w.reader(snapshot=snap))
+    w.rollback()
+    rec = w.add_batch(b2, batch_key="b3")
+    # fresh id, distinct directory — no overwrite of the pinned segment
+    assert rec["id"] != pinned_id
+    assert os.path.isdir(os.path.join(w.root, "segments", pinned_id))
+    # the snapshot reader still serves the exact pinned view
+    assert _count(w.reader(snapshot=snap)) == n_snap
+    del pinned_bytes
+
+
+def test_committed_and_snapshot_mutually_exclusive(spark, tmp_path, batches):
+    b1, _ = batches
+    w = _writer(spark, tmp_path)
+    w.add_batch(b1, batch_key="b1")
+    w.commit()
+    snap = w.snapshot()
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        w.reader(committed=True, snapshot=snap)

@@ -313,6 +313,18 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     textstats.quality_score(docs_pq).count()
     times["p_quality"] = round(time.perf_counter() - t, 3)
 
+    # BPE training with the driver cap far below the corpus vocabulary —
+    # the min_word_freq/max_words cut runs inside Spark before the collect,
+    # so the driver only ever sees the top slice of the word-count table
+    t = time.perf_counter()
+    from lucene_kmp_spark.pipeline import bpe as _bpe
+
+    merges = _bpe.train_bpe(
+        docs_pq, n_merges=64, min_word_freq=2, max_words=500
+    )
+    _bpe.bpe_encode_counts(docs_pq.limit(2000), merges).count()
+    times["p_bpe_train_capped"] = round(time.perf_counter() - t, 3)
+
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):
         emb = spark.read.parquet(emb_path)

@@ -180,6 +180,33 @@ ANALYZER_FACTORIES = {
 }
 
 
+def _japanese_dict_analyzer(**kw):
+    from lucene_kmp_spark.analysis.ja import japanese_analyzer
+
+    return japanese_analyzer(**kw)
+
+
+def _korean_dict_analyzer(**kw):
+    from lucene_kmp_spark.analysis.ko import korean_analyzer
+
+    return korean_analyzer(**kw)
+
+
+def _smart_chinese_analyzer(**kw):
+    from lucene_kmp_spark.analysis.smartcn import smart_chinese_analyzer
+
+    return smart_chinese_analyzer(**kw)
+
+
+# dictionary-based CJK chains (kuromoji/nori/smartcn machinery; system
+# dictionaries caller-supplied, demo tables by default — analysis/ja.py,
+# ko.py, smartcn.py). Registered under explicit codes so the width-fold +
+# bigram CJK default for bare "ja"/"ko"/"zh" stays unchanged.
+ANALYZER_FACTORIES["ja-dict"] = _japanese_dict_analyzer
+ANALYZER_FACTORIES["ko-dict"] = _korean_dict_analyzer
+ANALYZER_FACTORIES["zh-smart"] = _smart_chinese_analyzer
+
+
 def analyzer_for(lang: str, **kwargs):
     """The analyzer chain registered for a language code (KeyError if none —
     use :func:`multilingual_analyzer` for fall-back routing)."""

@@ -77,6 +77,63 @@ def _sc_cte(name: str, term: str) -> str:
 )"""
 
 
+# ---- dictionary-based CJK oracle fixtures: a deterministic CJK sentence
+# per doc (CASE over doc_id, identical expression on Spark and DuckDB) and
+# the guard-tested token map per sentence (the engine's ja-dict/ko-dict/
+# zh-smart analyzer output — asserted in tests/test_cjk_dict_analyzers.py's
+# test_cjk_oracle_maps_match_analyzers) ----
+_JA_SENTS = (
+    "関西国際空港に行きます", "日本経済新聞を検索", "サーバーの検索エンジン",
+    "関西の空港", "検索エンジンを検索", "日本に行きます",
+)
+_JA_TOKENS = (
+    "関西 国際 空港 に 行く ます", "日本 経済 新聞 を 検索",
+    "サーバ の 検索 エンジン", "関西 の 空港",
+    "検索 エンジン を 検索", "日本 に 行く ます",
+)
+_KO_SENTS = (
+    "가락지나물은 한국, 중국, 일본", "나물을 먹었다", "한국 서버",
+    "데이터 검색 엔진", "中國은 한국",
+)
+_KO_TOKENS = (
+    "가락지 나물 한국 중국 일본", "나물 먹", "한국 서버",
+    "데이터 검색 엔진", "중국 한국",
+)
+_ZH_SENTS = (
+    "我是中国人。", "我喜欢北京大学生", "搜索引擎很好", "今天天气很好。",
+    "数据库搜索",
+)
+_ZH_TOKENS = (
+    "我 是 中国人", "我 喜欢 北京 大学生", "搜索 引擎 很 好",
+    "今 天 天气 很 好", "数据库 搜索",
+)
+
+
+def _case_over_docid(values: tuple) -> str:
+    whens = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(values))
+    return f"CASE doc_id % {len(values)} {whens} END"
+
+
+_JA_TEXT_CASE = _case_over_docid(_JA_SENTS)
+_KO_TEXT_CASE = _case_over_docid(_KO_SENTS)
+_ZH_TEXT_CASE = _case_over_docid(_ZH_SENTS)
+
+
+def _cjk_prelude(tokens: tuple) -> str:
+    """The shared tokenize/stats prelude over the CJK token map."""
+    return _PRELUDE.replace(
+        "unnest(string_split(text, ' '))",
+        f"unnest(string_split({_case_over_docid(tokens)}, ' '))",
+    )
+
+
+def _prelude_where(where: str) -> str:
+    """The shared tokenize/stats prelude scoped to a SUBSET corpus — BM25
+    stats (df, avgdl, N) recomputed over only the rows matching ``where``
+    (commit-point / snapshot visibility oracles)."""
+    return _PRELUDE.replace("FROM documents", f"FROM documents WHERE {where}")
+
+
 def _rank_tail(total_cte: str, k: int = TOPK) -> str:
     # floor-quantization (exact on doubles) instead of round(): Spark's round
     # goes through BigDecimal shortest-repr and can disagree with DuckDB at
@@ -1807,6 +1864,174 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return reader.index.docs.select(F.col("orig_id").alias("doc_id"), "views")
 
     q["dv_update_overlay"] = q_dv_update
+
+    def _two_phase_writer(spark, sf_dir):
+        """Fixture: batch b0 committed via the full prepare/commit protocol,
+        batch b1 added AFTER the commit (NRT-only) — the two reader views
+        then disagree in exactly the TwoPhaseCommit-visible way."""
+        import os
+        import tempfile
+
+        from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+
+        root = os.path.join(
+            tempfile.gettempdir(), "spark_graft_2pc_" + sf_dir.strip("/").replace("/", "_")
+        )
+
+        def _build():
+            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+            base = _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id")
+            w.add_batch(base.filter(F.col("orig_id") % 3 != 2), batch_key="b0")
+            w.prepare_commit()
+            w.commit()
+            w.add_batch(base.filter(F.col("orig_id") % 3 == 2), batch_key="b1")
+
+        _cached_root(root, "_2pc_ok", _build)
+        from lucene_kmp_spark.index.segments import SegmentedIndexWriter as W
+
+        return W(spark, root, key_cols=("orig_id",), text_col="text")
+
+    def _reader_term_topk(reader, term="merge"):
+        s = reader.searcher(dtype=np.float64)
+        scored = s.execute(TermQuery(term))
+        ext = scored.join(reader.index.docs.select("doc_id", "orig_id"), "doc_id").select(
+            F.col("orig_id").alias("doc_id"), "score"
+        )
+        return _ranked_topk(ext)
+
+    def q_two_phase_committed(spark, sf_dir):
+        """reader(committed=True) = DirectoryReader.open(Directory): sees
+        ONLY the prepared-and-committed b0 corpus — stats, idf, avgdl all
+        scoped to the commit point (oracle recomputes BM25 over that subset)."""
+        w = _two_phase_writer(spark, sf_dir)
+        return _reader_term_topk(w.reader(committed=True))
+
+    q["two_phase_committed_term"] = q_two_phase_committed
+
+    def q_two_phase_nrt(spark, sf_dir):
+        """The NRT working view over the same fixture sees b0+b1 = the full
+        corpus — must equal plain single-index BM25."""
+        w = _two_phase_writer(spark, sf_dir)
+        return _reader_term_topk(w.reader())
+
+    q["two_phase_nrt_term"] = q_two_phase_nrt
+
+    def q_add_indexes(spark, sf_dir):
+        """IndexWriter.addIndexes(CodecReader...): two independently built
+        source indexes (even/odd split) re-indexed into one destination; the
+        merged whole must answer exactly like a single index over the full
+        corpus."""
+        import os
+        import tempfile
+
+        from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+
+        root = os.path.join(
+            tempfile.gettempdir(), "spark_graft_addidx_" + sf_dir.strip("/").replace("/", "_")
+        )
+
+        def _build():
+            base = _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id")
+            src_a = SegmentedIndexWriter(
+                spark, os.path.join(root, "src_a"), key_cols=("orig_id",), text_col="text"
+            )
+            src_a.add_batch(base.filter(F.col("orig_id") % 2 == 0), batch_key="a0")
+            src_b = SegmentedIndexWriter(
+                spark, os.path.join(root, "src_b"), key_cols=("orig_id",), text_col="text"
+            )
+            src_b.add_batch(base.filter(F.col("orig_id") % 2 == 1), batch_key="b0")
+            dest = SegmentedIndexWriter(
+                spark, os.path.join(root, "dest"), key_cols=("orig_id",), text_col="text"
+            )
+            dest.add_indexes(src_a.reader(), src_b.reader())
+
+        _cached_root(root, "_addidx_ok", _build)
+        from lucene_kmp_spark.index.segments import SegmentedIndexWriter as W
+
+        dest = W(spark, os.path.join(root, "dest"), key_cols=("orig_id",), text_col="text")
+        return _reader_term_topk(dest.reader())
+
+    q["add_indexes_term"] = q_add_indexes
+
+    def q_force_merge_deletes(spark, sf_dir):
+        """forceMergeDeletes: 20% of docs hard-deleted (> pctAllowed=10),
+        every segment rewritten to physically purge them; the visible match
+        set afterwards = docs containing the term minus the deleted ids."""
+        import os
+        import tempfile
+
+        from lucene_kmp_spark.index.segments import SegmentedIndexWriter
+
+        root = os.path.join(
+            tempfile.gettempdir(), "spark_graft_fmd_" + sf_dir.strip("/").replace("/", "_")
+        )
+
+        def _build():
+            w = SegmentedIndexWriter(spark, root, key_cols=("orig_id",), text_col="text")
+            base = (
+                _docs(spark, sf_dir)
+                .filter(F.col("doc_id") < 2000)
+                .withColumnRenamed("doc_id", "orig_id")
+            )
+            w.add_batch(base, batch_key="b0")
+            w.delete_by_keys(base.filter(F.col("orig_id") % 5 == 0).select("orig_id"))
+            w.force_merge_deletes(pct_allowed=10.0)
+
+        _cached_root(root, "_fmd_ok", _build)
+        from lucene_kmp_spark.index.segments import SegmentedIndexWriter as W
+
+        w = W(spark, root, key_cols=("orig_id",), text_col="text")
+        reader = w.reader()
+        hits = reader.searcher().execute(TermQuery("merge")).select("doc_id")
+        return (
+            hits.join(reader.index.docs.select("doc_id", "orig_id"), "doc_id")
+            .select(F.col("orig_id").alias("doc_id"))
+            .distinct()
+        )
+
+    q["force_merge_deletes_docset"] = q_force_merge_deletes
+
+    # ---- dictionary-based CJK analysis (kuromoji/nori/smartcn machinery,
+    # analysis/ja.py, ko.py, smartcn.py; demo dictionaries). The corpus gets
+    # a deterministic CJK column (CASE over doc_id) whose closed sentence
+    # set has guard-tested token maps (tests/test_cjk_dict_analyzers.py),
+    # so DuckDB reproduces the tokenization as an inline CASE — the same
+    # pattern as _ML_PRELUDE. ----
+    def _cjk_searcher64(spark, sf_dir, lang_key, text_expr, analyzer_factory):
+        from lucene_kmp_spark.index import build_index
+        from lucene_kmp_spark.search.executor import IndexSearcher
+
+        key = sf_dir + "::" + lang_key
+        if key not in _INDEX_CACHE:
+            docs = _docs(spark, sf_dir).withColumn("cjk_text", F.expr(text_expr))
+            _INDEX_CACHE[key] = build_index(
+                docs, text_col="cjk_text", analyzer=analyzer_factory()
+            )
+        return IndexSearcher(_INDEX_CACHE[key], dtype=np.float64)
+
+    def q_japanese(spark, sf_dir):
+        from lucene_kmp_spark.analysis.ja import japanese_analyzer
+
+        s = _cjk_searcher64(spark, sf_dir, "jad", _JA_TEXT_CASE, japanese_analyzer)
+        return _ranked_topk(s.execute(TermQuery("検索")))
+
+    q["japanese_bm25_term"] = q_japanese
+
+    def q_korean(spark, sf_dir):
+        from lucene_kmp_spark.analysis.ko import korean_analyzer
+
+        s = _cjk_searcher64(spark, sf_dir, "kod", _KO_TEXT_CASE, korean_analyzer)
+        return _ranked_topk(s.execute(TermQuery("한국")))
+
+    q["korean_bm25_term"] = q_korean
+
+    def q_smartcn(spark, sf_dir):
+        from lucene_kmp_spark.analysis.smartcn import smart_chinese_analyzer
+
+        s = _cjk_searcher64(spark, sf_dir, "zhs", _ZH_TEXT_CASE, smart_chinese_analyzer)
+        return _ranked_topk(s.execute(TermQuery("搜索")))
+
+    q["smartcn_bm25_term"] = q_smartcn
 
     def q_dedup_pipeline(spark, sf_dir):
         """the composed 100 TB near-dup pipeline: banded LSH candidates ->
@@ -4850,6 +5075,36 @@ FROM page2
 
     # merged segments must answer exactly like one index over the union
     o["merged_segments_term"] = o["bm25_term"]
+
+    # two-phase commit: the committed reader scores over ONLY the b0 corpus
+    # (doc_id % 3 <> 2) — idf/avgdl/N all scoped to the commit point
+    o["two_phase_committed_term"] = (
+        _prelude_where("doc_id % 3 <> 2") + "," + _sc_cte("sc0", "merge") + _rank_tail("sc0")
+    )
+    # the NRT view over the same fixture sees b0+b1 = the full corpus
+    o["two_phase_nrt_term"] = o["bm25_term"]
+    # addIndexes(src_even, src_odd) re-indexes the full corpus
+    o["add_indexes_term"] = o["bm25_term"]
+    # forceMergeDeletes purged the %5 hard deletes; visible docset = docs
+    # containing the term minus the deleted ids (fixture caps at doc_id<2000)
+    o["force_merge_deletes_docset"] = """
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 2000)
+WHERE term = 'merge' AND doc_id % 5 <> 0
+"""
+
+    # dictionary-based CJK BM25: tokenization reproduced via the guard-tested
+    # per-sentence token maps (CASE over doc_id)
+    o["japanese_bm25_term"] = (
+        _cjk_prelude(_JA_TOKENS) + "," + _sc_cte("sc0", "検索") + _rank_tail("sc0")
+    )
+    o["korean_bm25_term"] = (
+        _cjk_prelude(_KO_TOKENS) + "," + _sc_cte("sc0", "한국") + _rank_tail("sc0")
+    )
+    o["smartcn_bm25_term"] = (
+        _cjk_prelude(_ZH_TOKENS) + "," + _sc_cte("sc0", "搜索") + _rank_tail("sc0")
+    )
     # bloom-pruned segmented read == whole-corpus BM25 for the same term
     o["bloom_pruned_term"] = _PRELUDE + "," + _sc_cte("sc0", "dup") + _rank_tail("sc0")
 

@@ -45,11 +45,27 @@ def train_bpe(
     n_merges: int = 200,
     text_col: str = "text",
     min_pair_freq: int = 2,
+    min_word_freq: int = 1,
+    max_words: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merge rules from the corpus. Returns the ordered
     merge list (rank = position). Stops early when no pair reaches
-    ``min_pair_freq``."""
-    wc = {r["word"]: int(r["cnt"]) for r in word_counts(df, text_col).collect()}
+    ``min_pair_freq``.
+
+    Driver-memory bound: the word-count table is cut INSIDE Spark before the
+    collect — ``min_word_freq`` drops the long tail (standard BPE practice;
+    singleton URLs/typos/code identifiers cannot win a merge against
+    ``min_pair_freq`` anyway), and ``max_words`` keeps the top-N words by
+    (count desc, word asc), a deterministic cut. At 100 TB (10^8–10^9
+    distinct whitespace words) the default 1M-word cap bounds the driver at
+    ~100 MB; the merge loop itself is vocabulary-scale by definition.
+    ``max_words=None`` removes the cap (small-corpus exact mode)."""
+    wc_df = word_counts(df, text_col)
+    if min_word_freq > 1:
+        wc_df = wc_df.filter(F.col("cnt") >= min_word_freq)
+    if max_words is not None:
+        wc_df = wc_df.orderBy(F.desc("cnt"), F.asc("word")).limit(int(max_words))
+    wc = {r["word"]: int(r["cnt"]) for r in wc_df.collect()}
     vocab: dict[tuple[str, ...], int] = {}
     for w, c in wc.items():
         vocab[tuple(w) + (END,)] = vocab.get(tuple(w) + (END,), 0) + c

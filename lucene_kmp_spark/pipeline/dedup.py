@@ -140,6 +140,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard for pairs (id_a < id_b) with jac >= threshold.
 
@@ -149,7 +150,13 @@ def jaccard_pairs(
     ``array_intersect`` — work ∝ |candidates|, never all-pairs, which is
     what makes the composed LSH→verify pipeline hold at 100 TB. Without
     ``candidates``: all-pairs via token inverted join (small corpora /
-    exact mode only)."""
+    exact mode only — large inputs raise unless ``allow_all_pairs=True``)."""
+    if candidates is None:
+        from lucene_kmp_spark.pipeline._guards import guard_all_pairs
+
+        guard_all_pairs(
+            df, "jaccard_pairs", "candidates=minhash_candidates(...)", allow_all_pairs
+        )
     # tokens compare as xxhash64 longs, not strings: the pair join shuffles
     # ~8 bytes/token instead of whole words and array_intersect hashes longs
     # (measured 3.3x on the bench corpus, identical pair set — a 64-bit

@@ -199,6 +199,85 @@ def quantized_topk(
     )
 
 
+def _table_bytes(df: DataFrame) -> int | None:
+    """On-disk bytes of the DataFrame's backing files (None when the plan is
+    not file-backed — in-memory test DataFrames, views over joins, ...)."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("", "file"):
+            return None  # remote store: size unknown here, treat as unbounded
+        try:
+            total += _os.path.getsize(p.path)
+        except OSError:
+            return None
+    return total
+
+
+def _memory_budget_bytes() -> int:
+    """Half of physical RAM — the page-cache share a hot float table can
+    realistically keep on a busy executor."""
+    import os as _os
+
+    try:
+        return (_os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES")) // 2
+    except (ValueError, OSError):
+        return 64 << 30
+
+
+def ann_auto_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    rescore: int = 4,
+    params: dict | None = None,
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+    memory_budget: int | None = None,
+) -> tuple[DataFrame, str]:
+    """Cost-gated ANN scan: pick the float brute-force scan when the table
+    fits in memory (page cache), the int8 quantized tier when it does not.
+
+    The measured regimes (BENCH/BASELINE.md): warm-RAM the float scan wins —
+    whole-stage-codegen double folds beat the cast-heavy long folds of the
+    code scan — while cold/IO-bound the quantized scan reads ~1/4 of the
+    bytes and wins by the bandwidth ratio. This is the same cost dispatch
+    shape as IndexOrDocValuesQuery (lead-cost vs index-cost): a data-size
+    signal, available before any scan, chooses the physical plan.
+
+    Returns ``(topk_df, path)`` with path in {"float", "quantized"}."""
+    from lucene_kmp_spark.pipeline.similarity import cosine_topk
+
+    budget = _memory_budget_bytes() if memory_budget is None else int(memory_budget)
+    nbytes = _table_bytes(df)
+    if nbytes is not None and nbytes <= budget:
+        from pyspark.sql.window import Window
+
+        scored = cosine_topk(df, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+        w = Window.orderBy(F.desc("score"), F.asc(id_col))
+        out = (
+            scored.withColumn("score", F.floor(F.col("cosine") * 10000) / 10000)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select(F.col(id_col), "score", "rank")
+        )
+        return out, "float"
+    params = params or quantize_params(df, vec_col)
+    return (
+        quantized_topk(
+            df, query_vec, params, k=k, rescore=rescore,
+            vec_col=vec_col, codes_col=codes_col, id_col=id_col,
+        ),
+        "quantized",
+    )
+
+
 def ivf_quantized_topk(
     df: DataFrame,
     query_vec,

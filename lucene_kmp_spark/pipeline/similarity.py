@@ -106,11 +106,16 @@ def cosine_near_dup_pairs(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
     All-pairs form for verification scale; at 100 TB use
-    ``lsh_near_dup_pairs`` so only same-bucket pairs are compared."""
+    ``lsh_near_dup_pairs`` so only same-bucket pairs are compared. Inputs
+    past the guard threshold raise unless ``allow_all_pairs=True``."""
+    from lucene_kmp_spark.pipeline._guards import guard_all_pairs
+
+    guard_all_pairs(df, "cosine_near_dup_pairs", "lsh_near_dup_pairs", allow_all_pairs)
     return _pair_cosine(df, threshold, vec_col, id_col, bucket_col=None)
 
 

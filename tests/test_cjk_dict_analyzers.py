@@ -1,0 +1,309 @@
+"""Dictionary-based CJK tokenization machinery (kuromoji/nori/smartcn
+analogs — analysis/morph.py, ja.py, ko.py, smartcn.py).
+
+Goldens mirror the REFERENCE'S OWN test shapes wherever they are
+dictionary-independent:
+
+* kuromoji TestJapaneseTokenizer testDecomposition — 関西国際空港 stays one
+  token in NORMAL mode, splits 関西/国際/空港 in SEARCH mode (the
+  second-best backtrace rescore, KuromojiViterbiNBest.kt:136-316).
+* nori TestKoreanTokenizer decompound — 가락지나물은 한국, 중국, 일본 across
+  NONE/DISCARD/MIXED (Viterbi.kt:173-215), with the exact arrays the
+  reference asserts (modulo its dictionary's vocabulary).
+* smartcn TestSmartChineseAnalyzer shapes — dictionary words beat per-char
+  splits via the bigram shortest path; mixed latin/digits; sentence split.
+
+The full-size system dictionaries are caller-supplied (the reference
+downloads mecab-ipadic / mecab-ko-dic / smartcn data at BUILD time — none
+are embedded in its repo either); tests run on the embedded demo tables.
+"""
+
+import pytest
+
+from lucene_kmp_spark.analysis.ja import (
+    EXTENDED,
+    NORMAL,
+    SEARCH,
+    demo_japanese_dictionary,
+    japanese_analyzer,
+    japanese_tokenizer,
+    katakana_stem,
+)
+from lucene_kmp_spark.analysis.ko import (
+    DISCARD,
+    MIXED,
+    NONE,
+    demo_korean_dictionary,
+    korean_analyzer,
+    korean_tokenizer,
+)
+from lucene_kmp_spark.analysis.morph import (
+    MorphEntry,
+    assign_positions,
+    is_punctuation,
+)
+from lucene_kmp_spark.analysis.smartcn import (
+    demo_chinese_dictionary,
+    get_char_type,
+    segment_sentence,
+    smart_chinese_analyzer,
+    split_sentences,
+)
+
+
+@pytest.fixture(scope="module")
+def ja_dict():
+    return demo_japanese_dictionary()
+
+
+@pytest.fixture(scope="module")
+def ko_dict():
+    return demo_korean_dictionary()
+
+
+# ------------------------------------------------------------------ Japanese
+def test_ja_normal_keeps_compound(ja_dict):
+    tok = japanese_tokenizer(*ja_dict, mode=NORMAL)
+    assert [t.surface for t in tok("関西国際空港")] == ["関西国際空港"]
+
+
+def test_ja_search_decomposes_long_kanji(ja_dict):
+    """testDecomposition shape: the (len-2)*3000 kanji penalty makes the
+    rescored backtrace pick the split path."""
+    tok = japanese_tokenizer(*ja_dict, mode=SEARCH)
+    assert [t.surface for t in tok("関西国際空港")] == ["関西", "国際", "空港"]
+    assert [t.surface for t in tok("日本経済新聞")] == ["日本", "経済", "新聞"]
+
+
+def test_ja_search_offsets_contiguous(ja_dict):
+    tok = japanese_tokenizer(*ja_dict, mode=SEARCH)
+    toks = tok("関西国際空港に行きます")
+    assert [t.surface for t in toks] == ["関西", "国際", "空港", "に", "行き", "ます"]
+    assert [(t.start, t.end) for t in toks] == [
+        (0, 2), (2, 4), (4, 6), (6, 7), (7, 9), (9, 11)]
+
+
+def test_ja_short_words_not_penalized(ja_dict):
+    """2-kanji dictionary words are below SEARCH_MODE_KANJI_LENGTH: no
+    decomposition pressure."""
+    tok = japanese_tokenizer(*ja_dict, mode=SEARCH)
+    assert [t.surface for t in tok("空港の検索")] == ["空港", "の", "検索"]
+
+
+def test_ja_unknown_katakana_grouping(ja_dict):
+    """Unknown words group by (char class, punctuation) runs
+    (KuromojiViterbiNBest.kt:95-131): unseen katakana becomes ONE token."""
+    tok = japanese_tokenizer(*ja_dict, mode=SEARCH)
+    assert [t.surface for t in tok("パイナップル")] == ["パイナップル"]
+
+
+def test_ja_extended_unigrams_unknown(ja_dict):
+    """EXTENDED mode unigrams unknown spans (:263-289)."""
+    tok = japanese_tokenizer(*ja_dict, mode=EXTENDED)
+    out = [t.surface for t in tok("関西国際空港へようこそ")]
+    assert out[:3] == ["関西", "国際", "空港"]
+    assert out[3:] == ["へ", "よ", "う", "こ", "そ"]
+
+
+def test_ja_punctuation_discarded(ja_dict):
+    tok = japanese_tokenizer(*ja_dict, mode=SEARCH)
+    assert [t.surface for t in tok("空港、検索。")] == ["空港", "検索"]
+    tok_keep = japanese_tokenizer(*ja_dict, mode=SEARCH, discard_punctuation=False)
+    assert [t.surface for t in tok_keep("空港、検索。")] == ["空港", "、", "検索", "。"]
+
+
+def test_ja_user_dictionary_segmentation(ja_dict):
+    """UserDictionary compound entries split per their recorded
+    segmentation (KuromojiViterbiNBest.kt:238-262) and beat the system
+    lattice (user matches suppress KNOWN lookup at the position)."""
+    entries, costs, unk, cd = ja_dict
+    user = [MorphEntry("関西国際空港", 1, 1, -100000, "カスタム名詞",
+                       segmentation=(2, 2, 2))]
+    tok = japanese_tokenizer(entries, costs, unk, cd, user_entries=user,
+                             mode=NORMAL)
+    toks = tok("関西国際空港")
+    assert [t.surface for t in toks] == ["関西", "国際", "空港"]
+    assert all(t.type == "USER" for t in toks)
+
+
+def test_ja_base_form_and_katakana_stem(ja_dict):
+    an = japanese_analyzer(mode=SEARCH)
+    terms, positions, length = an("サーバーに行きます")
+    # サーバー stems to サーバ (>=4 katakana chars, trailing U+30FC);
+    # 行き lemmatizes to 行く (JapaneseBaseFormFilter)
+    assert terms == ["サーバ", "に", "行く", "ます"]
+    assert positions == [0, 1, 2, 3] and length == 4
+    assert katakana_stem("サーバー") == "サーバ"
+    assert katakana_stem("ソー") == "ソー"  # below min length 4
+    assert katakana_stem("みかんー") == "みかんー"  # not katakana
+
+
+def test_ja_pos_stop_tags(ja_dict):
+    an = japanese_analyzer(mode=SEARCH, stop_tags=("助詞-格助詞-一般", "助動詞"))
+    terms, positions, _ = an("空港に行きます")
+    assert terms == ["空港", "行く"]
+    # position holes preserved across the stopped particles
+    assert positions == [0, 2]
+
+
+def test_ja_analyzer_width_fold(ja_dict):
+    """CJKWidthCharFilter runs before the tokenizer (JapaneseAnalyzer
+    initReader): fullwidth ASCII folds to latin."""
+    an = japanese_analyzer(mode=SEARCH)
+    terms, _, _ = an("ＡＢＣ空港")
+    assert terms == ["abc", "空港"]
+
+
+# ------------------------------------------------------------------- Korean
+KO_SENT = "가락지나물은 한국, 중국, 일본"
+
+
+def test_ko_decompound_none(ko_dict):
+    tok = korean_tokenizer(*ko_dict, mode=NONE)
+    assert [t.surface for t in tok(KO_SENT)] == [
+        "가락지나물", "은", "한국", "중국", "일본"]
+
+
+def test_ko_decompound_discard(ko_dict):
+    """The reference's exact expected array (TestKoreanTokenizer:232)."""
+    tok = korean_tokenizer(*ko_dict, mode=DISCARD)
+    assert [t.surface for t in tok(KO_SENT)] == [
+        "가락지", "나물", "은", "한국", "중국", "일본"]
+
+
+def test_ko_decompound_mixed(ko_dict):
+    """MIXED emits compound + parts, first part at posIncr 0, compound
+    posLength = #parts (TestKoreanTokenizer:241)."""
+    tok = korean_tokenizer(*ko_dict, mode=MIXED)
+    toks = tok(KO_SENT)
+    assert [t.surface for t in toks] == [
+        "가락지나물", "가락지", "나물", "은", "한국", "중국", "일본"]
+    assert toks[0].position_length == 2
+    assert toks[1].position_increment == 0
+    assert toks[2].position_increment == 1
+
+
+def test_ko_inflect_decompound(ko_dict):
+    """INFLECT entries decompose to morphemes sharing the whole-token
+    offsets (nori Viterbi.kt:194-202)."""
+    tok = korean_tokenizer(*ko_dict, mode=DISCARD)
+    toks = tok("나물을 먹었다")
+    assert [t.surface for t in toks] == ["나물", "을", "먹", "었", "다"]
+    assert (toks[2].start, toks[2].end) == (toks[4].start, toks[4].end)
+
+
+def test_ko_pos_stop_filter(ko_dict):
+    """DEFAULT_STOP_TAGS drop particles/endings by LEFT pos."""
+    an = korean_analyzer(mode=DISCARD)
+    terms, positions, _ = an(KO_SENT)
+    assert terms == ["가락지", "나물", "한국", "중국", "일본"]
+    assert positions == [0, 1, 3, 4, 5]  # hole where 은 (JX) was
+
+
+def test_ko_reading_form(ko_dict):
+    an = korean_analyzer(mode=DISCARD)
+    terms, _, _ = an("中國은")
+    assert terms == ["중국"]  # Hanja surface replaced by its reading
+
+
+def test_ko_unknown_script_run(ko_dict):
+    tok = korean_tokenizer(*ko_dict, mode=DISCARD)
+    assert [t.surface for t in tok("spark 데이터")] == ["spark", "데이터"]
+
+
+def test_ko_space_penalty_prefers_attached_particle(ko_dict):
+    """A particle AFTER whitespace pays 3000 (nori Viterbi.kt:244-271):
+    the lattice still parses, and the attached form never splits across
+    the space."""
+    tok = korean_tokenizer(*ko_dict, mode=DISCARD)
+    toks = tok("나물 은 한국")
+    assert [t.surface for t in toks] == ["나물", "은", "한국"]
+    # offsets skip the spaces
+    assert [(t.start, t.end) for t in toks] == [(0, 2), (3, 4), (5, 7)]
+
+
+# ------------------------------------------------------------------ Chinese
+def test_zh_dictionary_words_win():
+    d = demo_chinese_dictionary()
+    assert [t.word for t in segment_sentence("我是中国人", d)] == ["我", "是", "中国人"]
+    assert [t.word for t in segment_sentence("我喜欢北京大学生", d)] == [
+        "我", "喜欢", "北京", "大学生"]
+
+
+def test_zh_mixed_latin_digits():
+    d = demo_chinese_dictionary()
+    assert [t.word for t in segment_sentence("Hello world 123 中国", d)] == [
+        "hello", "world", "123", "中国"]
+
+
+def test_zh_delimiter_normalized():
+    d = demo_chinese_dictionary()
+    out = [t.word for t in segment_sentence("今天天气很好。", d)]
+    assert out[-1] == ","  # SegTokenFilter folds every delimiter to ','
+
+
+def test_zh_sentence_split():
+    assert [s for _, s in split_sentences("我是中国人。搜索引擎很好!末尾")] == [
+        "我是中国人。", "搜索引擎很好!", "末尾"]
+
+
+def test_zh_analyzer_chain():
+    an = smart_chinese_analyzer()
+    terms, positions, length = an("我是中国人。Searching 搜索引擎!")
+    # porter stem on the latin token, punctuation stopwords dropped
+    assert terms == ["我", "是", "中国人", "search", "搜索", "引擎"]
+    assert length == 6
+    assert positions == sorted(positions)
+
+
+def test_zh_char_types():
+    assert get_char_type("中") == "HANZI"
+    assert get_char_type("a") == "LETTER"
+    assert get_char_type("７") == "FW_DIGIT"
+    assert get_char_type("，") == "DELIM"
+    assert get_char_type(" ") == "SPACE"
+
+
+# ------------------------------------------------------------------- shared
+def test_is_punctuation_matches_reference_categories():
+    assert is_punctuation("、") and is_punctuation(".") and is_punctuation("ㆍ")
+    assert not is_punctuation("あ") and not is_punctuation("a")
+
+
+def test_assign_positions_overlaps():
+    from lucene_kmp_spark.analysis.morph import MorphToken
+
+    e = MorphEntry("x", 0, 0, 0)
+    toks = [MorphToken("a", 0, 1, "KNOWN", e),
+            MorphToken("b", 0, 1, "KNOWN", e, position_increment=0),
+            MorphToken("c", 1, 2, "KNOWN", e)]
+    terms, positions, length = assign_positions(toks)
+    assert positions == [0, 0, 1]
+    assert length == 2  # numTerms = length - numOverlap
+
+
+def test_registry_exposes_dict_analyzers():
+    from lucene_kmp_spark.analysis.registry import analyzer_for
+
+    assert analyzer_for("ja-dict")("関西国際空港")[0] == ["関西", "国際", "空港"]
+    assert analyzer_for("ko-dict")(KO_SENT)[0][:2] == ["가락지", "나물"]
+    assert analyzer_for("zh-smart")("我是中国人")[0] == ["我", "是", "中国人"]
+
+
+def test_cjk_oracle_maps_match_analyzers():
+    """The inline CASE token maps the DuckDB oracles use must equal the
+    actual analyzer output for every sentence in the closed set (the
+    _ML_PRELUDE guard pattern)."""
+    from lucene_kmp_spark.contrib.oracle_queries import (
+        _JA_SENTS, _JA_TOKENS, _KO_SENTS, _KO_TOKENS, _ZH_SENTS, _ZH_TOKENS)
+    from lucene_kmp_spark.analysis.smartcn import smart_chinese_analyzer
+
+    ja = japanese_analyzer()
+    for sent, toks in zip(_JA_SENTS, _JA_TOKENS):
+        assert ja(sent)[0] == toks.split(), sent
+    ko = korean_analyzer()
+    for sent, toks in zip(_KO_SENTS, _KO_TOKENS):
+        assert ko(sent)[0] == toks.split(), sent
+    zh = smart_chinese_analyzer()
+    for sent, toks in zip(_ZH_SENTS, _ZH_TOKENS):
+        assert zh(sent)[0] == toks.split(), sent

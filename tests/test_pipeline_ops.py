@@ -520,3 +520,54 @@ def test_bpe_train_and_encode(spark):
     # more merges never increase the count
     half = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode_counts(docs2, merges[:3]).collect()}
     assert all(enc[d][1] <= half[d] for d in enc)
+
+
+def test_bpe_cap_identical_merges(spark):
+    """The driver-memory cut (min_word_freq + max_words pushed into Spark
+    before the collect) must not change the learned merges when the cap
+    covers the effective vocabulary — and a cap far below the vocabulary
+    still learns from the most frequent words only."""
+    from lucene_kmp_spark.pipeline.bpe import train_bpe
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + [chr(0x4E00 + i) for i in range(30)]  # inert singleton tail: each a
+        # distinct 1-char word, so its only pair (char, </w>) has count 1
+        # and can never reach min_pair_freq (the URL/typo-tail analog)
+    )
+    docs = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    uncapped = train_bpe(docs, n_merges=8, min_pair_freq=2, max_words=None)
+    capped = train_bpe(docs, n_merges=8, min_pair_freq=2, min_word_freq=2, max_words=4)
+    # the 4 frequent words ARE the effective vocabulary for min_pair_freq=2
+    # merges on this corpus — the singleton tail never wins a merge
+    assert capped == uncapped
+    # cap below the frequent set changes the result deterministically
+    top2 = train_bpe(docs, n_merges=8, min_pair_freq=2, max_words=2)
+    assert top2[0] == ("e", "s")  # newest(6)+widest(3) still dominate
+
+
+def test_all_pairs_guard(spark, monkeypatch):
+    """The bare quadratic forms refuse large inputs unless explicitly
+    forced; the candidate/bucket paths are untouched."""
+    import pytest as _pytest
+
+    from lucene_kmp_spark.pipeline import _guards, dedup, similarity
+
+    monkeypatch.setattr(_guards, "ALL_PAIRS_ROW_LIMIT", 5)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma w%d" % i) for i in range(8)], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="all-pairs"):
+        dedup.jaccard_pairs(docs, 0.5).collect()
+    assert dedup.jaccard_pairs(docs, 0.5, allow_all_pairs=True).count() >= 0
+    cand = dedup.minhash_candidates(docs)
+    assert dedup.jaccard_pairs(docs, 0.5, candidates=cand).count() >= 0
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="all-pairs"):
+        similarity.cosine_near_dup_pairs(vecs, 0.9).collect()
+    assert similarity.cosine_near_dup_pairs(vecs, 0.9, allow_all_pairs=True).count() >= 0
+    assert similarity.lsh_near_dup_pairs(vecs, 0.9).count() >= 0

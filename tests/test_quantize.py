@@ -166,3 +166,40 @@ def test_ivf_quantized_composition(spark, vecs, tmp_path):
     assert [tuple(r) for r in res.collect()] == [tuple(r) for r in got]
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "_list" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ann_auto_gate(spark, tmp_path, vecs):
+    """ann_auto_topk picks the float scan for memory-resident tables (plan
+    must not touch the codes column) and the quantized tier past the budget
+    (plan must not fold the float vectors in stage 1)."""
+    from lucene_kmp_spark.pipeline.quantize import ann_auto_topk
+
+    df, rows = vecs
+    path = str(tmp_path / "emb_auto")
+    qp = quantize_params(df)
+    coded, _ = scalar_quantize(df, params=qp)
+    coded.write.parquet(path)
+    on_disk = spark.read.parquet(path)
+    q = rows[0][1]
+
+    out_f, chosen_f = ann_auto_topk(on_disk, q, k=5, params=qp)
+    assert chosen_f == "float"
+    plan_f = out_f._jdf.queryExecution().executedPlan().toString()
+    assert "codes" not in plan_f  # float path never reads the codes column
+
+    out_q, chosen_q = ann_auto_topk(on_disk, q, k=5, params=qp, memory_budget=1)
+    assert chosen_q == "quantized"
+    # stage-1 of the quantized path reads codes, not the float embeddings
+    stage1 = out_q._jdf.queryExecution().executedPlan().toString()
+    assert "codes" in stage1
+
+    # in-memory (non-file-backed) input: size unknown -> conservative
+    # quantized choice
+    mem_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    _, chosen_m = ann_auto_topk(mem_df, q, k=5, params=qp)
+    assert chosen_m == "quantized"
+
+    # both paths agree on the result ids at this scale
+    ids_f = [r["vec_id"] for r in out_f.collect()]
+    ids_q = [r["vec_id"] for r in out_q.collect()]
+    assert ids_f == ids_q

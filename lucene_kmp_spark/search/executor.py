@@ -424,6 +424,49 @@ class IndexSearcher:
     def _empty_scored(self) -> DataFrame:
         return self.index.spark.createDataFrame([], schema=_SCORED_SCHEMA)
 
+    # per-window (8,192-doc) conjunction prefilter gate: the lead term must
+    # occupy at most this fraction of windows (guaranteeing >=75% of the hot
+    # side's windows prunable, since occupied windows <= df) and the other
+    # clauses must carry at least this many postings (else decode is cheap
+    # and the broadcast join is pure overhead). Values A/B'd at 4M turns —
+    # see BENCH/BASELINE.md "BlockMaxConjunction revisit".
+    WINDOW_PREFILTER_MAX_OCCUPANCY = 0.25
+    WINDOW_PREFILTER_MIN_OTHER_DF = 1 << 16
+
+    def _conjunction_window_rows(self, boosts: dict, stats) -> DataFrame | None:
+        """BlockMaxConjunction analog (BlockMaxConjunctionBulkScorer.kt:
+        329-350 window skipping) built from INDEX-RESIDENT metadata: the
+        lead (rarest) term's occupied 8,192-doc windows — a per-term slice
+        of postings block metadata, bucket = block_id >> 16 — broadcast-
+        semi-joins the other clauses' block rows BEFORE Arrow decode. No
+        separate Spark action: the window list is a subplan Catalyst
+        broadcasts inside the same job (the revisit condition recorded with
+        round 1's measured-and-reverted doc-set prefilter, BENCH/BASELINE.md
+        "conjunction leapfrog prefilter"). Docs outside the lead's windows
+        cannot satisfy the conjunction, so results are identical; the win is
+        skipped block decode on the hot side. Returns None when the gate
+        says the prefilter cannot pay."""
+        have = {t: st for t, st in stats.items() if st is not None}
+        if len(have) < 2 or len(have) < len(boosts):
+            return None  # a missing term empties the conjunction anyway
+        n_windows = max(1, -(-self.index.stats.doc_count // (1 << 13)))
+        lead = min(have, key=lambda t: have[t].df)
+        if have[lead].df > self.WINDOW_PREFILTER_MAX_OCCUPANCY * n_windows:
+            return None
+        other_df = sum(st.df for t, st in have.items() if t != lead)
+        if other_df < self.WINDOW_PREFILTER_MIN_OTHER_DF:
+            return None
+        lead_w = (
+            self.index.postings.filter(F.col("term") == lead)
+            .select(F.shiftright("block_id", 16).alias("_w"))
+            .distinct()
+        )
+        return self.index.postings.filter(F.col("term").isin(list(boosts))).join(
+            F.broadcast(lead_w),
+            F.shiftright(F.col("block_id"), 16) == F.col("_w"),
+            "left_semi",
+        )
+
     def term_freqs(self, terms: list[str]) -> DataFrame:
         """(term, doc_id, tf) — the FREQS-level postings view (PostingsEnum
         flags FREQS, index/PostingsEnum.kt:12-76); never decodes positions."""
@@ -1561,7 +1604,10 @@ class IndexSearcher:
         base = None
         if musts:
             if _batchable(musts):
-                scored = self._scored_terms_df({m.term: m.boost for m in musts})
+                boosts = {m.term: m.boost for m in musts}
+                stats = self.term_stats(list(boosts))
+                rows = self._conjunction_window_rows(boosts, stats)
+                scored = self._scored_terms_df(boosts, stats=stats, postings_rows=rows)
                 base = (
                     scored.groupBy("doc_id")
                     .agg(F.sum("score").alias("score"), F.count("*").alias("_m_cnt"))

@@ -602,6 +602,11 @@ def build_index(
     term_dict = postings.groupBy("term").agg(
         F.sum("num_docs").alias("df"),
         F.sum("tf_sum").alias("ttf"),
+        # occupied 8,192-doc windows (bucket = block_id >> 16): the
+        # index-resident (term, window) presence metadata driving the
+        # conjunction window-prefilter gate — a clustered term (entity
+        # local to a few conversations) has n_buckets << df
+        F.countDistinct(F.shiftright("block_id", 16)).alias("n_buckets"),
     )
     if cache:
         term_dict = term_dict.persist()

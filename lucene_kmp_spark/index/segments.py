@@ -849,7 +849,11 @@ class SegmentedReader:
         max_doc = doc_count = sum_ttf = sum_df = 0
         for s in segs:
             base = os.path.join(root, "segments", s["id"])
-            t = spark.read.parquet(os.path.join(base, "term_dict"))
+            # select the stats the composite re-agg keeps: segments written
+            # before/after the n_buckets column coexist in one index
+            t = spark.read.parquet(os.path.join(base, "term_dict")).select(
+                "term", "df", "ttf"
+            )
             term_dict = t if term_dict is None else term_dict.unionByName(t)
             st = s["stats"]
             max_doc += st["max_doc"]

@@ -132,6 +132,9 @@ def _decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 class TermStats:
     df: int
     ttf: int
+    # occupied 8,192-doc windows (-1 = unknown: index predates the
+    # n_buckets term_dict column; gate falls back to the df proxy)
+    n_buckets: int = -1
 
 
 class FilterCache:
@@ -335,13 +338,15 @@ class IndexSearcher:
         want = set(terms)
         missing = want - set(self._stats_cache)
         if missing:
-            rows = (
-                self.index.term_dict.filter(F.col("term").isin(list(missing)))
-                .select("term", "df", "ttf")
-                .collect()
-            )
+            td = self.index.term_dict
+            has_buckets = "n_buckets" in td.columns
+            cols = ["term", "df", "ttf"] + (["n_buckets"] if has_buckets else [])
+            rows = td.filter(F.col("term").isin(list(missing))).select(*cols).collect()
             for r in rows:
-                self._stats_cache[r["term"]] = TermStats(int(r["df"]), int(r["ttf"]))
+                self._stats_cache[r["term"]] = TermStats(
+                    int(r["df"]), int(r["ttf"]),
+                    int(r["n_buckets"]) if has_buckets else -1,
+                )
             for t in missing:
                 self._stats_cache.setdefault(t, None)
         return {t: s for t, s in ((t, self._stats_cache.get(t)) for t in want) if s is not None}
@@ -450,8 +455,14 @@ class IndexSearcher:
         if len(have) < 2 or len(have) < len(boosts):
             return None  # a missing term empties the conjunction anyway
         n_windows = max(1, -(-self.index.stats.doc_count // (1 << 13)))
-        lead = min(have, key=lambda t: have[t].df)
-        if have[lead].df > self.WINDOW_PREFILTER_MAX_OCCUPANCY * n_windows:
+
+        def occupied(st) -> int:
+            # build-time n_buckets when present; df is an upper bound on
+            # occupied windows otherwise (pre-n_buckets index on disk)
+            return st.n_buckets if st.n_buckets >= 0 else min(st.df, n_windows)
+
+        lead = min(have, key=lambda t: occupied(have[t]))
+        if occupied(have[lead]) > self.WINDOW_PREFILTER_MAX_OCCUPANCY * n_windows:
             return None
         other_df = sum(st.df for t, st in have.items() if t != lead)
         if other_df < self.WINDOW_PREFILTER_MIN_OTHER_DF:

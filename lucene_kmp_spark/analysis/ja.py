@@ -310,12 +310,17 @@ def japanese_analyzer(
     mode: str = SEARCH,
     stop_words=(),
     stop_tags=(),
+    normalize_numbers: bool = False,
+    iteration_marks: bool = False,
 ):
     """JapaneseAnalyzer.createComponents (JapaneseAnalyzer.kt:31-47) as a
     picklable ``text -> (terms, positions, length)`` chain. Defaults to the
     embedded demo dictionary; production callers pass their own (ipadic-
     format) tables. Default stop sets are empty because the reference's
-    stopwords.txt/stoptags.txt ship with the (non-embedded) dictionary."""
+    stopwords.txt/stoptags.txt ship with the (non-embedded) dictionary.
+    ``normalize_numbers``/``iteration_marks`` add JapaneseNumberFilter /
+    JapaneseIterationMarkCharFilter (separate factories in the reference,
+    so opt-in here too)."""
     if entries is None:
         entries, connections, unknowns, char_def = demo_japanese_dictionary()
     tok = japanese_tokenizer(entries, connections, unknowns, char_def,
@@ -326,7 +331,15 @@ def japanese_analyzer(
     def run(text: str):
         if not text:
             return [], [], 0
+        if iteration_marks:
+            from lucene_kmp_spark.analysis.cjk_numbers import iteration_mark_fold
+
+            text = iteration_mark_fold(text)
         tokens = tok(cjk_width_fold(text))
+        if normalize_numbers:
+            from lucene_kmp_spark.analysis.cjk_numbers import japanese_number_filter
+
+            tokens = japanese_number_filter(tokens)
         base_form_filter(tokens)
         out_terms, out_positions = [], []
         pos = -1

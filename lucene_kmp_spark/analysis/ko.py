@@ -252,10 +252,13 @@ def korean_analyzer(
     user_entries: list[MorphEntry] | None = None,
     mode: str = DEFAULT_DECOMPOUND,
     stop_tags=DEFAULT_STOP_TAGS,
+    normalize_numbers: bool = False,
 ):
     """KoreanAnalyzer.createComponents (KoreanAnalyzer.kt:21-27):
     tokenizer -> POS stop (left POS of the entry) -> reading form ->
-    simple lowercase. Returns ``text -> (terms, positions, length)``."""
+    simple lowercase. ``normalize_numbers`` adds KoreanNumberFilter (a
+    separate factory in the reference, opt-in here too). Returns
+    ``text -> (terms, positions, length)``."""
     if entries is None:
         entries, connections, unknowns, char_def = demo_korean_dictionary()
     tok = korean_tokenizer(entries, connections, unknowns, char_def,
@@ -265,9 +268,14 @@ def korean_analyzer(
     def run(text: str):
         if not text:
             return [], [], 0
+        tokens = tok(text)
+        if normalize_numbers:
+            from lucene_kmp_spark.analysis.cjk_numbers import korean_number_filter
+
+            tokens = korean_number_filter(tokens)
         out_terms, out_positions = [], []
         pos = -1
-        for t in tok(text):
+        for t in tokens:
             pos += t.position_increment
             left_pos = t.entry.pos.split("+", 1)[0]
             if left_pos in tags:

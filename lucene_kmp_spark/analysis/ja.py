@@ -108,6 +108,78 @@ class JapaneseViterbi(ViterbiLattice):
         self._backtrace(end_data, least_idx, pending)
         return list(reversed(pending))
 
+    def tokenize_nbest(self, text: str, nbest_cost: int) -> list[MorphToken]:
+        """ViterbiNBest.backtraceNBest + fixupPendingList
+        (morph/ViterbiNBest.kt:37-125): emit the best path plus every
+        alternative span whose total cost is within ``nbest_cost`` of it,
+        deduplicated, offset-sorted, with positionLength derived from the
+        distinct-offset index map."""
+        self.forward(text)
+        end_data, least_idx = self.best_end_index(len(text))
+        if end_data is None:
+            return []
+        lat = _NBestLattice(self, len(text))
+        lat.mark_unreachable()
+        lat.calc_left()
+        lat.calc_right()
+        best_cost = lat.best_cost()
+        pending: list[MorphToken] = []
+        for node in lat.best_path():
+            self._register_node(lat, node, pending)
+        n = 2
+        while True:
+            nbest = lat.nbest_list(n)
+            if not nbest:
+                break
+            if best_cost + nbest_cost < lat.cost(nbest[0]):
+                break
+            for node in nbest:
+                self._register_node(lat, node, pending)
+            n += 1
+        return self._fixup_pending(pending)
+
+    def _register_node(self, lat: _NBestLattice, node: int, pending):
+        """KuromojiViterbiNBest.registerNode (:391-451)."""
+        text = self.text
+        left, right = lat.left[node], lat.right[node]
+        ttype = lat.dic_type[node]
+        if self.discard_punctuation and is_punctuation(text[left]):
+            return
+        entry = self.entry_of(lat.word_id[node], ttype)
+        if ttype == USER and entry.segmentation:
+            pending.append(MorphToken(text[left:right], left, right, USER, entry))
+            current = 0
+            for seg_len in entry.segmentation:
+                if seg_len < right - left:
+                    s = left + current
+                    pending.append(MorphToken(
+                        text[s : s + seg_len], s, s + seg_len, USER, entry))
+                current += seg_len
+        else:
+            pending.append(MorphToken(text[left:right], left, right, ttype, entry))
+
+    @staticmethod
+    def _fixup_pending(pending: list[MorphToken]) -> list[MorphToken]:
+        """ViterbiNBest.fixupPendingList (:84-125): sort (offset asc,
+        length asc, type-ordinal desc), dedup same spans, positionLength =
+        span width in distinct-offset units; posIncr 0 for tokens sharing a
+        start offset (JapaneseTokenizer.incrementToken:219-226)."""
+        pending.sort(key=lambda t: (t.start, t.end - t.start,
+                                    -_TYPE_ORDINAL[t.type]))
+        out: list[MorphToken] = []
+        for t in pending:
+            if out and out[-1].start == t.start and out[-1].end == t.end:
+                continue
+            out.append(t)
+        offsets = sorted({o for t in out for o in (t.start, t.end)})
+        index = {o: i for i, o in enumerate(offsets)}
+        last = -1
+        for t in out:
+            t.position_length = index[t.end] - index[t.start]
+            t.position_increment = 0 if t.start == last else 1
+            last = t.start
+        return out
+
     def _backtrace(self, end_pos_data, from_idx, pending):
         """KuromojiViterbiNBest.backtrace (:136-316) with lastBackTracePos
         fixed at 0 (whole-string lattice)."""
@@ -254,6 +326,170 @@ class JapaneseViterbi(ViterbiLattice):
             pos_data.forward.clear()
 
 
+# ----------------------------------------------------------------- n-best
+_TYPE_ORDINAL = {KNOWN: 0, UNKNOWN: 1, USER: 2}
+
+
+class _NBestLattice:
+    """ViterbiNBest.Lattice (morph/ViterbiNBest.kt:176-479): a second
+    lattice over ALL surviving back arcs with forward+backward cost DP;
+    n-best extraction peels off least-total-cost unmarked spans until the
+    cost gap exceeds nBestCost."""
+
+    def __init__(self, viterbi: "JapaneseViterbi", end_pos: int):
+        self.v = viterbi
+        self.root_base = 0
+        self.root_size = end_pos + 1
+        self.l_root = [-1] * self.root_size
+        self.r_root = [-1] * self.root_size
+        # node-parallel arrays
+        self.dic_type: list[str] = []
+        self.word_id: list[int] = []
+        self.mark: list[int] = []
+        self.left_id: list[int] = []
+        self.right_id: list[int] = []
+        self.word_cost: list[int] = []
+        self.left_cost: list[int] = []
+        self.right_cost: list[int] = []
+        self.left_node: list[int] = []
+        self.right_node: list[int] = []
+        self.left: list[int] = []
+        self.right: list[int] = []
+        self.left_chain: list[int] = []
+        self.right_chain: list[int] = []
+
+        first = viterbi.positions[0]
+        self._add(first.back_type[0], first.back_id[0], -1, 0)  # BOS
+        self._add(KNOWN, -1, end_pos, -1)  # EOS
+        for offset in range(end_pos, 0, -1):
+            if self.l_root[offset] >= 0 or offset == end_pos:
+                pos_data = viterbi.positions.get(offset)
+                if pos_data is None:
+                    continue
+                for i in range(pos_data.count):
+                    self._add(pos_data.back_type[i], pos_data.back_id[i],
+                              pos_data.back_pos[i], offset)
+
+    def _add(self, dic_type, word_id, left, right) -> int:
+        node = len(self.dic_type)
+        self.dic_type.append(dic_type)
+        self.word_id.append(word_id)
+        self.mark.append(0)
+        if word_id < 0:
+            self.word_cost.append(0)
+            self.left_id.append(0)
+            self.right_id.append(0)
+        else:
+            e = self.v.entry_of(word_id, dic_type)
+            self.word_cost.append(e.word_cost)
+            self.left_id.append(e.left_id)
+            self.right_id.append(e.right_id)
+        self.left_cost.append(0)
+        self.right_cost.append(0)
+        self.left_node.append(-1)
+        self.right_node.append(-1)
+        self.left.append(left)
+        self.right.append(right)
+        if left >= 0:
+            self.left_chain.append(self.l_root[left])
+            self.l_root[left] = node
+        else:
+            self.left_chain.append(-1)
+        if right >= 0:
+            self.right_chain.append(self.r_root[right])
+            self.r_root[right] = node
+        else:
+            self.right_chain.append(-1)
+        return node
+
+    def mark_unreachable(self):
+        for index in range(1, self.root_size - 1):
+            if self.r_root[index] < 0:
+                node = self.l_root[index]
+                while node >= 0:
+                    self.mark[node] = -1
+                    node = self.left_chain[node]
+
+    def _conn(self, left_node, right_node) -> int:
+        return self.v.costs.get(self.right_id[left_node], self.left_id[right_node])
+
+    def calc_left(self):
+        big = 1 << 60
+        for index in range(self.root_size):
+            node = self.l_root[index]
+            while node >= 0:
+                if self.mark[node] >= 0:
+                    least, least_node = big, -1
+                    ln = self.r_root[index]
+                    while ln >= 0:
+                        if self.mark[ln] >= 0:
+                            c = (self.left_cost[ln] + self.word_cost[ln]
+                                 + self._conn(ln, node))
+                            if c < least:
+                                least, least_node = c, ln
+                        ln = self.right_chain[ln]
+                    self.left_node[node] = least_node
+                    self.left_cost[node] = least
+                node = self.left_chain[node]
+
+    def calc_right(self):
+        big = 1 << 60
+        for index in range(self.root_size - 1, -1, -1):
+            node = self.r_root[index]
+            while node >= 0:
+                if self.mark[node] >= 0:
+                    least, least_node = big, -1
+                    rn = self.l_root[index]
+                    while rn >= 0:
+                        if self.mark[rn] >= 0:
+                            c = (self.right_cost[rn] + self.word_cost[rn]
+                                 + self._conn(node, rn))
+                            if c < least:
+                                least, least_node = c, rn
+                        rn = self.left_chain[rn]
+                    self.right_node[node] = least_node
+                    self.right_cost[node] = least
+                node = self.right_chain[node]
+
+    def _mark_same_span(self, ref_node, value):
+        left, right = self.left[ref_node], self.right[ref_node]
+        node = self.l_root[left]
+        while node >= 0:
+            if self.right[node] == right:
+                self.mark[node] = value
+            node = self.left_chain[node]
+
+    def cost(self, node) -> int:
+        return self.left_cost[node] + self.word_cost[node] + self.right_cost[node]
+
+    def best_path(self) -> list[int]:
+        out = []
+        node = self.right_node[0]
+        while node != 1:
+            out.append(node)
+            self._mark_same_span(node, 1)
+            node = self.right_node[node]
+        return out
+
+    def nbest_list(self, n) -> list[int]:
+        out: list[int] = []
+        least, ll, lr = 1 << 62, -1, -1
+        for node in range(2, len(self.dic_type)):
+            if self.mark[node] == 0:
+                c = self.cost(node)
+                if c < least:
+                    least, ll, lr = c, self.left[node], self.right[node]
+                    out = [node]
+                elif c == least and (self.left[node] != ll or self.right[node] != lr):
+                    out.append(node)
+        for node in out:
+            self._mark_same_span(node, n)
+        return out
+
+    def best_cost(self) -> int:
+        return self.left_cost[1]
+
+
 # ---------------------------------------------------------------- filters
 def base_form_filter(tokens):
     """JapaneseBaseFormFilter: replace term with the lemma."""
@@ -284,9 +520,12 @@ def japanese_tokenizer(
     mode: str = SEARCH,
     discard_punctuation: bool = True,
     discard_compound_token: bool = True,
+    nbest_cost: int = 0,
 ):
     """JapaneseTokenizer with caller-supplied dictionaries; returns
-    ``text -> [MorphToken]``."""
+    ``text -> [MorphToken]``. ``nbest_cost > 0`` enables n-best output
+    (setNBestCost): alternative segmentations within that cost of the best
+    path are emitted as overlapping tokens with positionLength."""
     v = JapaneseViterbi(
         PrefixDictionary(entries),
         connections,
@@ -298,6 +537,8 @@ def japanese_tokenizer(
         discard_punctuation=discard_punctuation,
         output_compounds=not discard_compound_token,
     )
+    if nbest_cost > 0:
+        return lambda text: v.tokenize_nbest(text, nbest_cost)
     return v.tokenize
 
 

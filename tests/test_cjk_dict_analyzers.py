@@ -307,3 +307,44 @@ def test_cjk_oracle_maps_match_analyzers():
     zh = smart_chinese_analyzer()
     for sent, toks in zip(_ZH_SENTS, _ZH_TOKENS):
         assert zh(sent)[0] == toks.split(), sent
+
+
+def test_ja_nbest_outputs_alternatives(ja_dict):
+    """setNBestCost semantics (ViterbiNBest.backtraceNBest): alternatives
+    within the cost budget of the best path emit as overlapping tokens —
+    the reference's testNormalModeNbest shape (compound at posIncr 0 with
+    positionLength spanning its parts)."""
+    from lucene_kmp_spark.analysis.ja import japanese_tokenizer
+
+    entries, costs, unk, cd = ja_dict
+    tok0 = japanese_tokenizer(entries, costs, unk, cd, mode=NORMAL)
+    base = [t.surface for t in tok0("関西国際空港に行きます")]
+    assert base == ["関西国際空港", "に", "行き", "ます"]
+
+    # tiny budget: n-best == best path
+    tok1 = japanese_tokenizer(entries, costs, unk, cd, mode=NORMAL, nbest_cost=1)
+    assert [t.surface for t in tok1("関西国際空港に行きます")] == base
+
+    # generous budget: the split alternatives surface, graph-shaped
+    tokn = japanese_tokenizer(entries, costs, unk, cd, mode=NORMAL, nbest_cost=20000)
+    toks = tokn("関西国際空港に行きます")
+    surfaces = [t.surface for t in toks]
+    assert surfaces == ["関西", "関西国際空港", "国際", "空港", "に", "行き", "ます"]
+    compound = toks[1]
+    assert compound.position_increment == 0  # shares 関西's position
+    assert compound.position_length == 3     # spans the three parts
+    # offsets stay true to the text for every token
+    for t in toks:
+        assert "関西国際空港に行きます"[t.start:t.end] == t.surface
+
+
+def test_ja_nbest_deduplicates_spans(ja_dict):
+    """A span on both the best path and an alternative emits once
+    (fixupPendingList dedup)."""
+    from lucene_kmp_spark.analysis.ja import japanese_tokenizer
+
+    entries, costs, unk, cd = ja_dict
+    tokn = japanese_tokenizer(entries, costs, unk, cd, mode=NORMAL, nbest_cost=50000)
+    toks = tokn("検索エンジン")
+    spans = [(t.start, t.end) for t in toks]
+    assert len(spans) == len(set(spans))

@@ -553,6 +553,7 @@ def japanese_analyzer(
     stop_tags=(),
     normalize_numbers: bool = False,
     iteration_marks: bool = False,
+    nbest_cost: int = 0,
 ):
     """JapaneseAnalyzer.createComponents (JapaneseAnalyzer.kt:31-47) as a
     picklable ``text -> (terms, positions, length)`` chain. Defaults to the
@@ -561,11 +562,13 @@ def japanese_analyzer(
     stopwords.txt/stoptags.txt ship with the (non-embedded) dictionary.
     ``normalize_numbers``/``iteration_marks`` add JapaneseNumberFilter /
     JapaneseIterationMarkCharFilter (separate factories in the reference,
-    so opt-in here too)."""
+    so opt-in here too); ``nbest_cost > 0`` indexes n-best alternatives as
+    posIncr-0 overlaps (discounted from the norm length like every overlap,
+    Similarity.kt:138-139)."""
     if entries is None:
         entries, connections, unknowns, char_def = demo_japanese_dictionary()
     tok = japanese_tokenizer(entries, connections, unknowns, char_def,
-                             user_entries, mode)
+                             user_entries, mode, nbest_cost=nbest_cost)
     stop = frozenset(stop_words)
     tags = frozenset(stop_tags)
 
@@ -585,6 +588,7 @@ def japanese_analyzer(
         out_terms, out_positions = [], []
         pos = -1
         kept = 0
+        overlap = 0
         for t in tokens:
             pos += t.position_increment
             term = t.surface
@@ -596,7 +600,9 @@ def japanese_analyzer(
             out_terms.append(term)
             out_positions.append(max(pos, 0))
             kept += 1
-        return out_terms, out_positions, kept
+            if t.position_increment == 0:
+                overlap += 1  # discountOverlaps (Similarity.kt:138-139)
+        return out_terms, out_positions, kept - overlap
 
     return run
 

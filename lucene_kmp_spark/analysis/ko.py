@@ -275,6 +275,7 @@ def korean_analyzer(
             tokens = korean_number_filter(tokens)
         out_terms, out_positions = [], []
         pos = -1
+        overlap = 0
         for t in tokens:
             pos += t.position_increment
             left_pos = t.entry.pos.split("+", 1)[0]
@@ -283,7 +284,9 @@ def korean_analyzer(
             term = t.entry.reading or t.surface  # KoreanReadingFormFilter
             out_terms.append(_lower_simple(term))
             out_positions.append(max(pos, 0))
-        return out_terms, out_positions, len(out_terms)
+            if t.position_increment == 0:
+                overlap += 1  # MIXED-mode graph overlaps discount the norm
+        return out_terms, out_positions, len(out_terms) - overlap
 
     return run
 

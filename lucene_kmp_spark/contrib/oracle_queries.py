@@ -109,6 +109,61 @@ _ZH_TOKENS = (
 )
 
 
+# graph-mode CJK maps (term:position per emission — overlapping tokens share
+# a position; the oracle derives dl from DISTINCT positions, sum_ttf from
+# emissions, the same norms-vs-avgdl split the synonym prelude uses):
+# ja = NORMAL mode + nbest_cost=20000 (n-best alternatives as overlaps),
+# ko = MIXED decompound (compound + parts, first part at the compound's pos)
+_JA_NBEST_MAP = (
+    "関西:0 関西国際空港:0 国際:1 空港:2 に:3 行く:4 ます:5",
+    "日本:0 日本経済新聞:0 経済:1 新聞:2 を:3 検索:4",
+    "サーバ:0 の:1 検索:2 エンジン:3",
+    "関西:0 の:1 空港:2",
+    "検索:0 エンジン:1 を:2 検索:3",
+    "日本:0 に:1 行く:2 ます:3",
+)
+_KO_MIXED_MAP = (
+    "가락지나물:0 가락지:0 나물:1 한국:3 중국:4 일본:5",
+    "나물:0 먹었다:2 먹:2",
+    "한국:0 서버:1",
+    "데이터:0 검색:1 엔진:2",
+    "중국:0 한국:2",
+)
+
+
+def _cjk_graph_prelude(pos_map: tuple) -> str:
+    """Tokenize/stats prelude over a (term:position)-encoded CJK map:
+    norm length counts DISTINCT positions (overlap discount), avgdl counts
+    emissions — the engine's norms/sumTotalTermFreq split."""
+    case = _case_over_docid(pos_map)
+    return f"""
+WITH items AS (
+  SELECT doc_id, unnest(string_split({case}, ' ')) AS item FROM documents
+),
+tok AS (
+  SELECT doc_id, string_split(item, ':')[1] AS term,
+         string_split(item, ':')[2]::INT AS pos
+  FROM items
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(DISTINCT pos)::BIGINT AS dl FROM tok GROUP BY 1),
+nstats AS (
+  SELECT (SELECT count(*)::BIGINT FROM dl) AS n_docs,
+         (SELECT count(*)::BIGINT FROM tok) AS sum_ttf
+),
+norm AS (
+  SELECT doc_id,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4))
+                     << (length(printf('%b', dl - 24)) - 4))
+    END AS qdl
+  FROM dl
+),
+avgd AS (SELECT sum_ttf::DOUBLE / n_docs AS avgdl, n_docs FROM nstats)
+"""
+
+
 def _case_over_docid(values: tuple) -> str:
     whens = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(values))
     return f"CASE doc_id % {len(values)} {whens} END"
@@ -2033,6 +2088,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["smartcn_bm25_term"] = q_smartcn
 
+    def q_japanese_nbest(spark, sf_dir):
+        """n-best graph indexing (ViterbiNBest/setNBestCost): NORMAL mode
+        with a 20k n-best budget emits compound alternatives as posIncr-0
+        overlaps; norms discount them, avgdl counts them. The query term is
+        a 2-kanji part that only the n-best expansion reaches in compound
+        sentences."""
+        from lucene_kmp_spark.analysis.ja import NORMAL, japanese_analyzer
+
+        s = _cjk_searcher64(
+            spark, sf_dir, "janb", _JA_TEXT_CASE,
+            lambda: japanese_analyzer(mode=NORMAL, nbest_cost=20000),
+        )
+        return _ranked_topk(s.execute(TermQuery("経済")))
+
+    q["japanese_nbest_term"] = q_japanese_nbest
+
+    def q_korean_mixed(spark, sf_dir):
+        """MIXED decompound: compound + parts as a token graph; scoring a
+        part term must use overlap-discounted norms and emission-counting
+        avgdl exactly like the synonym-overlap semantics."""
+        from lucene_kmp_spark.analysis.ko import MIXED, korean_analyzer
+
+        s = _cjk_searcher64(
+            spark, sf_dir, "komx", _KO_TEXT_CASE,
+            lambda: korean_analyzer(mode=MIXED),
+        )
+        return _ranked_topk(s.execute(TermQuery("나물")))
+
+    q["korean_mixed_term"] = q_korean_mixed
+
     def q_dedup_pipeline(spark, sf_dir):
         """the composed 100 TB near-dup pipeline: banded LSH candidates ->
         exact Jaccard verify restricted to those pairs (never all-pairs)."""
@@ -3122,6 +3207,7 @@ _ROTATION_HEAD = (
     "add_indexes_term", "force_merge_deletes_docset",
     # CJK dictionary analysis (registered round 3)
     "japanese_bm25_term", "korean_bm25_term", "smartcn_bm25_term",
+    "japanese_nbest_term", "korean_mixed_term",
     # similarities
     "dfr_term", "dfr_g_term", "axiomatic_term", "lm_jelinek_term",
     "dfi_term", "ib_spl_term", "indri_and_term2",
@@ -5104,6 +5190,13 @@ WHERE term = 'merge' AND doc_id % 5 <> 0
     )
     o["smartcn_bm25_term"] = (
         _cjk_prelude(_ZH_TOKENS) + "," + _sc_cte("sc0", "搜索") + _rank_tail("sc0")
+    )
+    # graph-mode rows: dl = distinct positions, sum_ttf = emissions
+    o["japanese_nbest_term"] = (
+        _cjk_graph_prelude(_JA_NBEST_MAP) + "," + _sc_cte("sc0", "経済") + _rank_tail("sc0")
+    )
+    o["korean_mixed_term"] = (
+        _cjk_graph_prelude(_KO_MIXED_MAP) + "," + _sc_cte("sc0", "나물") + _rank_tail("sc0")
     )
     # bloom-pruned segmented read == whole-corpus BM25 for the same term
     o["bloom_pruned_term"] = _PRELUDE + "," + _sc_cte("sc0", "dup") + _rank_tail("sc0")

@@ -348,3 +348,27 @@ def test_ja_nbest_deduplicates_spans(ja_dict):
     toks = tokn("検索エンジン")
     spans = [(t.start, t.end) for t in toks]
     assert len(spans) == len(set(spans))
+
+
+def test_cjk_graph_oracle_maps_match_analyzers():
+    """The term:position maps behind the graph-mode oracle rows
+    (japanese_nbest_term / korean_mixed_term) must equal the analyzer
+    output, and the oracle's dl (distinct positions) must equal the
+    analyzer's overlap-discounted length."""
+    from lucene_kmp_spark.analysis.ja import NORMAL as JA_NORMAL
+    from lucene_kmp_spark.analysis.ja import japanese_analyzer
+    from lucene_kmp_spark.analysis.ko import MIXED as KO_MIXED
+    from lucene_kmp_spark.analysis.ko import korean_analyzer
+    from lucene_kmp_spark.contrib.oracle_queries import (
+        _JA_NBEST_MAP, _JA_SENTS, _KO_MIXED_MAP, _KO_SENTS)
+
+    ja = japanese_analyzer(mode=JA_NORMAL, nbest_cost=20000)
+    for sent, mapped in zip(_JA_SENTS, _JA_NBEST_MAP):
+        terms, positions, length = ja(sent)
+        assert " ".join(f"{t}:{p}" for t, p in zip(terms, positions)) == mapped, sent
+        assert length == len(set(positions))
+    ko = korean_analyzer(mode=KO_MIXED)
+    for sent, mapped in zip(_KO_SENTS, _KO_MIXED_MAP):
+        terms, positions, length = ko(sent)
+        assert " ".join(f"{t}:{p}" for t, p in zip(terms, positions)) == mapped, sent
+        assert length == len(set(positions))

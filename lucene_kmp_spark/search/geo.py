@@ -247,6 +247,26 @@ def _pnpoly_states(xs: np.ndarray, ys: np.ndarray, px: np.ndarray, py: np.ndarra
         in_x = ((xs <= x1) & (xs >= x2)) != ((xs >= x1) & (xs <= x2))
         both_x = (xs == x1) & (xs == x2)
         orient = (y2 - y1) * (xs - x2) - (x2 - x1) * (ys - y2)
+        # exact-arithmetic fallback for near-degenerate collinearity
+        # (GeoUtils.orient's adaptive/BigDecimal path, GeoUtils.kt): a
+        # double det within the rounding band is recomputed over exact
+        # rationals (every double IS a rational), so on-edge detection can
+        # neither miss a truly-collinear point nor accept a nearly-collinear
+        # one. Candidates are bounded to points already inside the edge's
+        # bbox, so the per-point exact pass is tiny.
+        band = np.abs(orient) < 1e-9
+        cand = band & (in_y | both_y) & in_x & ~both_x
+        if cand.any():
+            from fractions import Fraction
+
+            fx2, fy2 = Fraction(float(x2)), Fraction(float(y2))
+            fy21 = fy2 - Fraction(float(y1))
+            fx21 = fx2 - Fraction(float(x1))
+            for j in np.nonzero(cand)[0]:
+                exact = fy21 * (Fraction(float(xs[j])) - fx2) - fx21 * (
+                    Fraction(float(ys[j])) - fy2
+                )
+                orient[j] = 0.0 if exact == 0 else (1.0 if exact > 0 else -1.0)
         on_edge |= (in_y | both_y) & (both_x | (in_x & (orient == 0.0)))
         # crossing parity (EdgeTree.kt:93-99)
         crosses = (y1 > ys) != (y2 > ys)

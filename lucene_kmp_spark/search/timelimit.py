@@ -10,11 +10,10 @@ expires first, the group is cancelled cluster-wide (every executor task
 gets interrupted — the ExitableDirectoryReader sweep) and
 ``TimeExceededError`` carries how long the query actually ran.
 
-Semantic delta vs Lucene (documented in DEVIATIONS.md): Lucene can return
-the hits collected before the deadline (``partialResultsAfterTimeout``); a
-cancelled Spark job yields no partial collect, so a timed-out search here
-raises instead of returning a partial page. Callers that want partial
-results should shrink the search (fewer clauses, smaller k) and re-issue.
+Both reference contracts are covered: the exception form (this module's
+``run_with_time_limit`` — cancel + raise) and ``partialResultsAfterTimeout``
+(:func:`partial_top_k` — the deadline lives inside the scoring pipeline and
+the hits collected before it return with a ``timed_out`` flag).
 """
 
 from __future__ import annotations
@@ -22,6 +21,8 @@ from __future__ import annotations
 import threading
 import time
 import uuid
+
+from pyspark.sql import functions as F
 
 
 class TimeExceededError(Exception):
@@ -81,3 +82,42 @@ def top_k_with_timeout(searcher, query, k: int, timeout_sec: float, **top_k_kwar
     return run_with_time_limit(
         spark, lambda: searcher.top_k(query, k, **top_k_kwargs).collect(), timeout_sec
     )
+
+
+def partial_top_k(searcher, query, k: int, timeout_sec: float):
+    """Partial results after timeout — TimeLimitingBulkScorer's OTHER
+    contract (``partialResultsAfterTimeout``): score in bounded windows
+    until the budget is gone and return the hits collected SO FAR instead
+    of raising (TimeLimitingBulkScorer.kt scores growing doc windows and
+    keeps what the collector saw; DEVIATIONS #11's raise-only gap).
+
+    The Spark analog puts the deadline INSIDE the scoring pipeline: a
+    pass-through Arrow stage checks the wall clock before forwarding each
+    batch and stops pulling from its partition once the budget is spent —
+    upstream decode for the unpulled batches never runs (lazy iterator
+    pipelining), exactly the "stop scoring mid-stream, keep the collected
+    hits" shape. Results under truncation are a valid top-k of the scored
+    subset, nondeterministic like the reference's (thread timing decides
+    what got scored there too). Executor clocks are assumed driver-close
+    (NTP; exact on local mode).
+
+    Returns ``(rows, timed_out)``: ``timed_out=False`` guarantees the full
+    exact answer."""
+    import time as _time
+
+    scored = searcher.execute(query)
+    deadline = _time.time() + timeout_sec
+
+    def gate(batches):
+        import time as _t
+
+        for pdf in batches:
+            if _t.time() >= deadline:
+                return
+            yield pdf
+
+    gated = scored.mapInPandas(gate, schema=scored.schema)
+    rows = (
+        gated.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k)).collect()
+    )
+    return rows, _time.time() >= deadline

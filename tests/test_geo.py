@@ -378,3 +378,31 @@ def test_latlonpoint_reference_goldens():
     assert geo.decode_latitude(geo.encode_latitude(19.0)) == 18.999999999068677
     assert geo.decode_longitude(geo.encode_longitude_ceil(-66.0)) == -65.9999999217689
     assert geo.decode_longitude(geo.encode_longitude(-65.0)) == -65.00000006519258
+
+
+def test_pnpoly_exact_orient_fallback():
+    """GeoUtils.orient exact-arithmetic path (DEVIATIONS #13, closed):
+    a point exactly collinear over the RATIONAL values of its doubles must
+    register on-edge even when the double determinant rounds away from
+    zero; a nearly-collinear point in the rounding band must not."""
+    import numpy as np
+
+    from lucene_kmp_spark.search.geo import _pnpoly_states
+
+    # ring around the edge (0,0)-(0.1,0.3); 0.1/0.3 are binary-inexact so
+    # the double det of the exact midpoint suffers cancellation
+    px = np.array([0.0, 0.1, -1.0])
+    py = np.array([0.0, 0.3, 1.0])
+    mx, my = np.float64(0.1) / 2, np.float64(0.3) / 2  # exact halving
+    # exact rational collinearity holds by construction
+    from fractions import Fraction
+
+    assert (Fraction(0.3) * Fraction(float(mx))
+            == Fraction(0.1) * Fraction(float(my)))
+    state = _pnpoly_states(np.array([float(mx)]), np.array([float(my)]), px, py)
+    assert state[0] == 2  # ON_EDGE
+
+    # 1-ulp off the edge: in the double band but exactly NOT collinear
+    off = np.nextafter(my, 1.0)
+    state2 = _pnpoly_states(np.array([float(mx)]), np.array([off]), px, py)
+    assert state2[0] != 2

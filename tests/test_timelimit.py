@@ -87,3 +87,32 @@ def test_knn_under_time_limit(spark, idx):
     with pytest.raises(TimeExceededError):
         run_with_time_limit(spark, lambda: knn_topk(slow, q, k=5, id_col="vec_id").collect(), 1.0)
     assert time.time() - t0 < 60
+
+
+def test_partial_results_generous_budget(spark, idx):
+    """partial_top_k with a comfortable budget returns the EXACT top-k and
+    timed_out=False (partialResultsAfterTimeout's no-timeout contract)."""
+    from lucene_kmp_spark.search.executor import IndexSearcher
+    from lucene_kmp_spark.search.query import TermQuery
+    from lucene_kmp_spark.search.timelimit import partial_top_k
+
+    s = IndexSearcher(idx)
+    exact = [(r["doc_id"], round(float(r["score"]), 5))
+             for r in s.top_k(TermQuery("the"), 10).collect()]
+    rows, timed_out = partial_top_k(s, TermQuery("the"), 10, timeout_sec=300.0)
+    assert timed_out is False
+    assert [(r["doc_id"], round(float(r["score"]), 5)) for r in rows] == exact
+
+
+def test_partial_results_expired_budget(spark, idx):
+    """A deadline already in the past yields the empty partial page (every
+    partition's gate closes before forwarding) — no exception, the
+    TimeLimitingBulkScorer partial contract."""
+    from lucene_kmp_spark.search.executor import IndexSearcher
+    from lucene_kmp_spark.search.query import TermQuery
+    from lucene_kmp_spark.search.timelimit import partial_top_k
+
+    s = IndexSearcher(idx)
+    rows, timed_out = partial_top_k(s, TermQuery("the"), 10, timeout_sec=-1.0)
+    assert timed_out is True
+    assert rows == []

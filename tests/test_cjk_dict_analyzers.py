@@ -372,3 +372,20 @@ def test_cjk_graph_oracle_maps_match_analyzers():
         terms, positions, length = ko(sent)
         assert " ".join(f"{t}:{p}" for t, p in zip(terms, positions)) == mapped, sent
         assert length == len(set(positions))
+
+
+def test_ko_user_dictionary_longest_only(ko_dict):
+    """nori's outputLongestUserEntryOnly (Viterbi.kt:48): when user entries
+    overlap, only the longest at a position enters the lattice."""
+    from lucene_kmp_spark.analysis.ko import korean_tokenizer
+    from lucene_kmp_spark.analysis.morph import MorphEntry
+
+    entries, costs, unk, cd = ko_dict
+    user = [
+        MorphEntry("데이터", 1, 1, -5000, "NNG"),
+        MorphEntry("데이터검색", 1, 1, -20000, "NNG"),
+    ]
+    tok = korean_tokenizer(entries, costs, unk, cd, user_entries=user, mode=DISCARD)
+    toks = tok("데이터검색 엔진")
+    assert toks[0].surface == "데이터검색" and toks[0].type == "USER"
+    assert [t.surface for t in toks] == ["데이터검색", "엔진"]

@@ -313,6 +313,25 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     textstats.quality_score(docs_pq).count()
     times["p_quality"] = round(time.perf_counter() - t, 3)
 
+    # dictionary-based CJK tokenization (kuromoji-machinery Viterbi lattice
+    # per doc, Arrow-batched): full index build over a deterministic
+    # Japanese column — measures the per-doc Python lattice cost the 100 TB
+    # tokenize stage would pay per CJK document
+    t = time.perf_counter()
+    from lucene_kmp_spark.analysis.ja import japanese_analyzer as _ja
+    from lucene_kmp_spark.index import build_index as _bi_cjk
+
+    _sents = ("関西国際空港に行きます", "日本経済新聞を検索",
+              "サーバーの検索エンジン", "検索エンジンを検索")
+    _case = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_sents)) + " END"
+    _jidx = _bi_cjk(
+        docs_pq.withColumn("ja_text", F.expr(_case)),
+        text_col="ja_text", analyzer=_ja(), cache=False,
+    )
+    _jidx.postings.count()
+    times["p_cjk_dict_build"] = round(time.perf_counter() - t, 3)
+
     # BPE training with the driver cap far below the corpus vocabulary —
     # the min_word_freq/max_words cut runs inside Spark before the collect,
     # so the driver only ever sees the top slice of the word-count table

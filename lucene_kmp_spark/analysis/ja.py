@@ -554,6 +554,7 @@ def japanese_analyzer(
     normalize_numbers: bool = False,
     iteration_marks: bool = False,
     nbest_cost: int = 0,
+    reading_form: str | None = None,  # None | "katakana" | "romaji"
 ):
     """JapaneseAnalyzer.createComponents (JapaneseAnalyzer.kt:31-47) as a
     picklable ``text -> (terms, positions, length)`` chain. Defaults to the
@@ -585,6 +586,10 @@ def japanese_analyzer(
 
             tokens = japanese_number_filter(tokens)
         base_form_filter(tokens)
+        if reading_form:
+            from lucene_kmp_spark.analysis.romaji import japanese_reading_form
+
+            japanese_reading_form(tokens, use_romaji=reading_form == "romaji")
         out_terms, out_positions = [], []
         pos = -1
         kept = 0

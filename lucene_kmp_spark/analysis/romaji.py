@@ -70,6 +70,11 @@ _N_APOS = set("ヤユヨアイウエオ")
 
 _MACRON = {"a": "ā", "i": "ī", "u": "ū", "e": "ē", "o": "ō"}
 
+# o-row kana that fold a following ウ into ō (ToStringUtil: every o-row
+# syllable has the `ch2 == 'ウ' -> "..ō"` case — コウ→kō, トウ→tō, ... —
+# while u-row kana do NOT fold: クウ→kuu. ヲ is excluded.)
+_O_MACRON_KANA = set("オコソトノホモヨロゴゾドボポ")
+
 
 def _syllable(s: str, i: int) -> tuple[str, int]:
     """One romanized unit starting at i -> (romaji, chars consumed)."""
@@ -183,6 +188,10 @@ def romanize(s: str) -> str:
             i += 1
             continue
         piece, used = _syllable(s, i)
+        if (used == 1 and ch in _O_MACRON_KANA and i + 1 < n
+                and s[i + 1] == "ウ"):
+            piece = piece[:-1] + "ō"
+            used = 2
         out.append(piece)
         i += used
     return "".join(out)

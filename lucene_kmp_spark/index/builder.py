@@ -509,6 +509,7 @@ class InvertedIndex:
             "index_sort": [list(p) for p in self.extra["index_sort"]]
             if self.extra.get("index_sort")
             else None,
+            "bucketed_blocks": bool(self.extra.get("bucketed_blocks", True)),
         }
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "manifest.json"), "w") as f:
@@ -541,6 +542,7 @@ class InvertedIndex:
                 "index_sort": tuple((c, bool(a)) for c, a in manifest["index_sort"])
                 if manifest.get("index_sort")
                 else None,
+                "bucketed_blocks": bool(manifest.get("bucketed_blocks", True)),
             },
         )
 
@@ -667,5 +669,10 @@ def build_index(
             # (column, ascending) pairs; search_sorted early-terminates when
             # the query sort is a prefix of it
             "index_sort": tuple((c, bool(a)) for c, a in index_sort) if index_sort else None,
+            # block_id = (doc-order bucket << 16) | slice only on the
+            # default path; the skew_safe=False cross-check variant numbers
+            # slices per term, so window-keyed optimizations (the
+            # conjunction window prefilter) must not fire over it
+            "bucketed_blocks": bool(skew_safe),
         },
     )

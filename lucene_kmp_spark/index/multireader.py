@@ -82,7 +82,12 @@ def multi_reader(*indexes: InvertedIndex, check_disjoint: bool = False) -> Inver
         [_tagged_postings(ix, i) for i, ix in enumerate(indexes)],
     )
     term_dict = (
-        reduce(lambda a, b: a.unionByName(b), [ix.term_dict for ix in indexes])
+        # normalize to the stats the re-agg keeps: leaves written before and
+        # after the n_buckets term_dict column coexist in one composite
+        reduce(
+            lambda a, b: a.unionByName(b),
+            [ix.term_dict.select("term", "df", "ttf") for ix in indexes],
+        )
         .groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
     )

@@ -188,6 +188,16 @@ class SegmentedIndexWriter:
             )
         return seg_path
 
+    def _fresh_seg(self, prefix: str) -> tuple[str, str]:
+        """Next counter-derived id whose directory does not exist yet —
+        counter values colliding with legacy generation-named directories
+        (pre-counter indexes) are skipped, not errors."""
+        while True:
+            seg_id = f"{prefix}{self._next_seg_num():05d}"
+            seg_path = os.path.join(self.root, "segments", seg_id)
+            if not os.path.exists(seg_path):
+                return seg_id, seg_path
+
     # ------------------------------------------------------------ mutations
     def add_batch(self, df: DataFrame, batch_key: str | None = None) -> dict | None:
         """Index a batch of turns as one new segment. Idempotent per
@@ -205,8 +215,7 @@ class SegmentedIndexWriter:
         )
         n_docs = with_ids.count()
         idx = build_index(with_ids, text_col=self.text_col, cache=True)
-        seg_id = f"seg-{self._next_seg_num():05d}"
-        seg_path = self._claim_seg_path(seg_id)
+        seg_id, seg_path = self._fresh_seg("seg-")
         idx.write(seg_path)
         has_bloom = self._write_bloom(idx, seg_path)
         record = {
@@ -524,8 +533,7 @@ class SegmentedIndexWriter:
             purge_soft = soft.join(keep.select("doc_id"), "doc_id", "left_anti")
             live_docs = live_docs.join(purge_soft, "doc_id", "left_anti")
         idx = build_index(live_docs, text_col=self.text_col, cache=True)
-        seg_id = f"seg-merged-{self._next_seg_num():05d}"
-        seg_path = self._claim_seg_path(seg_id)
+        seg_id, seg_path = self._fresh_seg("seg-merged-")
         idx.write(seg_path)
         merged_bloom = self._write_bloom(idx, seg_path)
         if self.merged_segment_warmer is not None:

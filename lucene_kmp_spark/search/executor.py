@@ -451,6 +451,10 @@ class IndexSearcher:
         cannot satisfy the conjunction, so results are identical; the win is
         skipped block decode on the hot side. Returns None when the gate
         says the prefilter cannot pay."""
+        if not self.index.extra.get("bucketed_blocks", True):
+            # skew_safe=False blocks number slices per term: block_id >> 16
+            # is NOT a doc-order window there, so pruning would be wrong
+            return None
         have = {t: st for t, st in stats.items() if st is not None}
         if len(have) < 2 or len(have) < len(boosts):
             return None  # a missing term empties the conjunction anyway

@@ -229,3 +229,22 @@ def test_committed_and_snapshot_mutually_exclusive(spark, tmp_path, batches):
     snap = w.snapshot()
     with pytest.raises(ValueError, match="mutually exclusive"):
         w.reader(committed=True, snapshot=snap)
+
+
+def test_legacy_segment_dir_names_skipped(spark, tmp_path, batches):
+    """A pre-counter index may hold generation-named directories that a
+    fresh counter would collide with: the id allocator skips them instead
+    of failing the merge/add."""
+    import os
+
+    b1, b2 = batches
+    w = _writer(spark, tmp_path)
+    # simulate legacy leftovers occupying the first counter values
+    os.makedirs(os.path.join(w.root, "segments", "seg-00000"))
+    os.makedirs(os.path.join(w.root, "segments", "seg-merged-00001"))
+    rec1 = w.add_batch(b1, batch_key="b1")
+    assert rec1["id"] not in ("seg-00000",)
+    w.add_batch(b2, batch_key="b2")
+    merged = w.merge(w.manifest()["segments"])
+    assert merged["id"] != "seg-merged-00001"
+    assert w.reader().searcher().count(TermQuery("the")) > 0

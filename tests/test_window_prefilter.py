@@ -142,8 +142,44 @@ def test_n_buckets_metadata(idx):
     stats = s.term_stats(sample)
     for t in sample:
         assert stats[t].n_buckets == truth[t]
-    # an old-format stats object (n_buckets=-1) falls back to the df proxy
+    # old-format stats (n_buckets=-1) fall back to occupied = min(df,
+    # n_windows): a clustered-but-frequent lead the metadata would admit
+    # (n_buckets=1) is REFUSED under the df proxy — the conservative
+    # direction — while a tiny-df lead still passes the occupancy gate
     from lucene_kmp_spark.search.executor import TermStats
 
-    old = {"a": TermStats(1, 1), "b": TermStats(10**9, 10**9)}
-    assert s._conjunction_window_rows({"a": 1.0, "b": 1.0}, old) is None or True
+    s2 = IndexSearcher(idx)
+    s2.WINDOW_PREFILTER_MIN_OTHER_DF = 0
+    n_windows = max(1, -(-idx.stats.doc_count // 8192))
+    big_df = int(s2.WINDOW_PREFILTER_MAX_OCCUPANCY * n_windows) + 1
+    old = {"a": TermStats(big_df, big_df), "b": TermStats(10**6, 10**6)}
+    assert s2._conjunction_window_rows({"a": 1.0, "b": 1.0}, old) is None
+    fresh = {"a": TermStats(big_df, big_df, n_buckets=0),
+             "b": TermStats(10**6, 10**6, n_buckets=n_windows)}
+    assert s2._conjunction_window_rows({"a": 1.0, "b": 1.0}, fresh) is not None
+
+
+def test_gate_disabled_on_unbucketed_index(spark):
+    """skew_safe=False numbers block slices per term — block_id >> 16 is
+    not a doc-order window there, so the prefilter must refuse."""
+    from lucene_kmp_spark.search.executor import TermStats
+
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=6, seed=3))
+    ix = build_index(docs, skew_safe=False)
+    assert ix.extra["bucketed_blocks"] is False
+    s = IndexSearcher(ix)
+    s.WINDOW_PREFILTER_MAX_OCCUPANCY = 1e9
+    s.WINDOW_PREFILTER_MIN_OTHER_DF = 0
+    stats = {"a": TermStats(1, 1, n_buckets=1), "b": TermStats(10**6, 10**6, n_buckets=1)}
+    assert s._conjunction_window_rows({"a": 1.0, "b": 1.0}, stats) is None
+    # and the flag round-trips through write/read
+    import tempfile, os, shutil
+    root = tempfile.mkdtemp(prefix="wpf_unbucketed_")
+    try:
+        ix.write(os.path.join(root, "ix"))
+        from lucene_kmp_spark.index.builder import InvertedIndex
+
+        back = InvertedIndex.read(spark, os.path.join(root, "ix"))
+        assert back.extra["bucketed_blocks"] is False
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

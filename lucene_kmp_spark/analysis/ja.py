@@ -612,6 +612,65 @@ def japanese_analyzer(
     return run
 
 
+# ------------------------------------------------------ user dictionaries
+def parse_user_dictionary(
+    text: str,
+    left_id: int = 5,
+    right_id: int = 5,
+    word_cost: int = -100000,
+) -> list[MorphEntry]:
+    """kuromoji userdict.txt parser (ja/dict/UserDictionary.kt:29-100):
+    CSV lines ``surface,segmentation,readings,pos`` with space-separated
+    segmentation/readings, ``#`` comments, and the reference's validation
+    (segment/reading counts match; concatenated segments equal the
+    surface). Entries carry the fixed user-entry cost model
+    (UserMorphData: WORD_COST=-100000, LEFT_ID=RIGHT_ID=5 — override the
+    ids to match a caller-supplied connection matrix). Per-part readings
+    are validated and kept on single-segment entries; multi-segment
+    entries record the split lengths for the backtrace."""
+    import csv
+    import re
+
+    entries: list[MorphEntry] = []
+    for raw in text.splitlines():
+        line = re.sub(r"#.*$", "", raw)
+        if not line.strip():
+            continue
+        values = next(csv.reader([line]))
+        if len(values) < 4:
+            raise ValueError(f"illegal user dictionary entry: {raw!r}")
+        surface = re.sub(r"\s", "", values[0])
+        concatenated = re.sub(r"\s", "", values[1])
+        segmentation = re.split(r" +", values[1].strip())
+        readings = re.split(r" +", values[2].strip())
+        pos = values[3]
+        if len(segmentation) != len(readings):
+            raise ValueError(
+                f"Illegal user dictionary entry {values[0]} - the number of "
+                f"segmentations ({len(segmentation)}) does not the match "
+                f"number of readings ({len(readings)})"
+            )
+        if surface != concatenated:
+            raise ValueError(
+                f"Illegal user dictionary entry {values[0]} - the "
+                f"concatenated segmentation ({concatenated}) does not match "
+                f"the surface form ({surface})"
+            )
+        entries.append(
+            MorphEntry(
+                surface,
+                left_id,
+                right_id,
+                word_cost,
+                pos,
+                reading=readings[0] if len(segmentation) == 1 else None,
+                segmentation=(tuple(len(s) for s in segmentation)
+                              if len(segmentation) > 1 else ()),
+            )
+        )
+    return entries
+
+
 # ------------------------------------------------------- demo dictionary
 def demo_japanese_dictionary():
     """Hand-authored ipadic-shaped demo tables (NOT extracted from ipadic —

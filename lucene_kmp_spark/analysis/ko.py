@@ -291,6 +291,44 @@ def korean_analyzer(
     return run
 
 
+def parse_user_dictionary(
+    text: str,
+    left_id: int = 1,
+    right_id: int = 1,
+    word_cost: int = -100000,
+    pos: str = "NNG",
+) -> list[MorphEntry]:
+    """nori userdict.txt parser (ko/dict/UserDictionary.kt): one entry per
+    line, ``surface`` alone or ``surface seg1 seg2 ...`` for compounds,
+    ``#`` comments. Compound lines become COMPOUND entries whose morphemes
+    decompose per mode; the fixed user cost model applies
+    (UserMorphData WORD_COST=-100000; override ids for caller matrices)."""
+    import re
+
+    entries: list[MorphEntry] = []
+    for raw in text.splitlines():
+        line = re.sub(r"#.*$", "", raw).strip()
+        if not line:
+            continue
+        parts = re.split(r"\s+", line)
+        surface = parts[0]
+        segs = parts[1:]
+        if segs and "".join(segs) != surface:
+            raise ValueError(
+                f"Illegal user dictionary entry {surface} - the concatenated "
+                f"segmentation ({''.join(segs)}) does not match the surface form"
+            )
+        if len(segs) > 1:
+            entries.append(MorphEntry(
+                surface, left_id, right_id, word_cost, pos,
+                pos_type="COMPOUND",
+                morphemes=tuple((pos, s) for s in segs),
+            ))
+        else:
+            entries.append(MorphEntry(surface, left_id, right_id, word_cost, pos))
+    return entries
+
+
 def demo_korean_dictionary():
     """Hand-authored mecab-ko-dic-shaped demo tables. Context ids:
     0=BOS/EOS, 1=noun, 2=particle, 3=verb-ish. The compound entry

@@ -389,3 +389,50 @@ def test_ko_user_dictionary_longest_only(ko_dict):
     toks = tok("데이터검색 엔진")
     assert toks[0].surface == "데이터검색" and toks[0].type == "USER"
     assert [t.surface for t in toks] == ["데이터검색", "엔진"]
+
+
+def test_ja_user_dictionary_csv_format(ja_dict):
+    """kuromoji userdict.txt parsing (UserDictionary.kt): CSV entries with
+    segmentation/readings validation, comments, whitespace; parsed entries
+    drive the tokenizer's USER path end-to-end."""
+    from lucene_kmp_spark.analysis.ja import japanese_tokenizer, parse_user_dictionary
+
+    text = (
+        "# custom nouns\n"
+        "関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,カスタム名詞\n"
+        "\n"
+        "朝青龍,朝青龍,アサショウリュウ,カスタム人名  # inline comment\n"
+    )
+    entries, costs, unk, cd = ja_dict
+    # ids 5/5 are the reference's ipadic defaults; the demo matrix is 4x4
+    user = parse_user_dictionary(text, left_id=1, right_id=1)
+    assert len(user) == 2
+    assert user[0].segmentation == (2, 2, 2)
+    assert user[1].reading == "アサショウリュウ"
+    tok = japanese_tokenizer(entries, costs, unk, cd, user_entries=user, mode=NORMAL)
+    toks = tok("関西国際空港")
+    assert [t.surface for t in toks] == ["関西", "国際", "空港"]
+    assert all(t.type == "USER" for t in toks)
+
+    with pytest.raises(ValueError, match="number of readings"):
+        parse_user_dictionary("ab,a b,ア,名詞\n")
+    with pytest.raises(ValueError, match="concatenated segmentation"):
+        parse_user_dictionary("abc,a b,ア イ,名詞\n")
+
+
+def test_ko_user_dictionary_format(ko_dict):
+    """nori userdict.txt parsing: bare surfaces and compound lines."""
+    from lucene_kmp_spark.analysis.ko import korean_tokenizer, parse_user_dictionary
+
+    text = "# entries\nc++\n세종\n세종시 세종 시\n"
+    user = parse_user_dictionary(text)
+    assert [e.surface for e in user] == ["c++", "세종", "세종시"]
+    assert user[2].pos_type == "COMPOUND"
+    assert user[2].morphemes == (("NNG", "세종"), ("NNG", "시"))
+    entries, costs, unk, cd = ko_dict
+    tok = korean_tokenizer(entries, costs, unk, cd, user_entries=user, mode=DISCARD)
+    assert [t.surface for t in tok("세종시")] == ["세종", "시"]
+    tok_n = korean_tokenizer(entries, costs, unk, cd, user_entries=user, mode=NONE)
+    assert [t.surface for t in tok_n("세종시")] == ["세종시"]
+    with pytest.raises(ValueError, match="concatenated"):
+        parse_user_dictionary("세종시 세종 수\n")

@@ -320,10 +320,13 @@ class ViterbiLattice:
             ):
                 # Viterbi.kt:139-143: a space at a live position shifts the
                 # word start ahead; the arc still relaxes FROM pos_data, and
-                # add() charges compute_space_penalty(numSpaces)
+                # add() charges compute_space_penalty(numSpaces).  At EOF the
+                # reference resets pos back to posData.pos (Viterbi.kt:140-141)
+                # so the trailing space itself is matched as an unknown arc
+                # that reaches EOS — breaking here would leave EOS empty.
                 pos += 1
                 if pos == n:
-                    break
+                    pos = pos_data.pos
 
             any_matches = False
 

@@ -3244,6 +3244,23 @@ def _sampled_keys() -> frozenset:
     return frozenset(keys)
 
 
+# already-driver-verified entries re-sampled per round (regression guard
+# beyond the canaries), round-robin over the sorted verified pool so the pick
+# is deterministic given the same CORRECTNESS_r*.json set.  Re-sampling only
+# uses slots the never-sampled pool does not need: while >= _DRIVER_WINDOW-3
+# entries are still awaiting their first driver row, all slots go to them.
+_RESAMPLE_SLOTS = 4
+_DRIVER_WINDOW = 50  # observed driver sample size (r01/r02/r03 all 50)
+
+
+def _round_index() -> int:
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(os.path.dirname(here))
+    return len(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+
+
 def _rotate(q: dict) -> dict:
     sampled = _sampled_keys()
     order: list[str] = []
@@ -3256,12 +3273,26 @@ def _rotate(q: dict) -> dict:
 
     for k in _CANARIES:
         add(k)
+    # round-robin re-sample of the verified tail: regressions in previously
+    # green entries stay visible to the driver, not only to the in-repo
+    # replay — but never at the cost of starving first-time coverage
+    unsampled = sum(1 for k in q if k not in sampled)
+    spare = max(0, _DRIVER_WINDOW - len(_CANARIES) - unsampled)
+    n_resample = min(_RESAMPLE_SLOTS, spare)
+    verified = sorted(k for k in sampled if k in q and k not in _CANARIES)
+    if verified and n_resample:
+        start = (_round_index() * _RESAMPLE_SLOTS) % len(verified)
+        for i in range(min(n_resample, len(verified))):
+            add(verified[(start + i) % len(verified)])
     for k in _ROTATION_HEAD:
         if k not in sampled:
             add(k)
     for k in q:
         if k not in sampled:
             add(k)
+    # verified tail (stable sorted order keeps the layout reproducible)
+    for k in verified:
+        add(k)
     for k in q:
         add(k)
     return {k: q[k] for k in order}

@@ -115,6 +115,12 @@ def multi_reader(*indexes: InvertedIndex, check_disjoint: bool = False) -> Inver
     )
     extra = dict(indexes[0].extra)
     extra["composite_leaves"] = len(indexes)
+    # semantic flags must hold for EVERY leaf: a skew_safe=False leaf has
+    # per-term-slice block ids (block_id>>16 is not a doc-order window), so
+    # the composite may only advertise window-prunable blocks if all leaves do
+    extra["bucketed_blocks"] = all(
+        ix.extra.get("bucketed_blocks", True) for ix in indexes
+    )
     # composite loses any per-leaf index sort (docIDs interleave across
     # leaves), like Lucene dropping the sort on a multi-segment view
     extra["index_sort"] = None

@@ -248,11 +248,38 @@ def _table_bytes(df: DataFrame) -> int | None:
     return total
 
 
-def _memory_budget_bytes() -> int:
-    """Half of physical RAM — the page-cache share a hot float table can
-    realistically keep on a busy executor."""
+def _memory_budget_bytes(spark=None) -> int:
+    """Best-effort executor page-cache budget.
+
+    local master: half of physical RAM (driver == executor box, the share a
+    hot float table can realistically keep warm).  Non-local master: the
+    driver's RAM says nothing about executors, so derive from
+    ``spark.executor.memory × executor count`` when configured (a
+    conservative stand-in for aggregate executor page cache) and fall back
+    to a modest 8 GiB/executor-unknown default.  Both tiers return correct
+    results, so a wrong guess costs performance only — callers on real
+    clusters should pass ``memory_budget`` explicitly."""
     import os as _os
 
+    master = ""
+    if spark is not None:
+        try:
+            master = spark.conf.get("spark.master", "") or ""
+        except Exception:
+            master = ""
+    if master and not master.startswith("local"):
+        try:
+            mem = spark.conf.get("spark.executor.memory", None)
+            n = int(spark.conf.get("spark.executor.instances", "0") or 0)
+            if mem and n > 0:
+                units = {"k": 10, "m": 20, "g": 30, "t": 40}
+                m = mem.strip().lower()
+                mult = units.get(m[-1], 0)
+                val = int(m[:-1]) if mult else int(m)
+                return (val << mult) * n
+        except Exception:
+            pass
+        return 8 << 30
     try:
         return (_os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES")) // 2
     except (ValueError, OSError):
@@ -283,7 +310,11 @@ def ann_auto_topk(
     Returns ``(topk_df, path)`` with path in {"float", "quantized"}."""
     from lucene_kmp_spark.pipeline.similarity import cosine_topk
 
-    budget = _memory_budget_bytes() if memory_budget is None else int(memory_budget)
+    budget = (
+        _memory_budget_bytes(df.sparkSession)
+        if memory_budget is None
+        else int(memory_budget)
+    )
     nbytes = _table_bytes(df)
     if nbytes is not None and nbytes <= budget:
         from pyspark.sql.window import Window

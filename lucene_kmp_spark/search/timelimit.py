@@ -102,17 +102,25 @@ def partial_top_k(searcher, query, k: int, timeout_sec: float):
     (NTP; exact on local mode).
 
     Returns ``(rows, timed_out)``: ``timed_out=False`` guarantees the full
-    exact answer."""
+    exact answer.  The flag is derived from whether any partition actually
+    stopped early (a Spark accumulator incremented by the gate on
+    truncation), not from the driver wall clock — a slow driver-side
+    sort/collect after a fully-scored stream does not flip it, and executor
+    clock skew cannot hide a truncation."""
     import time as _time
 
     scored = searcher.execute(query)
     deadline = _time.time() + timeout_sec
+    truncated = searcher.index.spark.sparkContext.accumulator(0)
 
     def gate(batches):
         import time as _t
 
         for pdf in batches:
             if _t.time() >= deadline:
+                # dropping a fetched batch (and everything behind it) —
+                # record the truncation so the driver reports timed_out
+                truncated.add(1)
                 return
             yield pdf
 
@@ -120,4 +128,4 @@ def partial_top_k(searcher, query, k: int, timeout_sec: float):
     rows = (
         gated.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k)).collect()
     )
-    return rows, _time.time() >= deadline
+    return rows, truncated.value > 0

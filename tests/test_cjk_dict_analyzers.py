@@ -222,6 +222,20 @@ def test_ko_space_penalty_prefers_attached_particle(ko_dict):
     assert [(t.start, t.end) for t in toks] == [(0, 2), (3, 4), (5, 7)]
 
 
+def test_ko_trailing_space_reaches_eos(ko_dict):
+    """A single trailing space must not leave EOS unreachable: the reference
+    resets pos to posData.pos at EOF (Viterbi.kt:139-141) so the space itself
+    is matched as an unknown arc. Regression for the forward() early-break."""
+    an = korean_analyzer(mode=DISCARD)
+    base = an("가락지나물은 한국")
+    assert an("가락지나물은 한국 ") == base
+    assert an("가락지나물은 한국  ") == base
+    assert base[0]  # sanity: non-empty
+    tok = korean_tokenizer(*ko_dict, mode=DISCARD)
+    assert [t.surface for t in tok("나물 ")] == ["나물"]
+    assert [t.surface for t in tok(" ")] == []
+
+
 # ------------------------------------------------------------------ Chinese
 def test_zh_dictionary_words_win():
     d = demo_chinese_dictionary()

@@ -1,0 +1,346 @@
+"""Lattice validation at mecab-scale dictionaries (>=10k entries, full
+connection matrix) — VERDICT round-3 item #2.
+
+The demo dictionaries prove reference-golden behaviors on hand-derivable
+lattices; these tests put the shared Viterbi machinery under dictionary
+pressure (dozens of candidate arcs per position, homographs, compound-vs-
+parts ambiguity, unknown runs interleaved with dense coverage) and verify:
+
+* ja: end-to-end against a FULLY INDEPENDENT oracle — its own sequential
+  arc enumeration (reference rules re-implemented from scratch) and its own
+  shortest-path DP. Engine best-path cost must equal the oracle minimum.
+* ko: Bellman optimality of every arc in the built lattice (each stored
+  cost equals the true minimum over incoming arcs + connection + space
+  penalty + word cost), EOS minimality, plus structural invariants for
+  COMPOUND decompound arrays, INFLECT morphemes, and unknown-run grouping.
+* n-best: the best path is a subset of the n-best emission; output is
+  deterministic.
+
+Reference shape matched: analysis/kuromoji/.../ja/JapaneseTokenizer.kt and
+analysis/nori/.../ko/KoreanTokenizer.kt lattice behavior under
+mecab-ipadic / mecab-ko-dic-scale data (neither dictionary is embedded in
+the reference or here; tables are deterministic synthetics of that shape).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from lucene_kmp_spark.analysis.ja import NORMAL, japanese_tokenizer
+from lucene_kmp_spark.analysis.ko import (
+    DISCARD,
+    MIXED,
+    NONE,
+    korean_tokenizer,
+)
+from lucene_kmp_spark.analysis.morph import is_punctuation
+from lucene_kmp_spark.analysis.synthdict import (
+    synth_japanese_dictionary,
+    synth_korean_dictionary,
+    synth_sentences_ja,
+    synth_sentences_ko,
+)
+
+@pytest.fixture(scope="module")
+def ja_big():
+    return synth_japanese_dictionary()
+
+
+@pytest.fixture(scope="module")
+def ko_big():
+    return synth_korean_dictionary()
+
+
+# ------------------------------------------------------------ shape checks
+def test_ja_dictionary_scale(ja_big):
+    entries, conn, unknowns, char_def = ja_big
+    assert len(entries) >= 10000
+    n = len(conn.matrix)
+    assert n >= 300 and all(len(row) == n for row in conn.matrix)
+    surfaces = defaultdict(int)
+    for e in entries:
+        surfaces[e.surface] += 1
+    homographs = sum(1 for c in surfaces.values() if c > 1)
+    assert homographs >= 20  # ambiguity pressure is real
+    # compound surfaces that decompose into in-dictionary parts exist
+    surf_set = set(surfaces)
+    compounds = [e for e in entries if e.pos == "名詞-固有名詞-一般"]
+    assert len(compounds) >= 500
+    decomposable = sum(
+        1 for e in compounds
+        if any(e.surface[:i] in surf_set and e.surface[i:] in surf_set
+               for i in range(1, len(e.surface)))
+    )
+    assert decomposable >= 400
+
+
+def test_ko_dictionary_scale(ko_big):
+    entries, conn, unknowns, char_def = ko_big
+    assert len(entries) >= 10000
+    assert sum(1 for e in entries if e.pos_type == "COMPOUND") >= 500
+    assert sum(1 for e in entries if e.pos_type == "INFLECT") >= 300
+
+
+def test_determinism():
+    a = synth_japanese_dictionary(n_entries=500, n_context=32, seed=9)
+    b = synth_japanese_dictionary(n_entries=500, n_context=32, seed=9)
+    assert [e.surface for e in a[0]] == [e.surface for e in b[0]]
+    assert a[1].matrix == b[1].matrix
+    assert synth_sentences_ja(a[0], n=20, seed=3) == synth_sentences_ja(
+        b[0], n=20, seed=3)
+
+
+# --------------------------------------------- independent ja oracle (DP)
+def _naive_ja_arcs(text, entries, unknowns, char_def):
+    """Sequential arc enumeration re-implemented from the reference rules
+    (Viterbi.kt:49-233 + KuromojiViterbiNBest.processUnknownWord:95-131),
+    sharing no code with analysis/morph.py."""
+    by_surface: dict[str, list] = defaultdict(list)
+    for e in entries:
+        by_surface[e.surface].append(e)
+    max_len = max(len(s) for s in by_surface)
+    n = len(text)
+    arcs_by_end: dict[int, list] = defaultdict(list)  # end -> [(start, entry)]
+    live = {0}
+    unknown_end = -1
+    for pos in range(n):
+        if pos not in live:
+            continue
+        any_matches = False
+        for ln in range(1, min(max_len, n - pos) + 1):
+            for e in by_surface.get(text[pos:pos + ln], ()):
+                arcs_by_end[pos + ln].append((pos, e))
+                live.add(pos + ln)
+                any_matches = True
+        first = text[pos]
+        if ((not any_matches or char_def.is_invoke(first))
+                and not unknown_end > pos):
+            cls = char_def.char_class(first)
+            if not char_def.is_group(first):
+                ln = 1
+            else:
+                is_p = is_punctuation(first)
+                ln = 1
+                while (ln < 1024 and pos + ln < n
+                       and char_def.char_class(text[pos + ln]) == cls
+                       and is_punctuation(text[pos + ln]) == is_p):
+                    ln += 1
+            ues = unknowns.entries_for(cls)
+            if ues:
+                for ue in ues:
+                    arcs_by_end[pos + ln].append((pos, ue))
+                live.add(pos + ln)
+                unknown_end = pos + ln
+    return arcs_by_end
+
+
+def _naive_min_cost(text, arcs_by_end, conn):
+    """Shortest path over the arc set: BOS (right_id 0, cost 0) -> ... ->
+    EOS (+connection to left_id 0)."""
+    n = len(text)
+    # dp over arcs: arc id -> accumulated least cost including its word_cost
+    dp: dict[int, int] = {}
+    arcs: list = []  # (start, end, entry)
+    for end in sorted(arcs_by_end):
+        for start, e in arcs_by_end[end]:
+            arcs.append((start, end, e))
+    ends: dict[int, list[int]] = defaultdict(list)
+    for i, (s, t, e) in enumerate(arcs):
+        ends[t].append(i)
+    for i, (s, t, e) in enumerate(arcs):
+        if s == 0:
+            inc = conn.get(0, e.left_id)
+        else:
+            best = None
+            for j in ends.get(s, ()):
+                c = dp[j] + conn.get(arcs[j][2].right_id, e.left_id)
+                if best is None or c < best:
+                    best = c
+            if best is None:
+                continue  # unreachable arc
+            inc = best
+        dp[i] = inc + e.word_cost
+    total = None
+    for j in ends.get(n, ()):
+        if j not in dp:
+            continue
+        c = dp[j] + conn.get(arcs[j][2].right_id, 0)
+        if total is None or c < total:
+            total = c
+    return total
+
+
+def _engine_path_cost(tokens, conn):
+    cost, prev_right = 0, 0
+    for t in tokens:
+        cost += conn.get(prev_right, t.entry.left_id) + t.entry.word_cost
+        prev_right = t.entry.right_id
+    return cost + conn.get(prev_right, 0)
+
+
+def test_ja_viterbi_matches_independent_dp(ja_big):
+    entries, conn, unknowns, char_def = ja_big
+    tok = japanese_tokenizer(entries, conn, unknowns, char_def, mode=NORMAL)
+    sentences = synth_sentences_ja(entries, n=60, seed=101)
+    checked = 0
+    for text in sentences:
+        tokens = tok(text)
+        assert tokens, text
+        # offsets partition the string
+        assert tokens[0].start == 0 and tokens[-1].end == len(text)
+        for a, b in zip(tokens, tokens[1:]):
+            assert a.end == b.start
+        arcs = _naive_ja_arcs(text, entries, unknowns, char_def)
+        want = _naive_min_cost(text, arcs, conn)
+        got = _engine_path_cost(tokens, conn)
+        assert want is not None
+        assert got == want, (text, got, want)
+        checked += 1
+    assert checked == 60
+
+
+def test_ja_unknown_interleaving(ja_big):
+    entries, conn, unknowns, char_def = ja_big
+    tok = japanese_tokenizer(entries, conn, unknowns, char_def, mode=NORMAL)
+    # all-OOV sentences: every kanji outside the generator pool
+    sentences = synth_sentences_ja(entries, n=40, seed=77, oov_rate=1.0)
+    saw_unknown = 0
+    for text in sentences:
+        tokens = tok(text)
+        assert tokens
+        assert tokens[-1].end == len(text)
+        if any(t.type == "UNKNOWN" for t in tokens):
+            saw_unknown += 1
+    assert saw_unknown >= 30  # OOV runs really do surface as UNKNOWN arcs
+
+
+def test_ja_nbest_superset_and_stable(ja_big):
+    entries, conn, unknowns, char_def = ja_big
+    best_tok = japanese_tokenizer(entries, conn, unknowns, char_def,
+                                  mode=NORMAL)
+    nbest_tok = japanese_tokenizer(entries, conn, unknowns, char_def,
+                                   mode=NORMAL, nbest_cost=2000)
+    sentences = synth_sentences_ja(entries, n=25, seed=55)
+    extra_total = 0
+    for text in sentences:
+        best = best_tok(text)
+        nbest = nbest_tok(text)
+        nbest2 = nbest_tok(text)
+        key = lambda t: (t.surface, t.start, t.end)
+        assert [key(t) for t in nbest] == [key(t) for t in nbest2]  # stable
+        assert {key(t) for t in best} <= {key(t) for t in nbest}
+        # positionLength consistency: overlapping alternatives never shrink
+        pos = -1
+        for t in nbest:
+            pos += t.position_increment
+            assert t.position_increment in (0, 1)
+            assert t.position_length >= 1
+        extra_total += len(nbest) - len(best)
+    assert extra_total > 0  # ambiguity produced real alternatives
+
+
+# ------------------------------------------------- ko lattice optimality
+def _assert_lattice_bellman_optimal(v, text):
+    """Every stored arc cost in the built lattice equals the true minimum
+    over incoming arcs (+ connection + space penalty) + word cost, computed
+    directly from the raw tables — catches relaxation bugs under ambiguity
+    without trusting any engine accumulation."""
+    v.forward(text)
+    conn = v.costs
+    positions = v.positions
+    n = len(text)
+    for end_pos, pd in positions.items():
+        for idx in range(len(pd.costs)):
+            if end_pos == 0:
+                assert pd.costs[idx] == 0  # BOS
+                continue
+            from_pos = pd.back_pos[idx]
+            word_pos = pd.back_word_pos[idx]
+            entry = v.entry_of(pd.back_id[idx], pd.back_type[idx])
+            fd = positions[from_pos]
+            num_spaces = word_pos - from_pos
+            want = min(
+                fd.costs[i]
+                + conn.get(fd.last_right[i], entry.left_id)
+                + v.compute_space_penalty(entry, num_spaces)
+                for i in range(len(fd.costs))
+            ) + entry.word_cost
+            assert pd.costs[idx] == want, (text, end_pos, idx)
+    # EOS pick is minimal
+    end_data, least = v.best_end_index(n)
+    assert end_data is not None
+    chosen = end_data.costs[least] + conn.get(end_data.last_right[least], 0)
+    assert chosen == min(
+        end_data.costs[i] + conn.get(end_data.last_right[i], 0)
+        for i in range(len(end_data.costs))
+    )
+
+
+def test_ko_lattice_bellman_optimal(ko_big):
+    from lucene_kmp_spark.analysis.ko import KoreanViterbi
+    from lucene_kmp_spark.analysis.morph import PrefixDictionary
+
+    entries, conn, unknowns, char_def = ko_big
+    v = KoreanViterbi(PrefixDictionary(entries), conn, unknowns, char_def,
+                      mode=NONE)
+    for text in synth_sentences_ko(entries, n=40, seed=202):
+        _assert_lattice_bellman_optimal(v, text)
+
+
+def test_ko_decompound_arrays_at_scale(ko_big):
+    entries, conn, unknowns, char_def = ko_big
+    compounds = {e.surface: e for e in entries if e.pos_type == "COMPOUND"}
+    tok_none = korean_tokenizer(entries, conn, unknowns, char_def, mode=NONE)
+    tok_disc = korean_tokenizer(entries, conn, unknowns, char_def,
+                                mode=DISCARD)
+    tok_mix = korean_tokenizer(entries, conn, unknowns, char_def, mode=MIXED)
+    checked = 0
+    for surface, e in list(compounds.items())[:200]:
+        none_toks = tok_none(surface)
+        if len(none_toks) != 1 or none_toks[0].surface != surface:
+            continue  # parts beat the compound for this surface — fine
+        parts = [m[1] for m in e.morphemes]
+        disc = [t.surface for t in tok_disc(surface)]
+        assert disc == parts, (surface, disc, parts)
+        mixed = [t.surface for t in tok_mix(surface)]
+        assert mixed[0] == surface and mixed[1:] == parts
+        # MIXED graph shape: compound spans its parts
+        mts = tok_mix(surface)
+        assert mts[0].position_increment == 1
+        assert mts[1].position_increment == 0
+        assert mts[0].position_length == len(parts)
+        checked += 1
+    assert checked >= 50
+
+
+def test_ko_inflect_morphemes_at_scale(ko_big):
+    entries, conn, unknowns, char_def = ko_big
+    inflects = [e for e in entries if e.pos_type == "INFLECT"]
+    tok_none = korean_tokenizer(entries, conn, unknowns, char_def, mode=NONE)
+    tok_disc = korean_tokenizer(entries, conn, unknowns, char_def,
+                                mode=DISCARD)
+    checked = 0
+    for e in inflects[:150]:
+        none_toks = tok_none(e.surface)
+        if len(none_toks) != 1 or none_toks[0].surface != e.surface:
+            continue
+        disc = [t.surface for t in tok_disc(e.surface)]
+        assert disc == [m[1] for m in e.morphemes], (e.surface, disc)
+        checked += 1
+    assert checked >= 30
+
+
+def test_ko_sentences_tokenize_and_trailing_space(ko_big):
+    entries, conn, unknowns, char_def = ko_big
+    tok = korean_tokenizer(entries, conn, unknowns, char_def, mode=DISCARD)
+    for text in synth_sentences_ko(entries, n=40, seed=303):
+        toks = tok(text)
+        assert toks, text
+        # trailing-space invariance (the round-3 ADVICE high, at scale)
+        assert [t.surface for t in tok(text + " ")] == [
+            t.surface for t in toks], text
+        # offsets are sane and never cover the spaces
+        for t in toks:
+            assert " " not in text[t.start:t.end]

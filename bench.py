@@ -332,6 +332,27 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     _jidx.postings.count()
     times["p_cjk_dict_build"] = round(time.perf_counter() - t, 3)
 
+    # same build with a mecab-SCALE dictionary (12k entries, 316x316 full
+    # connection matrix, homographs + compound ambiguity — synthdict.py):
+    # prices the lattice constant a CJK-heavy 100 TB corpus would pay under
+    # realistic dictionary pressure, comparable against the standard-
+    # analyzer build throughput above (VERDICT r3 item #2)
+    t = time.perf_counter()
+    from lucene_kmp_spark.analysis.synthdict import (
+        synth_japanese_dictionary, synth_sentences_ja,
+    )
+
+    _je, _jc, _ju, _jcd = synth_japanese_dictionary()
+    _big_sents = synth_sentences_ja(_je, n=8, seed=42, words_lo=8, words_hi=14)
+    _case10k = "CASE doc_id % 8 " + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_big_sents)) + " END"
+    _jidx10k = _bi_cjk(
+        docs_pq.withColumn("ja_text", F.expr(_case10k)),
+        text_col="ja_text", analyzer=_ja(_je, _jc, _ju, _jcd), cache=False,
+    )
+    _jidx10k.postings.count()
+    times["p_cjk_dict_build_10k"] = round(time.perf_counter() - t, 3)
+
     # BPE training with the driver cap far below the corpus vocabulary —
     # the min_word_freq/max_words cut runs inside Spark before the collect,
     # so the driver only ever sees the top slice of the word-count table

@@ -41,10 +41,18 @@ _PUNCT_CATEGORIES = frozenset(
 )
 
 
+_PUNCT_MEMO: dict[str, bool] = {}
+
+
 def is_punctuation(ch: str) -> bool:
-    if ord(ch) == 0x318D:  # nori Viterbi.kt:284 special-cases ㆍ
-        return True
-    return unicodedata.category(ch) in _PUNCT_CATEGORIES
+    v = _PUNCT_MEMO.get(ch)
+    if v is None:
+        if ord(ch) == 0x318D:  # nori Viterbi.kt:284 special-cases ㆍ
+            v = True
+        else:
+            v = unicodedata.category(ch) in _PUNCT_CATEGORIES
+        _PUNCT_MEMO[ch] = v
+    return v
 
 
 @dataclass(frozen=True)
@@ -102,9 +110,19 @@ class ConnectionCosts:
 
     def __init__(self, matrix: list[list[int]]):
         self.matrix = matrix
+        self._t: list[list[int]] | None = None  # lazy transpose for column()
 
     def get(self, right_id: int, left_id: int) -> int:
         return self.matrix[right_id][left_id]
+
+    def column(self, left_id: int) -> list[int]:
+        """``[get(r, left_id) for r in ids]`` as one row of the transpose —
+        the arc-relaxation hot loop indexes it per incoming arc, saving a
+        2-level indirection per lookup."""
+        t = self._t
+        if t is None:
+            t = self._t = [list(col) for col in zip(*self.matrix)]
+        return t[left_id]
 
 
 class CharacterDefinition:
@@ -126,13 +144,19 @@ class CharacterDefinition:
         self.classes = classes
         self.ranges = sorted(ranges)
         self.default = default
+        self._memo: dict[str, str] = {}
 
     def char_class(self, ch: str) -> str:
-        cp = ord(ch)
-        for lo, hi, name in self.ranges:
-            if lo <= cp <= hi:
-                return name
-        return self.default
+        cls = self._memo.get(ch)
+        if cls is None:
+            cp = ord(ch)
+            cls = self.default
+            for lo, hi, name in self.ranges:
+                if lo <= cp <= hi:
+                    cls = name
+                    break
+            self._memo[ch] = cls
+        return cls
 
     def is_invoke(self, ch: str) -> bool:
         return self.classes[self.char_class(ch)][0]
@@ -260,19 +284,21 @@ class ViterbiLattice:
     def _add(self, entry: MorphEntry, from_pos_data: _Pos, word_pos: int,
              end_pos: int, word_id: int, ttype: str, add_penalty: bool):
         """Viterbi.kt:284-325 — relax all arcs at from_pos into a new arc."""
-        word_cost = entry.word_cost
-        left_id = entry.left_id
-        least_cost, least_idx = None, -1
         num_spaces = word_pos - from_pos_data.pos
-        for idx in range(from_pos_data.count):
-            cost = (
-                from_pos_data.costs[idx]
-                + self.costs.get(from_pos_data.last_right[idx], left_id)
-                + self.compute_space_penalty(entry, num_spaces)
-            )
-            if least_cost is None or cost < least_cost:
+        col = self.costs.column(entry.left_id)
+        fc = from_pos_data.costs
+        fr = from_pos_data.last_right
+        least_cost = fc[0] + col[fr[0]]
+        least_idx = 0
+        for idx in range(1, len(fc)):
+            cost = fc[idx] + col[fr[idx]]
+            if cost < least_cost:
                 least_cost, least_idx = cost, idx
-        least_cost += word_cost
+        # space penalty depends only on (entry, num_spaces): identical for
+        # every incoming arc, so hoisted out of the min (argmin unchanged)
+        if num_spaces:
+            least_cost += self.compute_space_penalty(entry, num_spaces)
+        least_cost += entry.word_cost
         if add_penalty and ttype != USER:
             least_cost += self.compute_penalty(from_pos_data.pos,
                                                end_pos - from_pos_data.pos)

@@ -88,8 +88,19 @@ def synth_japanese_dictionary(
     nouns: list[str] = []
     seen: set[str] = set()
 
-    def ctx() -> int:
-        return rng.randint(1, n_context - 1)
+    # context ids are POS-banded like real mecab matrices (ipadic: 1316
+    # contexts for 392k surfaces — dozens of entries share every id):
+    # nouns [1, n/3), particles [n/3, n/2), verbs [n/2, 2n/3), rest above
+    third, half, two3 = n_context // 3, n_context // 2, 2 * n_context // 3
+
+    def ctx(band: str = "other") -> int:
+        if band == "noun":
+            return rng.randint(1, third - 1)
+        if band == "particle":
+            return rng.randint(third, half - 1)
+        if band == "verb":
+            return rng.randint(half, two3 - 1)
+        return rng.randint(two3, n_context - 1)
 
     def cost(lo: int = 2500, hi: int = 9000) -> int:
         return rng.randint(lo, hi)
@@ -97,8 +108,10 @@ def synth_japanese_dictionary(
     # closed-class particles first, two context-id variants each (homograph
     # pressure on the highest-frequency surfaces, like ipadic)
     for p in _JA_PARTICLES:
-        entries.append(MorphEntry(p, ctx(), ctx(), cost(400, 1500), "助詞-格助詞-一般"))
-        entries.append(MorphEntry(p, ctx(), ctx(), cost(400, 1800), "助詞-係助詞"))
+        entries.append(MorphEntry(p, ctx("particle"), ctx("particle"),
+                                  cost(400, 1500), "助詞-格助詞-一般"))
+        entries.append(MorphEntry(p, ctx("particle"), ctx("particle"),
+                                  cost(400, 1800), "助詞-係助詞"))
     while len(entries) < n_entries:
         r = rng.random()
         if r < 0.58:  # kanji noun, 1-3 chars
@@ -108,7 +121,8 @@ def synth_japanese_dictionary(
                 continue  # ~8% of collisions kept as homographs
             seen.add(s)
             nouns.append(s)
-            entries.append(MorphEntry(s, ctx(), ctx(), cost(), "名詞-一般"))
+            entries.append(MorphEntry(s, ctx("noun"), ctx("noun"), cost(),
+                                      "名詞-一般"))
         elif r < 0.70:  # katakana noun, 2-5 chars
             ln = rng.randint(2, 5)
             s = "".join(rng.choice(_KATAKANA) for _ in range(ln))
@@ -116,7 +130,8 @@ def synth_japanese_dictionary(
                 continue
             seen.add(s)
             nouns.append(s)
-            entries.append(MorphEntry(s, ctx(), ctx(), cost(3000, 9500), "名詞-一般"))
+            entries.append(MorphEntry(s, ctx("noun"), ctx("noun"),
+                                      cost(3000, 9500), "名詞-一般"))
         elif r < 0.78 and nouns:  # compound of two existing nouns
             a, b = rng.choice(nouns), rng.choice(nouns)
             s = a + b
@@ -125,8 +140,8 @@ def synth_japanese_dictionary(
             seen.add(s)
             # cost near the parts' range: connection costs decide per
             # sentence whether the compound or the parts win
-            entries.append(MorphEntry(
-                s, ctx(), ctx(), cost(5000, 14000), "名詞-固有名詞-一般"))
+            entries.append(MorphEntry(s, ctx("noun"), ctx("noun"),
+                                      cost(5000, 14000), "名詞-固有名詞-一般"))
         elif r < 0.86:  # verb: kanji stem + okurigana, base_form = surface
             stem = rng.choice(kanji)
             end = rng.choice(_HIRAGANA_ENDINGS)
@@ -134,14 +149,15 @@ def synth_japanese_dictionary(
             if s in seen:
                 continue
             seen.add(s)
-            entries.append(MorphEntry(
-                s, ctx(), ctx(), cost(3500, 9000), "動詞-自立", base_form=s))
+            entries.append(MorphEntry(s, ctx("verb"), ctx("verb"),
+                                      cost(3500, 9000), "動詞-自立",
+                                      base_form=s))
         else:  # rare-reading homograph of an existing noun
             if not nouns:
                 continue
             s = rng.choice(nouns)
-            entries.append(MorphEntry(s, ctx(), ctx(), cost(4000, 12000),
-                                      "名詞-固有名詞-地域"))
+            entries.append(MorphEntry(s, ctx("noun"), ctx("noun"),
+                                      cost(4000, 12000), "名詞-固有名詞-地域"))
     unknowns = UnknownDictionary({
         cls: [MorphEntry("*", ctx(), ctx(), cost(6000, 14000), pos)
               for _ in range(3)]
@@ -186,15 +202,26 @@ def synth_korean_dictionary(
     nouns: list[str] = []
     seen: set[str] = set()
 
-    def ctx() -> int:
-        return rng.randint(1, n_context - 1)
+    # POS-banded context ids (see the ja generator's note)
+    third, half, two3 = n_context // 3, n_context // 2, 2 * n_context // 3
+
+    def ctx(band: str = "other") -> int:
+        if band == "noun":
+            return rng.randint(1, third - 1)
+        if band == "particle":
+            return rng.randint(third, half - 1)
+        if band == "verb":
+            return rng.randint(half, two3 - 1)
+        return rng.randint(two3, n_context - 1)
 
     def cost(lo: int = 2500, hi: int = 9000) -> int:
         return rng.randint(lo, hi)
 
     for p in _KO_PARTICLES:
-        entries.append(MorphEntry(p, ctx(), ctx(), cost(300, 1200), "JX"))
-        entries.append(MorphEntry(p, ctx(), ctx(), cost(300, 1500), "JKS"))
+        entries.append(MorphEntry(p, ctx("particle"), ctx("particle"),
+                                  cost(300, 1200), "JX"))
+        entries.append(MorphEntry(p, ctx("particle"), ctx("particle"),
+                                  cost(300, 1500), "JKS"))
     while len(entries) < n_entries:
         r = rng.random()
         if r < 0.62:  # noun, 1-3 syllables
@@ -204,7 +231,8 @@ def synth_korean_dictionary(
                 continue
             seen.add(s)
             nouns.append(s)
-            entries.append(MorphEntry(s, ctx(), ctx(), cost(), "NNG"))
+            entries.append(MorphEntry(s, ctx("noun"), ctx("noun"), cost(),
+                                      "NNG"))
         elif r < 0.76 and len(nouns) >= 2:  # COMPOUND of two nouns
             a, b = rng.choice(nouns), rng.choice(nouns)
             s = a + b
@@ -212,7 +240,7 @@ def synth_korean_dictionary(
                 continue
             seen.add(s)
             entries.append(MorphEntry(
-                s, ctx(), ctx(), cost(4500, 13000), "NNG",
+                s, ctx("noun"), ctx("noun"), cost(4500, 13000), "NNG",
                 pos_type="COMPOUND",
                 morphemes=(("NNG", a), ("NNG", b)),
             ))
@@ -224,7 +252,7 @@ def synth_korean_dictionary(
                 continue
             seen.add(s)
             entries.append(MorphEntry(
-                s, ctx(), ctx(), cost(3500, 10000), "VV+EF",
+                s, ctx("verb"), ctx("verb"), cost(3500, 10000), "VV+EF",
                 pos_type="INFLECT",
                 morphemes=(("VV", stem), ("EF", end)),
             ))
@@ -232,7 +260,8 @@ def synth_korean_dictionary(
             if not nouns:
                 continue
             s = rng.choice(nouns)
-            entries.append(MorphEntry(s, ctx(), ctx(), cost(4000, 12000), "NNP"))
+            entries.append(MorphEntry(s, ctx("noun"), ctx("noun"),
+                                      cost(4000, 12000), "NNP"))
     unknowns = UnknownDictionary({
         "HANGUL": [MorphEntry("*", ctx(), ctx(), cost(8000, 14000), "NNG")
                    for _ in range(2)],

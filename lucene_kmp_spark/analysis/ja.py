@@ -672,6 +672,33 @@ def parse_user_dictionary(
 
 
 # ------------------------------------------------------- demo dictionary
+_DEMO_READINGS = {
+    "関西": "カンサイ", "国際": "コクサイ", "空港": "クウコウ",
+    "関西国際空港": "カンサイコクサイクウコウ", "日本": "ニホン",
+    "経済": "ケイザイ", "新聞": "シンブン",
+    "日本経済新聞": "ニホンケイザイシンブン",
+    "の": "ノ", "に": "ニ", "は": "ハ", "を": "ヲ",
+    "行く": "イク", "行き": "イキ", "ます": "マス",
+    "検索": "ケンサク", "エンジン": "エンジン", "サーバー": "サーバー",
+    "寿司": "スシ",
+}
+
+
+def demo_japanese_dictionary_with_readings():
+    """The demo tables with katakana readings attached to every entry —
+    exercises JapaneseReadingFormFilter / romaji output end-to-end
+    (JapaneseReadingFormFilter.kt; readings are per-entry dictionary data
+    in ipadic, caller-supplied here like everything else)."""
+    import dataclasses
+
+    entries, conn, unk, cd = demo_japanese_dictionary()
+    entries = [
+        dataclasses.replace(e, reading=_DEMO_READINGS.get(e.surface))
+        for e in entries
+    ]
+    return entries, conn, unk, cd
+
+
 def demo_japanese_dictionary():
     """Hand-authored ipadic-shaped demo tables (NOT extracted from ipadic —
     surfaces are common vocabulary, costs are chosen for hand-derivable

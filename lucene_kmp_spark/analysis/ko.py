@@ -57,29 +57,94 @@ _SPACE_PENALTY_TAGS = frozenset((
 ))
 
 
+# Letter-block -> script ranges (vendored from the public Unicode Scripts.txt
+# block structure; Unicode 12.1, the reference's version). The run-grouping
+# rule (nori Viterbi.kt:306-312 / processUnknownWord) consults script
+# identity only for LETTERS: punctuation-ness gates the run separately, and
+# Mn combining marks are joinable by category — so letter-block granularity
+# reproduces Character.UnicodeScript.of grouping exactly for real text.
+_SCRIPT_RANGES: tuple[tuple[int, int, str], ...] = (
+    (0x0041, 0x005A, "LATIN"), (0x0061, 0x007A, "LATIN"),
+    (0x00C0, 0x024F, "LATIN"),  # Latin-1 letters + Extended-A/B
+    (0x0250, 0x02AF, "LATIN"),  # IPA extensions
+    (0x0370, 0x03FF, "GREEK"), (0x1F00, 0x1FFF, "GREEK"),
+    (0x0400, 0x04FF, "CYRILLIC"), (0x0500, 0x052F, "CYRILLIC"),
+    (0x0531, 0x058F, "ARMENIAN"),
+    (0x0591, 0x05F4, "HEBREW"),
+    (0x0600, 0x060B, "ARABIC"), (0x060D, 0x061A, "ARABIC"),
+    (0x0620, 0x064A, "ARABIC"), (0x0656, 0x066F, "ARABIC"),
+    (0x0671, 0x06DC, "ARABIC"), (0x06DE, 0x06FF, "ARABIC"),
+    (0x0750, 0x077F, "ARABIC"),  # Arabic Supplement
+    (0x0700, 0x074F, "SYRIAC"),
+    (0x0780, 0x07B1, "THAANA"),
+    (0x07C0, 0x07FA, "NKO"),
+    (0x0900, 0x0963, "DEVANAGARI"), (0x0966, 0x097F, "DEVANAGARI"),
+    (0x0980, 0x09FF, "BENGALI"),
+    (0x0A00, 0x0A7F, "GURMUKHI"),
+    (0x0A80, 0x0AFF, "GUJARATI"),
+    (0x0B00, 0x0B7F, "ORIYA"),
+    (0x0B80, 0x0BFF, "TAMIL"),
+    (0x0C00, 0x0C7F, "TELUGU"),
+    (0x0C80, 0x0CFF, "KANNADA"),
+    (0x0D00, 0x0D7F, "MALAYALAM"),
+    (0x0D80, 0x0DFF, "SINHALA"),
+    (0x0E01, 0x0E3A, "THAI"), (0x0E40, 0x0E5B, "THAI"),  # 0E3F baht = Common
+    (0x0E81, 0x0EFF, "LAO"),
+    (0x0F00, 0x0FFF, "TIBETAN"),
+    (0x1000, 0x109F, "MYANMAR"),
+    (0x10A0, 0x10FF, "GEORGIAN"),
+    (0x1100, 0x11FF, "HANGUL"),
+    (0x1200, 0x139F, "ETHIOPIC"),
+    (0x13A0, 0x13FD, "CHEROKEE"),
+    (0x1400, 0x167F, "CANADIAN_ABORIGINAL"),
+    (0x1680, 0x169C, "OGHAM"),
+    (0x16A0, 0x16EA, "RUNIC"),
+    (0x1780, 0x17FF, "KHMER"), (0x19E0, 0x19FF, "KHMER"),
+    (0x1800, 0x18AF, "MONGOLIAN"),
+    (0x1E00, 0x1EFF, "LATIN"),  # Latin Extended Additional
+    (0x3041, 0x309F, "HIRAGANA"),
+    (0x30A1, 0x30FA, "KATAKANA"), (0x30FD, 0x30FF, "KATAKANA"),
+    (0x3105, 0x312F, "BOPOMOFO"), (0x31A0, 0x31BF, "BOPOMOFO"),
+    (0x3130, 0x318F, "HANGUL"),
+    (0x3400, 0x4DBF, "HAN"), (0x4E00, 0x9FFF, "HAN"),
+    (0x2E80, 0x2FDF, "HAN"),  # radicals
+    (0xF900, 0xFAFF, "HAN"),  # compatibility ideographs
+    (0xA000, 0xA4CF, "YI"),
+    (0xA500, 0xA62B, "VAI"),
+    (0xAC00, 0xD7AF, "HANGUL"), (0xA960, 0xA97F, "HANGUL"),
+    (0xD7B0, 0xD7FF, "HANGUL"),
+    (0xFB1D, 0xFB4F, "HEBREW"),
+    (0xFB50, 0xFDFF, "ARABIC"), (0xFE70, 0xFEFF, "ARABIC"),
+    (0x10330, 0x1034A, "GOTHIC"),
+    (0x20000, 0x2A6DF, "HAN"),
+)
+_SCRIPT_MEMO: dict[str, str] = {}
+
+
 def _script_of(ch: str) -> str:
-    """Coarse Unicode script id, enough for the same-script run grouping
-    (nori Viterbi.kt:306-312 treats COMMON/INHERITED as joinable)."""
-    cp = ord(ch)
-    if 0xAC00 <= cp <= 0xD7AF or 0x1100 <= cp <= 0x11FF or 0x3130 <= cp <= 0x318F:
-        return "HANGUL"
-    if 0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF:
-        return "HAN"
-    if (0x0041 <= cp <= 0x005A) or (0x0061 <= cp <= 0x007A) or (0x00C0 <= cp <= 0x024F):
-        return "LATIN"
-    if 0x3040 <= cp <= 0x309F:
-        return "HIRAGANA"
-    if 0x30A0 <= cp <= 0x30FF:
-        return "KATAKANA"
-    if 0x0370 <= cp <= 0x03FF:
-        return "GREEK"
-    if 0x0400 <= cp <= 0x04FF:
-        return "CYRILLIC"
-    return "COMMON"
+    """Unicode script id for run grouping — Character.UnicodeScript.of
+    equivalent at letter granularity (nori Viterbi.kt:306-312 treats
+    COMMON/INHERITED as joinable; DEVIATIONS ex-#28 closed round 4)."""
+    s = _SCRIPT_MEMO.get(ch)
+    if s is None:
+        cp = ord(ch)
+        s = None
+        for lo, hi, name in _SCRIPT_RANGES:
+            if lo <= cp <= hi:
+                s = name
+                break
+        if s is None:
+            # combining marks outside any script block are INHERITED; the
+            # rest (digits, punctuation, symbols, spaces) are COMMON
+            s = ("INHERITED"
+                 if unicodedata.category(ch) in ("Mn", "Mc", "Me")
+                 else "COMMON")
+        _SCRIPT_MEMO[ch] = s
+    return s
 
 
 def _common_or_inherited(script: str) -> bool:
-    return script == "COMMON"
+    return script == "COMMON" or script == "INHERITED"
 
 
 class KoreanViterbi(ViterbiLattice):

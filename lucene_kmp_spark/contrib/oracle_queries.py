@@ -173,6 +173,39 @@ _JA_TEXT_CASE = _case_over_docid(_JA_SENTS)
 _KO_TEXT_CASE = _case_over_docid(_KO_SENTS)
 _ZH_TEXT_CASE = _case_over_docid(_ZH_SENTS)
 
+# reading-form variants of the ja sentences (readings attached via
+# demo_japanese_dictionary_with_readings): Hepburn romaji (ー dropped per
+# ToStringUtil.kt:535, macrons per the 178-entry table) and katakana
+# readings (with katakana stemming); guard-tested against the analyzers
+_JA_ROMAJI_TOKENS = (
+    "kansai kokusai kuukō ni iki masu", "nihon keizai shimbun o kensaku",
+    "saba no kensaku enjin", "kansai no kuukō",
+    "kensaku enjin o kensaku", "nihon ni iki masu",
+)
+_JA_KATA_TOKENS = (
+    "カンサイ コクサイ クウコウ ニ イキ マス", "ニホン ケイザイ シンブン ヲ ケンサク",
+    "サーバ ノ ケンサク エンジン", "カンサイ ノ クウコウ",
+    "ケンサク エンジン ヲ ケンサク", "ニホン ニ イキ マス",
+)
+
+# user-dictionary sentences: 管理/システム are NOT in the demo dictionary —
+# without the user dict 管理 shatters into unknown kanji singles 管 理; the
+# user entries (JapaneseTokenizer USER arcs, segmentation applied) repair it
+_JA_UD_SENTS = (
+    "データベース管理システムを検索", "管理システムの検索",
+    "データベースを検索", "検索エンジンの管理システム",
+)
+_JA_UD_TOKENS = (
+    "データベース 管理 システム を 検索", "管理 システム の 検索",
+    "データベース を 検索", "検索 エンジン の 管理 システム",
+)
+_JA_UD_TEXT_CASE = _case_over_docid(_JA_UD_SENTS)
+_JA_USER_DICT_TEXT = (
+    "データベース管理システム,データベース 管理 システム,"
+    "データベース カンリ システム,カスタム名詞\n"
+    "管理システム,管理 システム,カンリ システム,カスタム名詞\n"
+)
+
 
 def _cjk_prelude(tokens: tuple) -> str:
     """The shared tokenize/stats prelude over the CJK token map."""
@@ -2118,6 +2151,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["korean_mixed_term"] = q_korean_mixed
 
+    def q_japanese_romaji(spark, sf_dir):
+        """JapaneseReadingFormFilter(useRomaji=true): index terms are the
+        Hepburn romanization of the per-entry katakana readings
+        (ReadingFormFilter + ToStringUtil.getRomanization)."""
+        from lucene_kmp_spark.analysis.ja import (
+            demo_japanese_dictionary_with_readings, japanese_analyzer)
+
+        s = _cjk_searcher64(
+            spark, sf_dir, "jarom", _JA_TEXT_CASE,
+            lambda: japanese_analyzer(
+                *demo_japanese_dictionary_with_readings(),
+                reading_form="romaji"),
+        )
+        return _ranked_topk(s.execute(TermQuery("kensaku")))
+
+    q["japanese_romaji_term"] = q_japanese_romaji
+
+    def q_japanese_reading_kata(spark, sf_dir):
+        """JapaneseReadingFormFilter(useRomaji=false): katakana readings as
+        index terms (then katakana stemming: サーバー -> サーバ)."""
+        from lucene_kmp_spark.analysis.ja import (
+            demo_japanese_dictionary_with_readings, japanese_analyzer)
+
+        s = _cjk_searcher64(
+            spark, sf_dir, "jakata", _JA_TEXT_CASE,
+            lambda: japanese_analyzer(
+                *demo_japanese_dictionary_with_readings(),
+                reading_form="katakana"),
+        )
+        return _ranked_topk(s.execute(TermQuery("ケンサク")))
+
+    q["japanese_reading_kata_term"] = q_japanese_reading_kata
+
+    def q_japanese_user_dict(spark, sf_dir):
+        """kuromoji user dictionary (UserDictionary.kt text format): USER
+        arcs with WORD_COST=-100000 win the lattice and the entry's
+        segmentation splits the match — 管理システム tokenizes as
+        管理 システム instead of unknown kanji singles 管 理."""
+        from lucene_kmp_spark.analysis.ja import (
+            japanese_analyzer, parse_user_dictionary)
+
+        ud = parse_user_dictionary(_JA_USER_DICT_TEXT, left_id=1, right_id=1)
+        s = _cjk_searcher64(
+            spark, sf_dir, "jaud", _JA_UD_TEXT_CASE,
+            lambda: japanese_analyzer(user_entries=ud),
+        )
+        return _ranked_topk(s.execute(TermQuery("管理")))
+
+    q["japanese_user_dict_term"] = q_japanese_user_dict
+
     def q_dedup_pipeline(spark, sf_dir):
         """the composed 100 TB near-dup pipeline: banded LSH candidates ->
         exact Jaccard verify restricted to those pairs (never all-pairs)."""
@@ -3205,9 +3288,12 @@ _ROTATION_HEAD = (
     "merged_segments_term", "bloom_pruned_term", "soft_delete_docset",
     "dv_update_overlay", "two_phase_committed_term", "two_phase_nrt_term",
     "add_indexes_term", "force_merge_deletes_docset",
-    # CJK dictionary analysis (registered round 3)
+    # CJK dictionary analysis (registered round 3; reading-form/user-dict
+    # rows added round 4)
     "japanese_bm25_term", "korean_bm25_term", "smartcn_bm25_term",
     "japanese_nbest_term", "korean_mixed_term",
+    "japanese_romaji_term", "japanese_reading_kata_term",
+    "japanese_user_dict_term",
     # similarities
     "dfr_term", "dfr_g_term", "axiomatic_term", "lm_jelinek_term",
     "dfi_term", "ib_spl_term", "indri_and_term2",
@@ -5221,6 +5307,19 @@ WHERE term = 'merge' AND doc_id % 5 <> 0
     )
     o["smartcn_bm25_term"] = (
         _cjk_prelude(_ZH_TOKENS) + "," + _sc_cte("sc0", "搜索") + _rank_tail("sc0")
+    )
+    # reading-form filters + user dictionary over their guard-tested maps
+    o["japanese_romaji_term"] = (
+        _cjk_prelude(_JA_ROMAJI_TOKENS) + "," + _sc_cte("sc0", "kensaku")
+        + _rank_tail("sc0")
+    )
+    o["japanese_reading_kata_term"] = (
+        _cjk_prelude(_JA_KATA_TOKENS) + "," + _sc_cte("sc0", "ケンサク")
+        + _rank_tail("sc0")
+    )
+    o["japanese_user_dict_term"] = (
+        _cjk_prelude(_JA_UD_TOKENS) + "," + _sc_cte("sc0", "管理")
+        + _rank_tail("sc0")
     )
     # graph-mode rows: dl = distinct positions, sum_ttf = emissions
     o["japanese_nbest_term"] = (

@@ -222,6 +222,55 @@ def test_ko_space_penalty_prefers_attached_particle(ko_dict):
     assert [(t.start, t.end) for t in toks] == [(0, 2), (3, 4), (5, 7)]
 
 
+def test_ko_exotic_script_runs_group_by_script(ko_dict):
+    """Unknown runs in scripts beyond the char-class table group at script
+    boundaries, matching Character.UnicodeScript.of (nori
+    KoreanTokenizer.kt unknown grouping; closes DEVIATIONS ex-#28):
+    adjacent same-script chars form ONE unknown token, a script change
+    splits the run."""
+    tok = korean_tokenizer(*ko_dict, mode=DISCARD)
+    thai, arabic, deva = "สวัสดี", "مرحبا", "नमस्ते"
+    # each run, embedded in Korean with spaces, is one unknown token
+    for run in (thai, arabic, deva):
+        toks = tok(f"한국 {run} 나물")
+        assert [t.surface for t in toks] == ["한국", run, "나물"], run
+        assert toks[1].type == "UNKNOWN"
+    # ADJACENT different-script runs split at the script boundary (the old
+    # COMMON-fallback classifier merged them into one run)
+    toks = tok(f"한국 {thai}{arabic} 나물")
+    assert [t.surface for t in toks] == ["한국", thai, arabic, "나물"]
+    toks = tok(f"{deva}{thai}")
+    assert [t.surface for t in toks] == [deva, thai]
+    # combining marks are joinable (Mn never breaks a run): ja voiced mark
+    # after Hiragana stays attached — use an INHERITED-class mark U+0301
+    toks = tok("한국 ab́c 나물")
+    assert [t.surface for t in toks] == ["한국", "ab́c", "나물"]
+
+
+def test_ko_script_of_major_scripts():
+    from lucene_kmp_spark.analysis.ko import _script_of
+
+    assert _script_of("ก") == "THAI"
+    assert _script_of("م") == "ARABIC"
+    assert _script_of("न") == "DEVANAGARI"
+    assert _script_of("א") == "HEBREW"
+    assert _script_of("ა") == "GEORGIAN"
+    assert _script_of("Ա") == "ARMENIAN"
+    assert _script_of("ቀ") == "ETHIOPIC"
+    assert _script_of("த") == "TAMIL"
+    assert _script_of("ල") == "SINHALA"
+    assert _script_of("ᠠ") == "MONGOLIAN"
+    assert _script_of("ན") == "TIBETAN"
+    assert _script_of("から"[0]) == "HIRAGANA"
+    assert _script_of("A") == "LATIN"
+    assert _script_of("한") == "HANGUL"
+    assert _script_of("漢") == "HAN"
+    assert _script_of("1") == "COMMON"
+    assert _script_of(".") == "COMMON"
+    assert _script_of("́") == "INHERITED"  # combining acute
+    assert _script_of("฿") == "COMMON"     # Thai baht sign = Common
+
+
 def test_ko_trailing_space_reaches_eos(ko_dict):
     """A single trailing space must not leave EOS unreachable: the reference
     resets pos to posData.pos at EOF (Viterbi.kt:139-141) so the space itself
@@ -321,6 +370,36 @@ def test_cjk_oracle_maps_match_analyzers():
     zh = smart_chinese_analyzer()
     for sent, toks in zip(_ZH_SENTS, _ZH_TOKENS):
         assert zh(sent)[0] == toks.split(), sent
+
+
+def test_cjk_reading_and_userdict_oracle_maps_match():
+    """Round-4 rows: romaji / katakana reading-form and user-dictionary
+    token maps must equal the analyzer output (same guard pattern)."""
+    from lucene_kmp_spark.contrib.oracle_queries import (
+        _JA_KATA_TOKENS,
+        _JA_ROMAJI_TOKENS,
+        _JA_SENTS,
+        _JA_UD_SENTS,
+        _JA_UD_TOKENS,
+        _JA_USER_DICT_TEXT,
+    )
+    from lucene_kmp_spark.analysis.ja import (
+        demo_japanese_dictionary_with_readings,
+        parse_user_dictionary,
+    )
+
+    rom = japanese_analyzer(*demo_japanese_dictionary_with_readings(),
+                            reading_form="romaji")
+    for sent, toks in zip(_JA_SENTS, _JA_ROMAJI_TOKENS):
+        assert rom(sent)[0] == toks.split(), sent
+    kata = japanese_analyzer(*demo_japanese_dictionary_with_readings(),
+                             reading_form="katakana")
+    for sent, toks in zip(_JA_SENTS, _JA_KATA_TOKENS):
+        assert kata(sent)[0] == toks.split(), sent
+    ud = parse_user_dictionary(_JA_USER_DICT_TEXT, left_id=1, right_id=1)
+    an = japanese_analyzer(user_entries=ud)
+    for sent, toks in zip(_JA_UD_SENTS, _JA_UD_TOKENS):
+        assert an(sent)[0] == toks.split(), sent
 
 
 def test_ja_nbest_outputs_alternatives(ja_dict):

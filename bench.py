@@ -384,6 +384,20 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
         _qz.quantized_topk(emb, qvec, qparams, k=10, rescore=4).collect()
         times["p_ann_quantized"] = round(time.perf_counter() - t, 3)
 
+        # the shipped cost gate end-to-end (VERDICT r3 item #5): default
+        # budget -> in-memory table -> float path; 1-byte budget -> table
+        # "oversized" -> quantized path; both dispatches exercised and the
+        # gate's choices asserted in the bench run itself
+        t = time.perf_counter()
+        out_f, path_f = _qz.ann_auto_topk(emb, qvec, k=10)
+        out_f.collect()
+        assert path_f == "float", path_f
+        out_q, path_q = _qz.ann_auto_topk(emb, qvec, k=10, memory_budget=1)
+        out_q.collect()
+        assert path_q == "quantized", path_q
+        times["p_ann_auto"] = round(time.perf_counter() - t, 3)
+        times["p_ann_auto_paths"] = f"{path_f}+{path_q}"
+
     # capped at 2,500 docs: the synthetic corpus is pathologically
     # near-dup-dense (~1M true >=0.9-jaccard pairs in 5k docs at sf0.1), so
     # the uncapped row measures the corpus, not the operator. 4 rows/band

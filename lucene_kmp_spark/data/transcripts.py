@@ -55,8 +55,17 @@ def synth_transcripts(
     max_turns: int = 50,
     avg_words: int = 24,
     decorated_fraction: float = 0.05,
+    entity_every: int = 0,
 ) -> DataFrame:
-    """Build the transcripts DataFrame. ~``n_convs * (max_turns+1)/2`` turns."""
+    """Build the transcripts DataFrame. ~``n_convs * (max_turns+1)/2`` turns.
+
+    ``entity_every > 0`` appends a conversation-local entity token
+    ``entNNNNNNNN`` (one per conv, shared by a pool of 64 convs so df is
+    non-trivial) to every ``entity_every``-th turn — naturally
+    window-clustered terms (n_buckets << df after conv-ordered doc-id
+    assignment), the shape real transcripts have (user/project names local
+    to a handful of conversations). Default 0 keeps output byte-identical
+    to earlier rounds for bench comparability."""
     vocab = _vocab()
     vocab_arr = F.array(*[F.lit(w) for w in vocab])
     roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
@@ -110,7 +119,19 @@ def synth_transcripts(
         "conv_id",
         F.col("turn_idx").cast("int").alias("turn_idx"),
         F.element_at(roles, (F.pmod(h(F.lit("role")), F.lit(4)) + 1).cast("int")).alias("role"),
-        F.concat(base_text, decor).alias("text"),
+        (
+            F.concat(
+                base_text,
+                decor,
+                F.when(
+                    F.lit(entity_every > 0)
+                    & (F.pmod(F.col("turn_idx"), F.lit(max(entity_every, 1))) == 0),
+                    F.format_string(" ent%08d", F.col("_cid") - F.pmod(F.col("_cid"), F.lit(64))),
+                ).otherwise(F.lit("")),
+            )
+            if entity_every
+            else F.concat(base_text, decor)
+        ).alias("text"),
         F.when(
             F.pmod(h(F.lit("tool?")), F.lit(4)) == 0,
             F.element_at(tools, (F.pmod(h(F.lit("tool")), F.lit(3)) + 1).cast("int")),

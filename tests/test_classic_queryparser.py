@@ -10,11 +10,12 @@ MockSynonymFilter multi-word graph synonyms, QPTestFilter, FoldingFilter,
 MockCollationFilter).
 
 Documented skips (DEVIATIONS.md): testWildcardDeterminizeWorkLimit (no
-automaton determinization budget in the DataFrame engine), testByteTerms
-(UTF-16 vs byte sort-order analyzer), and the isAHit index-roundtrip forms
-of testWildCardEscapes/testWildcardDoesNotNormalizeEscapedChars (covered at
-the AST level here; engine wildcard semantics are tested in
-tests/test_query_breadth.py).
+automaton determinization budget in the DataFrame engine) and the isAHit
+index-roundtrip forms of testWildCardEscapes/
+testWildcardDoesNotNormalizeEscapedChars (covered at the AST level here;
+engine wildcard semantics are tested in tests/test_query_breadth.py).
+testByteTerms is PORTED (round 4) via the order-preserving latin-1
+byte<->str mapping — see the byte-terms section at the bottom.
 """
 
 from __future__ import annotations
@@ -1301,3 +1302,76 @@ def test_to_engine_query_rejects_cross_field_text():
     ast = qp.parse("title:foo")
     with pytest.raises(ParseException):
         to_engine_query(ast, "text")
+
+
+# ------------------------------------------------------------- byte terms
+
+def _utf16le_term(text: str) -> str:
+    """MockBytesAnalyzer.kt analog: terms are the raw UTF-16LE bytes of the
+    token. Engine representation: the latin-1 DECODE of those bytes — an
+    injective bytes<->str mapping whose Python code-point order, Spark
+    UTF8String order, and the original unsigned byte order all coincide
+    (UTF-8 is order-preserving over code points; latin-1 maps byte b to
+    code point b). This closes DEVIATIONS ex-#15: arbitrary byte terms ride
+    the StringType columns losslessly with BytesRef sort order."""
+    return text.encode("utf-16-le").decode("latin-1")
+
+
+class MockBytesAnalyzer(QPAnalyzer):
+    """tests/analysis/MockBytesAnalyzer.kt: keyword tokenizer + UTF-16
+    byte encoding of the term."""
+
+    def tokens(self, field, text):
+        from lucene_kmp_spark.queryparser.classic import QPTok
+
+        return [QPTok(_utf16le_term(text), 1, 1)] if text else []
+
+    def normalize(self, field, text):
+        return _utf16le_term(text)
+
+
+def test_byte_terms_order_preserving_mapping():
+    """The latin-1 representation sorts exactly like the raw bytes."""
+    import itertools
+    import random as _random
+
+    rng = _random.Random(99)
+    blobs = [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 6)))
+             for _ in range(200)]
+    for a, b in itertools.islice(itertools.combinations(blobs, 2), 5000):
+        assert (a < b) == (a.decode("latin-1") < b.decode("latin-1"))
+    # and the mapping is lossless
+    for a in blobs:
+        assert a.decode("latin-1").encode("latin-1") == a
+
+
+def test_byte_terms(spark):
+    """TestQueryParser.testByteTerms (:921-930): range / fuzzy / prefix /
+    wildcard over UTF-16-byte terms all hit the indexed doc — engine
+    roundtrip (the reference's isAHit), un-skipping the DEVIATIONS ex-#15
+    test via the order-preserving byte<->str mapping."""
+    from lucene_kmp_spark.index import assign_doc_ids, build_index
+    from lucene_kmp_spark.queryparser.classic import to_engine_query
+    from lucene_kmp_spark.search.executor import IndexSearcher
+
+    s = "เข"
+    analyzer = MockBytesAnalyzer()
+
+    def engine_analyze(text):
+        # self-contained for executor pickling (no test-module references)
+        if not text:
+            return [], [], 0
+        term = text.encode("utf-16-le").decode("latin-1")
+        return [term], [0], 1
+
+    docs = assign_doc_ids(
+        spark.createDataFrame([("d0", 0, "user", s, None, None)],
+                              "conv_id string, turn_idx int, role string, "
+                              "text string, tool string, ts timestamp"))
+    idx = build_index(docs, analyzer=engine_analyze)
+    searcher = IndexSearcher(idx)
+    qp = ClassicQueryParser(FIELD, analyzer)
+    for qs in ("[เข TO เข]", "เข~1", "เข*", "เ*", "เ??"):
+        eq = to_engine_query(qp.parse(qs), FIELD)
+        hits = searcher.top_k(eq, 5).collect()
+        assert len(hits) == 1, qs

@@ -30,6 +30,7 @@ table ships for tests and oracle rows.
 from __future__ import annotations
 
 import math
+import unicodedata
 
 from lucene_kmp_spark.analysis.en import porter_stem
 
@@ -261,18 +262,179 @@ def segment_sentence(sentence: str, dictionary: ChineseDictionary) -> list[SegTo
     return out
 
 
-_SENT_BREAKS = frozenset("。！？!?.\n\r")
+# ---- JDK BreakIterator.getSentenceInstance(Locale.ROOT) sentence rules ----
+# Ported from the JDK's SentenceBreakRules (sun/text/resources/
+# BreakIteratorRules.java — the 1.2-era rule grammar the reference's
+# jdkport RuleBasedBreakIterator executes via generated state tables).
+# Forward rules implemented: paragraph separator; danda+spaces; period run +
+# mandatory space + non-lowercase letter; period run + spaces + opening
+# punctuation/sentence-start run + letter; terminator run + spaces
+# (+ optional single PS). Closes DEVIATIONS ex-#29 (terminator-only split).
+_TERM = frozenset("!?。！？")
+_PERIOD = frozenset(".．")
+_DANDA = frozenset("।॥")
+_QUOTES = frozenset("\"'")
+_IGNORE_CATS = frozenset(("Mn", "Me", "Cf"))
+_SPACE_EXTRA = frozenset("\t\r\f\n ")
+_PS = " "
+
+
+def _sb_space(ch: str) -> bool:
+    return ch in _SPACE_EXTRA or unicodedata.category(ch) == "Zs"
+
+
+def _sb_ignore(ch: str) -> bool:
+    return unicodedata.category(ch) in _IGNORE_CATS
+
+
+def _sb_start_punct(ch: str) -> bool:
+    return ch in _QUOTES or unicodedata.category(ch) in ("Ps", "Pi")
+
+
+def _sb_end_punct(ch: str) -> bool:
+    return ch in _QUOTES or unicodedata.category(ch) in ("Pe", "Pf")
+
+
+def _sb_letter(ch: str) -> bool:
+    return unicodedata.category(ch).startswith("L")
+
+
+def _sb_sent_start(ch: str) -> bool:
+    """<sent-start>: anything not a letter, space, start/end punctuation,
+    digit, terminator, period, comma, PS, or ignorable."""
+    if (_sb_letter(ch) or _sb_space(ch) or _sb_start_punct(ch)
+            or _sb_end_punct(ch) or ch in _TERM or ch in _PERIOD
+            or ch == "," or ch == _PS or _sb_ignore(ch)):
+        return False
+    return not unicodedata.category(ch).startswith("N")
+
+
+def sentence_breaks(text: str) -> list[int]:
+    """Break offsets (exclusive sentence ends) per the JDK default sentence
+    rules; always ends with ``len(text)`` for non-empty text."""
+    n = len(text)
+    breaks: list[int] = []
+
+    def skip(j: int, pred) -> int:
+        while j < n and (pred(text[j]) or _sb_ignore(text[j])):
+            j += 1
+        return j
+
+    i = 0
+    while i < n:
+        ch = text[i]
+        if _sb_ignore(ch):
+            i += 1
+            continue
+        if ch == _PS:
+            if i + 1 < n:
+                breaks.append(i + 1)
+            i += 1
+            continue
+        if ch in _DANDA:
+            j = skip(i + 1, _sb_space)
+            if j < n:
+                breaks.append(j)
+            i = j if j > i else i + 1
+            continue
+        if ch in _TERM:
+            # .*?<term>[<term><period><end>]*<space>*{PS}
+            j = skip(i + 1, lambda c: c in _TERM or c in _PERIOD
+                     or _sb_end_punct(c))
+            j = skip(j, _sb_space)
+            if j < n and text[j] == _PS:
+                j += 1
+            if j < n:
+                breaks.append(j)
+            i = j if j > i else i + 1
+            continue
+        if ch in _PERIOD:  # noqa: C901 — faithful rule port
+            j = skip(i + 1, lambda c: c in _PERIOD or _sb_end_punct(c))
+            k = skip(j, _sb_space)
+            if k < n and _sb_letter(text[k]):
+                # <period>...<space>+ / <notlc> — and two generated-DFA
+                # behaviors verified against the live JDK oracle: >=2
+                # whitespace breaks before ANY letter, and a quote ending
+                # the period run (quotes are both start- and end-punct, so
+                # both rule paths stay alive in the merged DFA state)
+                # breaks before an immediately following letter
+                if (k - j >= 2
+                        or (k > j
+                            and unicodedata.category(text[k]) != "Ll")
+                        or (k == j and j > i + 1
+                            and text[j - 1] in _QUOTES)):
+                    breaks.append(k)
+                    i = k
+                    continue
+            m = skip(k, lambda c: _sb_start_punct(c) or _sb_sent_start(c))
+            if m > k and m < n and _sb_letter(text[m]):
+                # <period>...<space>* / [start-punct|sent-start]+ <letter>
+                breaks.append(k)
+                i = k
+                continue
+            if m > k:
+                if m == n:
+                    # generated-DFA EOF backup (oracle-verified): when the
+                    # rule-4 lookahead run hits EOF without a letter, the
+                    # period runs shatter into single-char boundaries —
+                    # every period run inside the consumed [i, j) span, and
+                    # spreading BACKWARD through space/punct-separated
+                    # period runs until a letter/digit/terminator
+                    a = i
+                    while a < j:
+                        if text[a] in _PERIOD:
+                            e = a
+                            while e < j and text[e] in _PERIOD:
+                                e += 1
+                            breaks.extend(range(a, e + 1))
+                            a = e
+                        else:
+                            a += 1
+                    b = i - 1
+                    while b >= 0:
+                        c = text[b]
+                        # spread crosses spaces and quote-like punctuation
+                        # only — NOT generic sent-start chars like ':'
+                        if (_sb_space(c) or _sb_start_punct(c)
+                                or _sb_end_punct(c) or _sb_ignore(c)):
+                            b -= 1
+                            continue
+                        if c in _PERIOD:
+                            e = b + 1
+                            while b > 0 and text[b - 1] in _PERIOD:
+                                b -= 1
+                            if b > 0 and (text[b - 1] in _TERM
+                                          or text[b - 1] in _DANDA):
+                                # this run was absorbed by a terminator
+                                # match — already broken there, no shatter
+                                break
+                            breaks.extend(range(b, e + 1))
+                            b -= 1
+                            continue
+                        break
+                    i = n
+                else:
+                    # failed lookahead consumes the run (no re-scan of the
+                    # danda/start-punct chars inside it — oracle-verified)
+                    i = m
+                continue
+            i = j
+            continue
+        i += 1
+    # the backward EOF spread can emit out-of-order / duplicate offsets;
+    # offset 0 (start of text) is never a boundary
+    return sorted(b for b in set(breaks) if b > 0)
 
 
 def split_sentences(text: str):
-    """Sentence pre-segmentation (the HMMChineseTokenizer's BreakIterator
-    role, with CJK terminators)."""
+    """Sentence pre-segmentation — the HMMChineseTokenizer's
+    ``BreakIterator.getSentenceInstance(Locale.ROOT)`` role
+    (HMMChineseTokenizer.kt), JDK default sentence rules."""
     start = 0
-    for i, ch in enumerate(text):
-        if ch in _SENT_BREAKS:
-            if i + 1 > start:
-                yield start, text[start : i + 1]
-            start = i + 1
+    for b in sentence_breaks(text):
+        if b > start:
+            yield start, text[start:b]
+        start = b
     if start < len(text):
         yield start, text[start:]
 

@@ -40,6 +40,12 @@ def term_ordinals(index, num_partitions: int = 32) -> DataFrame:
     on the set of terms, never on ``num_partitions`` (tested).
     """
     td = index.term_dict.select("term", "df", "ttf")
+    # size the range shuffle from build-time metadata: a small vocabulary
+    # does not pay 32-way range sampling (at ~64k terms/partition the
+    # per-partition sort stays cheap; num_partitions stays the cap)
+    num_terms = getattr(getattr(index, "stats", None), "num_terms", None) or 0
+    if num_terms:
+        num_partitions = max(1, min(num_partitions, -(-num_terms // 65536)))
     parted = (
         td.repartitionByRange(num_partitions, F.col("term"))
         .sortWithinPartitions("term")

@@ -49,34 +49,39 @@ def top_groups(
         else F.col("score")
     )
     hits = scored.join(searcher.index.docs.select("doc_id", group_col), "doc_id")
-    w_in = Window.partitionBy(group_col).orderBy(F.desc(rank_key), F.asc("doc_id"))
-    # the ranked set feeds BOTH the group-head TakeOrdered and the final
-    # within-group cut — persist it so the scored subtree (the expensive
-    # postings scan + window shuffle) runs ONCE, not once per consumer;
-    # the result is <= k * docs_per_group rows, so materializing eagerly
-    # and releasing the cache before returning costs nothing
-    within = (
-        hits.withColumn("within_rank", F.row_number().over(w_in).cast("int"))
-        .filter(F.col("within_rank") <= docs_per_group)
-        .persist()
-    )
+    # group heads via ONE hash aggregate (map-side partial combine) instead
+    # of a row_number window over every hit: the head of a group under
+    # (score desc, doc_id asc) is max(struct(score, -doc_id)); the global
+    # top-k groups are then a TakeOrdered over one row per group, and the
+    # within-group window runs only on the k winning groups' hits
+    # (broadcast semi-join) — the full-corpus window shuffle is gone
+    # (TopGroupsCollector's two-pass shape: first pass collects group
+    # heads, second pass collects docs only for the selected groups).
+    head = F.max(
+        F.struct(rank_key.alias("_s"), (-F.col("doc_id")).alias("_nd"))
+    ).alias("_h")
+    hits = hits.persist()
     try:
-        heads = within.filter(F.col("within_rank") == 1)
-        top_heads = heads.orderBy(F.desc(rank_key), F.asc("doc_id")).limit(k)
+        top_heads = hits.groupBy(group_col).agg(head).orderBy(F.desc("_h")).limit(k)
         # k rows only: the global rank window runs on one tiny partition
-        w_g = Window.orderBy(F.desc(rank_key), F.asc("doc_id"))
+        w_g = Window.orderBy(F.desc("_h"))
         groups = top_heads.select(
             group_col, F.row_number().over(w_g).cast("int").alias("group_rank")
         )
+        w_in = Window.partitionBy(group_col).orderBy(
+            F.desc(rank_key), F.asc("doc_id")
+        )
         out = (
-            within.join(groups, group_col)
+            hits.join(F.broadcast(groups), group_col)
+            .withColumn("within_rank", F.row_number().over(w_in).cast("int"))
+            .filter(F.col("within_rank") <= docs_per_group)
             .select(group_col, "group_rank", "within_rank", "doc_id", "score")
             .orderBy("group_rank", "within_rank")
         )
         rows = out.collect()
         return searcher.index.spark.createDataFrame(rows, out.schema)
     finally:
-        within.unpersist()
+        hits.unpersist()
 
 
 def facet_counts(

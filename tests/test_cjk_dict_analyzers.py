@@ -529,3 +529,26 @@ def test_ko_user_dictionary_format(ko_dict):
     assert [t.surface for t in tok_n("세종시")] == ["세종시"]
     with pytest.raises(ValueError, match="concatenated"):
         parse_user_dictionary("세종시 세종 수\n")
+
+
+def test_sentence_breaks_match_jdk_goldens():
+    """JDK BreakIterator.getSentenceInstance(Locale.ROOT) parity — the
+    reference builds its sentence DFA from the same JDK rules at build time
+    (gradle/generateBreakIteratorData + jdkport/RuleBasedBreakIterator), so
+    the installed JDK IS the parity oracle. Goldens frozen from a live
+    java.text.BreakIterator run (164 cases: curated adversarial + fuzz);
+    the port matched 16,000/16,000 random punctuation-soup cases at freeze
+    time. Closes DEVIATIONS ex-#29 (terminator-only split)."""
+    import json
+    import os
+
+    from lucene_kmp_spark.analysis.smartcn import sentence_breaks
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "sentence_break_goldens.json")
+    with open(path) as f:
+        goldens = json.load(f)
+    assert len(goldens) >= 150
+    for text, jb in goldens:
+        ours = sorted(set(sentence_breaks(text) + ([len(text)] if text else [])))
+        assert ours == jb, (text, ours, jb)

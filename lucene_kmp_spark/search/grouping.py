@@ -49,39 +49,41 @@ def top_groups(
         else F.col("score")
     )
     hits = scored.join(searcher.index.docs.select("doc_id", group_col), "doc_id")
-    # group heads via ONE hash aggregate (map-side partial combine) instead
-    # of a row_number window over every hit: the head of a group under
-    # (score desc, doc_id asc) is max(struct(score, -doc_id)); the global
-    # top-k groups are then a TakeOrdered over one row per group, and the
-    # within-group window runs only on the k winning groups' hits
-    # (broadcast semi-join) — the full-corpus window shuffle is gone
-    # (TopGroupsCollector's two-pass shape: first pass collects group
-    # heads, second pass collects docs only for the selected groups).
-    head = F.max(
-        F.struct(rank_key.alias("_s"), (-F.col("doc_id")).alias("_nd"))
-    ).alias("_h")
-    hits = hits.persist()
+    # One window over the group-key shuffle is the best plan at every scale
+    # tried: a hash-agg-heads + broadcast-winners rewrite was A/B'd
+    # (interleaved, identical results) and LOST ~30% — the aggregate
+    # shuffles on the same key, so it removes no exchange, only adds
+    # stages. The window's per-partition sort parallelizes across the
+    # group-hash partitions, so the plan holds at 100x (group count grows,
+    # per-partition sort stays bounded).
+    w_in = Window.partitionBy(group_col).orderBy(F.desc(rank_key), F.asc("doc_id"))
+    # the ranked set feeds BOTH the group-head TakeOrdered and the final
+    # within-group cut — persist it so the scored subtree (the expensive
+    # postings scan + window shuffle) runs ONCE, not once per consumer;
+    # the result is <= docs_per_group rows per group, so materializing
+    # eagerly and releasing the cache before returning costs little
+    within = (
+        hits.withColumn("within_rank", F.row_number().over(w_in).cast("int"))
+        .filter(F.col("within_rank") <= docs_per_group)
+        .persist()
+    )
     try:
-        top_heads = hits.groupBy(group_col).agg(head).orderBy(F.desc("_h")).limit(k)
+        heads = within.filter(F.col("within_rank") == 1)
+        top_heads = heads.orderBy(F.desc(rank_key), F.asc("doc_id")).limit(k)
         # k rows only: the global rank window runs on one tiny partition
-        w_g = Window.orderBy(F.desc("_h"))
+        w_g = Window.orderBy(F.desc(rank_key), F.asc("doc_id"))
         groups = top_heads.select(
             group_col, F.row_number().over(w_g).cast("int").alias("group_rank")
         )
-        w_in = Window.partitionBy(group_col).orderBy(
-            F.desc(rank_key), F.asc("doc_id")
-        )
         out = (
-            hits.join(F.broadcast(groups), group_col)
-            .withColumn("within_rank", F.row_number().over(w_in).cast("int"))
-            .filter(F.col("within_rank") <= docs_per_group)
+            within.join(groups, group_col)
             .select(group_col, "group_rank", "within_rank", "doc_id", "score")
             .orderBy("group_rank", "within_rank")
         )
         rows = out.collect()
         return searcher.index.spark.createDataFrame(rows, out.schema)
     finally:
-        hits.unpersist()
+        within.unpersist()
 
 
 def facet_counts(

@@ -255,12 +255,25 @@ def _encode_group(
     for j, start in enumerate(range(0, n, BLOCK_SIZE)):
         end = min(start + BLOCK_SIZE, n)
         d, t_, nm = doc_ids[start:end], tfs[start:end], norms[start:end]
-        flat = []
-        for pl in pos_lists[start:end]:
-            prev = 0
-            for p in pl:
-                flat.append(p - prev)
-                prev = p
+        # per-doc position deltas, vectorized: concatenate the block's
+        # position lists, first-difference, then restore each list's first
+        # element (the delta chain restarts per doc)
+        pos_sl = pos_lists[start:end]
+        lens = np.fromiter((len(pl) for pl in pos_sl), dtype=np.int64,
+                           count=end - start)
+        total = int(lens.sum())
+        if total:
+            cat = np.concatenate(
+                [np.asarray(pl, dtype=np.int64) for pl in pos_sl if len(pl)]
+            )
+            flat = np.empty_like(cat)
+            flat[0] = cat[0]
+            np.subtract(cat[1:], cat[:-1], out=flat[1:])
+            starts_idx = np.cumsum(lens) - lens  # first index of each list
+            starts_idx = starts_idx[lens > 0]
+            flat[starts_idx] = cat[starts_idx]
+        else:
+            flat = np.zeros(0, dtype=np.int64)
         it, inorm = _competitive_impacts(t_, nm)
         rows["term"].append(term)
         rows["block_id"].append((int(bucket) << 16) | j)
@@ -272,7 +285,7 @@ def _encode_group(
         rows["doc_ids_enc"].append(delta_block_encode(d))
         rows["freqs_enc"].append(block_encode(t_))
         rows["norms_enc"].append(nm.astype(np.uint8).tobytes())
-        rows["positions_enc"].append(block_encode(np.array(flat, dtype=np.int64), "vf"))
+        rows["positions_enc"].append(block_encode(flat, "vf"))
         rows["impact_tfs"].append(it)
         rows["impact_norms"].append(inorm)
         if has_off:
@@ -385,14 +398,24 @@ def build_postings(
                 starts_v = pdf["starts"].values
                 ends_v = pdf["ends"].values
                 pays_v = pdf["payloads"].values
-            # group-change boundaries (sorted input)
             n = len(pdf)
-            i = 0
-            while i < n:
+            if n == 0:
+                continue
+            # group-change boundaries (sorted input), vectorized: hash the
+            # term column to int codes once (C loop) instead of a Python
+            # string compare per row
+            codes = pd.factorize(terms)[0]
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            np.logical_or(
+                codes[1:] != codes[:-1],
+                buckets[1:] != buckets[:-1],
+                out=change[1:],
+            )
+            g_starts = np.flatnonzero(change)
+            g_ends = np.append(g_starts[1:], n)
+            for i, j in zip(g_starts.tolist(), g_ends.tolist()):
                 key = (terms[i], int(buckets[i]))
-                j = i + 1
-                while j < n and terms[j] == key[0] and int(buckets[j]) == key[1]:
-                    j += 1
                 if cur_key is not None and key != cur_key:
                     flush(rows)
                 if cur_key is None:
@@ -409,7 +432,6 @@ def build_postings(
                         for s, e in zip(starts_v[i:j], ends_v[i:j])
                     )
                     cur[5].extend(list(pays_v[i:j]))
-                i = j
             if rows["term"]:
                 yield pd.DataFrame(rows)
         rows = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}

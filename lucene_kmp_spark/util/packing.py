@@ -93,6 +93,23 @@ def _bit_len(v: int) -> int:
     return int(v).bit_length()
 
 
+def _varint_size(u: np.ndarray) -> int:
+    """Byte length varint_encode(u) WOULD produce, without building it."""
+    n = u.size
+    if n == 0:
+        return 0
+    if n <= 16:
+        # tiny arrays (PFor exception lists): plain Python beats 9 numpy ops
+        return sum(max(1, -(-int(x).bit_length() // 7)) for x in u)
+    total = n
+    for t in _THRESHOLDS:
+        c = int((u >= t).sum())
+        if not c:
+            break  # thresholds ascend: no value reaches the rest either
+        total += c
+    return total
+
+
 def for_encode(values: np.ndarray) -> bytes:
     """FOR: every value packed at the width of the largest (ForUtil.kt)."""
     v = np.asarray(values, dtype=np.int64)
@@ -109,6 +126,30 @@ def for_encode(values: np.ndarray) -> bytes:
     return header + _bitpack(u, w)
 
 
+def _pfor_plan(u: np.ndarray):
+    """(size, width, exception_mask) of the best patched-FOR layout — sizes
+    computed analytically so candidate widths cost no byte-building."""
+    n = u.size
+    order = np.sort(u)
+    best = None
+    seen_w = -1
+    for k in range(0, min(MAX_EXCEPTIONS, n - 1) + 1):
+        w = _bit_len(int(order[n - 1 - k]))
+        if w == seen_w:
+            continue  # same width => same mask/size as a smaller k
+        seen_w = w
+        ex_mask = (u >> np.uint64(w)) > 0 if w < 64 else np.zeros(n, dtype=bool)
+        n_ex = int(ex_mask.sum())
+        if n_ex > MAX_EXCEPTIONS or n_ex > k:
+            continue
+        ex_size = _varint_size(np.flatnonzero(ex_mask).astype(np.uint64)) + \
+            _varint_size(u[ex_mask] >> np.uint64(w))
+        size = 5 + (n * w + 7) // 8 + ex_size
+        if best is None or size < best[0]:
+            best = (size, w, ex_mask)
+    return best
+
+
 def pfor_encode(values: np.ndarray) -> bytes:
     """Patched FOR: width covers all but <=7 exceptions; the exceptions'
     high bits are stored as (index, high) patch pairs (PForUtil.kt:22-70).
@@ -123,20 +164,9 @@ def pfor_encode(values: np.ndarray) -> bytes:
         return bytes([TAG_FOR, 0, 0, 0])
     if n > 0xFFFF:
         raise ValueError("block too large")
-    order = np.sort(u)
-    best = None  # (size, w, ex_mask, ex_bytes)
-    for k in range(0, min(MAX_EXCEPTIONS, n - 1) + 1):
-        w = _bit_len(int(order[n - 1 - k]))
-        ex_mask = (u >> np.uint64(w)) > 0 if w < 64 else np.zeros(n, dtype=bool)
-        n_ex = int(ex_mask.sum())
-        if n_ex > MAX_EXCEPTIONS or n_ex > k:
-            continue
-        highs = (u[ex_mask] >> np.uint64(w)).astype(np.int64)
-        ex_bytes = varint_encode(np.flatnonzero(ex_mask)) + varint_encode(highs)
-        size = 5 + (n * w + 7) // 8 + len(ex_bytes)
-        if best is None or size < best[0]:
-            best = (size, w, ex_mask, ex_bytes)
-    _size, w, ex_mask, ex_bytes = best
+    _size, w, ex_mask = _pfor_plan(u)
+    highs = (u[ex_mask] >> np.uint64(w)).astype(np.int64)
+    ex_bytes = varint_encode(np.flatnonzero(ex_mask)) + varint_encode(highs)
     n_ex = int(ex_mask.sum())
     mask = (np.uint64(1) << np.uint64(w)) - np.uint64(1) if w < 64 else ~np.uint64(0)
     low = u & mask
@@ -160,13 +190,24 @@ def block_encode(values: np.ndarray, codec: str = "auto") -> bytes:
         # cells whose sum(tf) over a 128-doc block exceeds 65535) take the
         # length-prefix-free varint codec instead of corrupting the count
         return bytes([TAG_VARINT]) + varint_encode(v)
+    # size every candidate analytically and build ONLY the winner (same
+    # first-minimum tie-break as the old build-them-all min(key=len))
+    u = v.astype(np.uint64)
+    vint_size = 1 + _varint_size(u)
+    w_for = _bit_len(int(u.max())) if u.size else 0
+    for_size = 4 + (u.size * w_for + 7) // 8
     if codec == "vf":
         # cheap two-way choice for long vectors (positions): PFor's patched
-        # search costs ~30x more CPU for ~2% extra saving there
-        cands = [bytes([TAG_VARINT]) + varint_encode(v), for_encode(v)]
-        return min(cands, key=len)
-    cands = [bytes([TAG_VARINT]) + varint_encode(v), for_encode(v), pfor_encode(v)]
-    return min(cands, key=len)
+        # search costs more CPU for ~2% extra saving there
+        if vint_size <= for_size:
+            return bytes([TAG_VARINT]) + varint_encode(v)
+        return for_encode(v)
+    pfor_size = _pfor_plan(u)[0] if u.size else for_size + 1
+    if vint_size <= for_size and vint_size <= pfor_size:
+        return bytes([TAG_VARINT]) + varint_encode(v)
+    if for_size <= pfor_size:
+        return for_encode(v)
+    return pfor_encode(v)
 
 
 def block_decode(buf: bytes) -> np.ndarray:

@@ -150,11 +150,13 @@ def _pfor_plan(u: np.ndarray):
     return best
 
 
-def pfor_encode(values: np.ndarray) -> bytes:
+def pfor_encode(values: np.ndarray, _plan=None) -> bytes:
     """Patched FOR: width covers all but <=7 exceptions; the exceptions'
     high bits are stored as (index, high) patch pairs (PForUtil.kt:22-70).
     Returns None-equivalent (raises) only on negative input; falls back to
-    plain FOR framing when no width with <=7 exceptions saves space."""
+    plain FOR framing when no width with <=7 exceptions saves space.
+    ``_plan``: a precomputed _pfor_plan result (block_encode's auto path
+    already sized the layout — avoid searching twice)."""
     v = np.asarray(values, dtype=np.int64)
     if (v < 0).any():
         raise ValueError("pfor_encode requires non-negative values")
@@ -164,7 +166,7 @@ def pfor_encode(values: np.ndarray) -> bytes:
         return bytes([TAG_FOR, 0, 0, 0])
     if n > 0xFFFF:
         raise ValueError("block too large")
-    _size, w, ex_mask = _pfor_plan(u)
+    _size, w, ex_mask = _plan if _plan is not None else _pfor_plan(u)
     highs = (u[ex_mask] >> np.uint64(w)).astype(np.int64)
     ex_bytes = varint_encode(np.flatnonzero(ex_mask)) + varint_encode(highs)
     n_ex = int(ex_mask.sum())
@@ -202,12 +204,13 @@ def block_encode(values: np.ndarray, codec: str = "auto") -> bytes:
         if vint_size <= for_size:
             return bytes([TAG_VARINT]) + varint_encode(v)
         return for_encode(v)
-    pfor_size = _pfor_plan(u)[0] if u.size else for_size + 1
+    plan = _pfor_plan(u) if u.size else None
+    pfor_size = plan[0] if plan is not None else for_size + 1
     if vint_size <= for_size and vint_size <= pfor_size:
         return bytes([TAG_VARINT]) + varint_encode(v)
     if for_size <= pfor_size:
         return for_encode(v)
-    return pfor_encode(v)
+    return pfor_encode(v, _plan=plan)
 
 
 def block_decode(buf: bytes) -> np.ndarray:

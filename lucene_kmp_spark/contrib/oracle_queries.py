@@ -1203,6 +1203,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_quantized_topk"] = q_ann_quantized
 
+    def q_ann_auto_float(spark, sf_dir):
+        """The shipped ann_auto_topk cost gate end-to-end on its DEFAULT
+        path: sf-scale table fits the memory budget, so the gate must pick
+        the float brute-force scan whose output equals the exact cosine
+        oracle (gate choice asserted — a wrong dispatch fails the row)."""
+        from lucene_kmp_spark.pipeline.quantize import ann_auto_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        out, path = ann_auto_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+        assert path == "float", path
+        return out.select("vec_id", _q4(F.col("score")).alias("score"), "rank")
+
+    q["ann_auto_float_gate"] = q_ann_auto_float
+
+    def q_timelimit_full_budget(spark, sf_dir):
+        """partial_top_k under a non-binding deadline: the executor-side
+        truncation accumulator must report timed_out=False and the rows
+        must be the exact BM25 top-k (the 'timed_out=False guarantees the
+        full answer' contract, TimeLimitingBulkScorer
+        partialResultsAfterTimeout)."""
+        from lucene_kmp_spark.search.query import TermQuery as _TQ
+        from lucene_kmp_spark.search.timelimit import partial_top_k
+
+        s = _searcher64(spark, sf_dir)
+        rows, timed_out = partial_top_k(s, _TQ("scan"), k=50, timeout_sec=3600.0)
+        assert timed_out is False
+        df = spark.createDataFrame([(r["doc_id"], float(r["score"])) for r in rows],
+                                   "doc_id long, score double")
+        return _ranked_topk(df)
+
+    q["timelimit_full_budget"] = q_timelimit_full_budget
+
     def q_quality_classifier(spark, sf_dir):
         """Trainable quality gate (pipeline/classifier.py — the CCNet/FineWeb
         fastText-shaped linear filter): train on a deterministic
@@ -3294,6 +3327,8 @@ _ROTATION_HEAD = (
     "japanese_nbest_term", "korean_mixed_term",
     "japanese_romaji_term", "japanese_reading_kata_term",
     "japanese_user_dict_term",
+    # round-4 surfaces with no prior driver row
+    "timelimit_full_budget", "ann_auto_float_gate",
     # similarities
     "dfr_term", "dfr_g_term", "axiomatic_term", "lm_jelinek_term",
     "dfi_term", "ib_spl_term", "indri_and_term2",
@@ -3398,6 +3433,10 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["bm25_term"] = _PRELUDE + "," + _sc_cte("sc0", "merge") + _rank_tail("sc0")
+    # non-binding deadline == the plain exact top-k for the same term
+    o["timelimit_full_budget"] = (
+        _PRELUDE + "," + _sc_cte("sc0", "scan") + _rank_tail("sc0")
+    )
 
     o["bm25_bool_and"] = (
         _PRELUDE
@@ -4754,6 +4793,8 @@ FROM scored QUALIFY rank <= 10
 
     # full-probe IVF is exactly brute force — same oracle
     o["ann_ivf_full_probe"] = o["ann_cosine_topk"]
+    # the auto gate's float path IS the exact scan — same oracle
+    o["ann_auto_float_gate"] = o["ann_cosine_topk"]
 
     # scalar-quantized tier: replay normalize -> [min,max] interval ->
     # half-up codes -> corrected integer candidate key (s^2*ID + mn*s*S_d)

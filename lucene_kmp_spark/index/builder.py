@@ -616,8 +616,24 @@ def build_index(
         skew_safe=skew_safe,
         with_offsets=(index_options == "offsets" or payload_fn is not None),
     )
+    if serve_partitions is None:
+        # auto: a small index served at shuffle-partition width pays a task
+        # launch (plus a Python worker handoff) per partition per query for
+        # no scan parallelism it can use — measured 28-34% of q_term/
+        # q_phrase latency at 100k docs. One serve partition per ~50k docs
+        # (floor 4) keeps large corpora at full width: the rule only ever
+        # NARROWS below the shuffle setting when the corpus is small.
+        build_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # floor 8 keeps enough scan parallelism for rows-heavy queries
+        # (facets/grouping aggregate whole match sets; at width 4 their
+        # decode serialized and cost MORE than the task overhead saved)
+        auto = max(min(8, build_width), max_doc // 50_000)
+        serve_partitions = auto if auto < build_width else 0
     if serve_partitions:
-        postings = postings.coalesce(serve_partitions)
+        # repartition, not coalesce: coalesce would propagate the narrow
+        # width back INTO the encode stage and serialize the build; the
+        # extra shuffle moves only the compact encoded blocks
+        postings = postings.repartition(serve_partitions)
     if cache:
         postings = postings.persist()
 
@@ -632,6 +648,10 @@ def build_index(
         # local to a few conversations) has n_buckets << df
         F.countDistinct(F.shiftright("block_id", 16)).alias("n_buckets"),
     )
+    if serve_partitions:
+        # same serve-width argument as postings: per-query stats lookups
+        # launch one task per partition of the cached term_dict
+        term_dict = term_dict.repartition(serve_partitions)
     if cache:
         term_dict = term_dict.persist()
     agg = term_dict.agg(
@@ -643,7 +663,10 @@ def build_index(
     # needed by cross-field scorers (MultiNormsLeafSimScorer) that must see a
     # doc's field length even for fields where the query term is absent.
     # Materialized while tokens are cached so it never re-tokenizes.
-    norms = tokens.filter(F.col("is_first") == 1).select("doc_id", "norm").persist()
+    norms = tokens.filter(F.col("is_first") == 1).select("doc_id", "norm")
+    if serve_partitions:
+        norms = norms.repartition(serve_partitions)
+    norms = norms.persist()
     # docs with >=1 indexed term: narrow count over the per-doc marker rows
     doc_count = norms.count()
 

@@ -305,3 +305,33 @@ def test_stored_fields_doc(spark, corpus, searcher):
     deleted = spark.createDataFrame([(int(row["doc_id"]),)], "doc_id long")
     s2 = IndexSearcher(searcher.index, live_filter=deleted)
     assert s2.doc(row["doc_id"]) is None
+
+
+def test_auto_serve_width_rule(spark):
+    """serve_partitions=None auto-narrows ONLY small indexes: floor
+    min(8, build_width), one partition per ~50k docs, never narrowing at
+    or above the build width (a 4M-doc corpus computes 81 >= width and is
+    untouched)."""
+    from lucene_kmp_spark.data.transcripts import synth_transcripts
+    from lucene_kmp_spark.index import assign_doc_ids, build_index
+
+    docs = assign_doc_ids(synth_transcripts(spark, n_convs=20, seed=3))
+    build_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # tiny corpus: auto = min(8, build_width); tests run at width 8 => no
+    # narrowing is only when build_width <= floor
+    idx = build_index(docs)
+    got = idx.postings.rdd.getNumPartitions()
+    floor = min(8, build_width)
+    if floor < build_width:
+        assert got == floor
+        assert idx.term_dict.rdd.getNumPartitions() == floor
+        assert idx.norms.rdd.getNumPartitions() == floor
+    else:
+        # floor == build_width: rule must leave the tables alone
+        assert got >= 1
+    # explicit override still honored
+    idx2 = build_index(docs, serve_partitions=2)
+    assert idx2.postings.rdd.getNumPartitions() == 2
+    # explicit 0 disables narrowing entirely
+    idx3 = build_index(docs, serve_partitions=0)
+    assert idx3.postings.rdd.getNumPartitions() >= floor

@@ -143,7 +143,60 @@ def lsh_near_dup_pairs(
         bucketed = df.withColumn(
             "_bucket", lsh_bucket_col(vec_col, _hyperplanes(dim, n_planes, seed))
         )
-    return _pair_cosine(bucketed, threshold, vec_col, id_col, bucket_col="_bucket")
+    return _bucket_pairs_matmul(bucketed, threshold, vec_col, id_col, "_bucket")
+
+
+def _bucket_pairs_matmul(
+    bucketed: DataFrame, threshold: float, vec_col: str, id_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Same-bucket (id_a < id_b, cosine >= t) pairs via a per-bucket BLAS
+    matmul instead of a pair-row join: the join materializes one Arrow row
+    PER CANDIDATE PAIR carrying BOTH full vectors (O(pairs x dim) transfer);
+    here each bucket ships once and the m x m cosine block is computed in
+    chunks of 2,048 rows, so peak memory is O(chunk x m) however dup-dense
+    the bucket. Bucket residency is the same as the equi-join's (a hash
+    bucket co-locates either way) — size n_planes so buckets fit a worker."""
+    thr = float(threshold)
+
+    def per_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        empty = pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        })
+        if m < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        outs = []
+        chunk = 2048
+        col_idx = np.arange(m)
+        for s in range(0, m, chunk):
+            e = min(s + chunk, m)
+            C = (V[s:e] @ V.T) / np.outer(nrm[s:e], nrm)
+            ri = np.arange(s, e)
+            mask = (col_idx[None, :] > ri[:, None]) & (C >= thr)
+            ii, jj = np.nonzero(mask)
+            if ii.size == 0:
+                continue
+            ia, ib = ids[ri[ii]], ids[jj]
+            swap = ia > ib
+            outs.append(pd.DataFrame({
+                "id_a": np.where(swap, ib, ia),
+                "id_b": np.where(swap, ia, ib),
+                "cosine": C[ii, jj],
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return bucketed.select(id_col, vec_col, bucket_col).groupBy(
+        bucket_col
+    ).applyInPandas(per_bucket, schema="id_a long, id_b long, cosine double")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

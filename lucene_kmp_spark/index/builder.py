@@ -482,7 +482,8 @@ class InvertedIndex:
     term_vectors: DataFrame | None = None
 
     def unpersist(self):
-        for df in (self.postings, self.term_dict, self.norms, self.term_vectors):
+        for df in (self.postings, self.term_dict, self.norms,
+                   self.term_vectors, self.docs):
             try:
                 if df is not None:
                     df.unpersist()
@@ -593,6 +594,15 @@ def build_index(
     launches few tasks over the (much smaller) index — big task counts on
     small index tables just multiply Python worker startup."""
     spark = docs_with_ids.sparkSession
+    if cache:
+        # the docs table is every stored-fields read (hydrate, grouping,
+        # facets, sort) — when it is a DERIVED plan (assign_doc_ids runs
+        # two Python stages + a join), leaving it lazy re-executes that
+        # chain inside EVERY query that touches docs. The max_doc count
+        # below materializes the persist, so the build pays it exactly
+        # once. (Parquet/Iceberg-backed docs make this a cheap no-op: the
+        # cache just pins the scan.)
+        docs_with_ids = docs_with_ids.persist()
     max_doc = docs_with_ids.count()
 
     # tokens are NOT cached by default: the raw token stream (with position

@@ -102,7 +102,12 @@ _SCRIPT_RANGES: tuple[tuple[int, int, str], ...] = (
     (0x1780, 0x17FF, "KHMER"), (0x19E0, 0x19FF, "KHMER"),
     (0x1800, 0x18AF, "MONGOLIAN"),
     (0x1E00, 0x1EFF, "LATIN"),  # Latin Extended Additional
-    (0x3041, 0x309F, "HIRAGANA"),
+    # 3099-309A (combining voiced marks) are script Inherited and 309B-309C
+    # (spacing voiced marks) are Common per Scripts.txt — excluded from the
+    # block range so they fall through to the category fallback (ADVICE r4:
+    # an unknown run STARTING on U+3099 must not lock its script to
+    # HIRAGANA; inherited adopts the next script as in nori).
+    (0x3041, 0x3096, "HIRAGANA"), (0x309D, 0x309F, "HIRAGANA"),
     (0x30A1, 0x30FA, "KATAKANA"), (0x30FD, 0x30FF, "KATAKANA"),
     (0x3105, 0x312F, "BOPOMOFO"), (0x31A0, 0x31BF, "BOPOMOFO"),
     (0x3130, 0x318F, "HANGUL"),

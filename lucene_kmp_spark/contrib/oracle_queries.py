@@ -1212,7 +1212,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-        out, path = ann_auto_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+        # explicit budget >> any sf-scale table so the asserted dispatch is
+        # deterministic across runners (host RAM / catalog stats must not
+        # decide a correctness row — ADVICE r4)
+        out, path = ann_auto_topk(
+            emb.filter(F.col("vec_id") != 0), qvec, k=10, memory_budget=1 << 40
+        )
         assert path == "float", path
         return out.select("vec_id", _q4(F.col("score")).alias("score"), "rank")
 

@@ -274,8 +274,13 @@ def _memory_budget_bytes(spark=None) -> int:
             if mem and n > 0:
                 units = {"k": 10, "m": 20, "g": 30, "t": 40}
                 m = mem.strip().lower()
-                mult = units.get(m[-1], 0)
-                val = int(m[:-1]) if mult else int(m)
+                if len(m) >= 2 and m.endswith("b") and m[-2] in units:
+                    m = m[:-1]  # "512mb" -> "512m"
+                if m[-1] in units:
+                    val, mult = int(m[:-1]), units[m[-1]]
+                else:
+                    # Spark parses a unitless executor-memory value as MiB
+                    val, mult = int(m), 20
                 return (val << mult) * n
         except Exception:
             pass

@@ -156,8 +156,16 @@ def _bucket_pairs_matmul(
     here each bucket ships once and the m x m cosine block is computed in
     chunks of 2,048 rows, so peak memory is O(chunk x m) however dup-dense
     the bucket. Bucket residency is the same as the equi-join's (a hash
-    bucket co-locates either way) — size n_planes so buckets fit a worker."""
+    bucket co-locates either way) — size n_planes so buckets fit a worker.
+
+    Rounding contract: the BLAS matmul sums pairwise, which can differ from
+    the left-to-right float64 accumulation the oracles (DuckDB unnest-order
+    sum — see ``_pair_dot_lr``) rely on by a few ulps.  So the matmul only
+    MASKS candidates (threshold loosened by 1e-9, >> the ulp gap); every
+    surviving pair's reported cosine — and the exact >= threshold cut — is
+    recomputed left-to-right, bit-identical to ``_pair_cosine``."""
     thr = float(threshold)
+    _SLACK = 1e-9  # >> dim * ulp; admits every pair the LR kernel would keep
 
     def per_bucket(pdf):
         import numpy as np
@@ -173,7 +181,12 @@ def _bucket_pairs_matmul(
             return empty
         ids = pdf[id_col].to_numpy()
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        dim = V.shape[1]
+        # left-to-right norms — bit-identical to the ``_norm`` column expr
+        acc = V[:, 0] * V[:, 0]
+        for d in range(1, dim):
+            acc = acc + V[:, d] * V[:, d]
+        nrm = np.sqrt(acc)
         outs = []
         chunk = 2048
         col_idx = np.arange(m)
@@ -181,16 +194,27 @@ def _bucket_pairs_matmul(
             e = min(s + chunk, m)
             C = (V[s:e] @ V.T) / np.outer(nrm[s:e], nrm)
             ri = np.arange(s, e)
-            mask = (col_idx[None, :] > ri[:, None]) & (C >= thr)
+            mask = (col_idx[None, :] > ri[:, None]) & (C >= thr - _SLACK)
             ii, jj = np.nonzero(mask)
             if ii.size == 0:
                 continue
-            ia, ib = ids[ri[ii]], ids[jj]
+            gi = ri[ii]
+            # exact left-to-right recompute for the masked candidates only
+            A, B = V[gi], V[jj]
+            dot = A[:, 0] * B[:, 0]
+            for d in range(1, dim):
+                dot = dot + A[:, d] * B[:, d]
+            cos = dot / (nrm[gi] * nrm[jj])
+            keep = cos >= thr
+            if not keep.any():
+                continue
+            gi, jj, cos = gi[keep], jj[keep], cos[keep]
+            ia, ib = ids[gi], ids[jj]
             swap = ia > ib
             outs.append(pd.DataFrame({
                 "id_a": np.where(swap, ib, ia),
                 "id_b": np.where(swap, ia, ib),
-                "cosine": C[ii, jj],
+                "cosine": cos,
             }))
         return pd.concat(outs, ignore_index=True) if outs else empty
 

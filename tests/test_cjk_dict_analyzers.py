@@ -269,6 +269,16 @@ def test_ko_script_of_major_scripts():
     assert _script_of(".") == "COMMON"
     assert _script_of("́") == "INHERITED"  # combining acute
     assert _script_of("฿") == "COMMON"     # Thai baht sign = Common
+    # ADVICE r4: voiced-sound marks are NOT Hiragana per Scripts.txt —
+    # U+3099/309A (combining) are Inherited, U+309B/309C (spacing) Common,
+    # while the iteration marks/digraph U+309D-309F stay Hiragana
+    assert _script_of("゙") == "INHERITED"
+    assert _script_of("゚") == "INHERITED"
+    assert _script_of("゛") == "COMMON"
+    assert _script_of("゜") == "COMMON"
+    assert _script_of("ゝ") == "HIRAGANA"
+    assert _script_of("ゟ") == "HIRAGANA"
+    assert _script_of("ゖ") == "HIRAGANA"
 
 
 def test_ko_trailing_space_reaches_eos(ko_dict):

@@ -571,3 +571,40 @@ def test_all_pairs_guard(spark, monkeypatch):
         similarity.cosine_near_dup_pairs(vecs, 0.9).collect()
     assert similarity.cosine_near_dup_pairs(vecs, 0.9, allow_all_pairs=True).count() >= 0
     assert similarity.lsh_near_dup_pairs(vecs, 0.9).count() >= 0
+
+
+def test_matmul_verify_bit_identical_to_lr_kernel(spark):
+    """ADVICE r4 guard: the per-bucket matmul verify kernel must emit the
+    SAME pair set with BIT-IDENTICAL cosines as the left-to-right join
+    kernel (``_pair_cosine``) the oracles were validated against — on a
+    dense fixture engineered to put many pairs at/near the threshold."""
+    import numpy as np
+
+    from lucene_kmp_spark.pipeline.similarity import (
+        _bucket_pairs_matmul,
+        _pair_cosine,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    base = rng.randn(4, 16)
+    for i in range(240):
+        # clustered perturbations => dup-dense buckets, cosines spread
+        # through [0.2, 1.0] with a thick band near the 0.4 threshold
+        v = base[i % 4] + rng.randn(16) * (0.4 + 2.5 * (i % 7) / 7.0)
+        rows.append((i, [float(x) for x in v], i % 3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, _bucket int"
+    )
+    lr = {
+        (r.id_a, r.id_b): r.cosine
+        for r in _pair_cosine(df, 0.4, "embedding", "vec_id", "_bucket").collect()
+    }
+    mm = {
+        (r.id_a, r.id_b): r.cosine
+        for r in _bucket_pairs_matmul(df, 0.4, "embedding", "vec_id", "_bucket").collect()
+    }
+    assert set(lr) == set(mm)
+    assert len(lr) > 200  # the fixture really is dense
+    for key, c in lr.items():
+        assert mm[key] == c, (key, mm[key], c)  # exact float equality

@@ -203,3 +203,33 @@ def test_ann_auto_gate(spark, tmp_path, vecs):
     ids_f = [r["vec_id"] for r in out_f.collect()]
     ids_q = [r["vec_id"] for r in out_q.collect()]
     assert ids_f == ids_q
+
+
+def test_memory_budget_unitless_executor_memory_is_mib():
+    """ADVICE r4: Spark parses a unitless spark.executor.memory as MiB —
+    '4096' must mean 4 GiB/executor, not 4 KB."""
+    from lucene_kmp_spark.pipeline.quantize import _memory_budget_bytes
+
+    class _Conf:
+        def __init__(self, vals):
+            self.vals = vals
+
+        def get(self, k, default=None):
+            return self.vals.get(k, default)
+
+    class _Spark:
+        def __init__(self, vals):
+            self.conf = _Conf(vals)
+
+    def budget(mem):
+        return _memory_budget_bytes(_Spark({
+            "spark.master": "yarn",
+            "spark.executor.memory": mem,
+            "spark.executor.instances": "2",
+        }))
+
+    assert budget("4096") == 2 * (4096 << 20)   # unitless => MiB
+    assert budget("4g") == 2 * (4 << 30)
+    assert budget("512m") == 2 * (512 << 20)
+    assert budget("512mb") == 2 * (512 << 20)   # two-letter suffix
+    assert budget("1t") == 2 * (1 << 40)

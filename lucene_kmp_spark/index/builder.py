@@ -633,12 +633,19 @@ def build_index(
         # q_phrase latency at 100k docs. One serve partition per ~50k docs
         # (floor 4) keeps large corpora at full width: the rule only ever
         # NARROWS below the shuffle setting when the corpus is small.
+        # Gated on ``cache`` — the expected-reuse signal: narrowing is a
+        # serve-time optimization amortized over many queries, but it adds
+        # repartition jobs to the BUILD, and for an ephemeral build-once-
+        # query-once index (cache=False) those jobs cost more than the one
+        # query saves (same-epoch interleaved A/B at sf0.1: narrowing off
+        # was 17% faster on the offsets-index+passages row and 12% on the
+        # CJK-analyzer build).
         build_width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         # floor 8 keeps enough scan parallelism for rows-heavy queries
         # (facets/grouping aggregate whole match sets; at width 4 their
         # decode serialized and cost MORE than the task overhead saved)
         auto = max(min(8, build_width), max_doc // 50_000)
-        serve_partitions = auto if auto < build_width else 0
+        serve_partitions = auto if (cache and auto < build_width) else 0
     if serve_partitions:
         # repartition, not coalesce: coalesce would propagate the narrow
         # width back INTO the encode stage and serialize the build; the

@@ -335,3 +335,12 @@ def test_auto_serve_width_rule(spark):
     # explicit 0 disables narrowing entirely
     idx3 = build_index(docs, serve_partitions=0)
     assert idx3.postings.rdd.getNumPartitions() >= floor
+    # cache=False (ephemeral build, no reuse to amortize the repartition
+    # jobs) auto-gates the narrowing off; explicit serve_partitions still
+    # honored regardless of cache
+    idx4 = build_index(docs, cache=False)
+    assert idx4.postings.rdd.getNumPartitions() >= floor
+    if floor < build_width:
+        assert idx4.postings.rdd.getNumPartitions() == build_width
+    idx5 = build_index(docs, cache=False, serve_partitions=2)
+    assert idx5.postings.rdd.getNumPartitions() == 2

@@ -82,10 +82,14 @@ def main() -> None:
         tbl = spark.read.parquet(root).persist()
         tbl.count()
 
-        # query mix: near-centroid + cross-cluster midpoints
-        queries = [(cents[i] + rng.randn(args.dim) * 0.5) for i in (3, 7, 11, 19)]
+        # query mix: near-centroid + cross-cluster midpoints (indices taken
+        # modulo n_lists so smaller --lists smoke runs work)
+        L = args.lists
+        queries = [
+            (cents[i % L] + rng.randn(args.dim) * 0.5) for i in (3, 7, 11, 19)
+        ]
         queries += [
-            (cents[i] + cents[j]) / 2 + rng.randn(args.dim) * 0.5
+            (cents[i % L] + cents[j % L]) / 2 + rng.randn(args.dim) * 0.5
             for i, j in ((1, 2), (5, 9), (14, 23), (28, 30))
         ]
         queries = [q.tolist() for q in queries]

@@ -608,3 +608,41 @@ def test_matmul_verify_bit_identical_to_lr_kernel(spark):
     assert len(lr) > 200  # the fixture really is dense
     for key, c in lr.items():
         assert mm[key] == c, (key, mm[key], c)  # exact float equality
+
+
+def test_matmul_verify_lr_identity_property(spark):
+    """Property form of the matmul/LR bit-identity guard: random dims,
+    thresholds and bucket layouts (seeded, deterministic) — every drawn
+    configuration must produce an identical pair set with exactly equal
+    cosines across the two kernels."""
+    import numpy as np
+
+    from lucene_kmp_spark.pipeline.similarity import (
+        _bucket_pairs_matmul,
+        _pair_cosine,
+    )
+
+    for seed, dim, thr, nbuck in ((11, 8, 0.2, 2), (23, 33, 0.5, 4),
+                                  (37, 96, 0.75, 1)):
+        rng = np.random.RandomState(seed)
+        base = rng.randn(3, dim)
+        rows = [
+            (i,
+             [float(x) for x in base[i % 3] + rng.randn(dim) * (0.3 + (i % 5))],
+             i % nbuck)
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, _bucket int"
+        )
+        lr = {
+            (r.id_a, r.id_b): r.cosine
+            for r in _pair_cosine(df, thr, "embedding", "vec_id", "_bucket").collect()
+        }
+        mm = {
+            (r.id_a, r.id_b): r.cosine
+            for r in _bucket_pairs_matmul(
+                df, thr, "embedding", "vec_id", "_bucket").collect()
+        }
+        assert lr == mm, (seed, dim, thr, len(set(lr) ^ set(mm)))
+        assert lr, (seed, dim, thr)  # each config produces real pairs

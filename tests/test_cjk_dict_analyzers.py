@@ -562,3 +562,25 @@ def test_sentence_breaks_match_jdk_goldens():
     for text, jb in goldens:
         ours = sorted(set(sentence_breaks(text) + ([len(text)] if text else [])))
         assert ours == jb, (text, ours, jb)
+
+
+def test_ko_unknown_run_starting_on_inherited_mark(ko_dict):
+    """ADVICE r4: an unknown run STARTING on U+3099 (combining voiced mark,
+    script Inherited) must not lock its script to HIRAGANA — inherited
+    adopts the following script, so the mark joins the next run as in
+    nori's Character.UnicodeScript behavior."""
+    from lucene_kmp_spark.analysis.ko import DISCARD, korean_tokenizer
+
+    tok = korean_tokenizer(*ko_dict, mode=DISCARD)
+    # mark leads an unknown run followed by hiragana: one joined run
+    toks = tok("한국 ゙あか 나물")
+    assert [t.surface for t in toks] == ["한국", "゙あか", "나물"]
+    # and followed by a DIFFERENT script (latin): still joins — inherited
+    # locks nothing (the old range table split here by claiming HIRAGANA)
+    toks = tok("한국 ゙abc 나물")
+    assert [t.surface for t in toks] == ["한국", "゙abc", "나물"]
+    # the SPACING voiced mark U+309B is Common AND category Sk — nori's
+    # isPunctuation covers modifier symbols, so discard_punctuation drops
+    # it; the following hiragana still tokenizes on its own
+    toks = tok("゛あ")
+    assert "".join(t.surface for t in toks) == "あ"

@@ -233,3 +233,29 @@ def test_memory_budget_unitless_executor_memory_is_mib():
     assert budget("512m") == 2 * (512 << 20)
     assert budget("512mb") == 2 * (512 << 20)   # two-letter suffix
     assert budget("1t") == 2 * (1 << 40)
+
+
+def test_memory_budget_fallbacks():
+    """Non-local master without usable executor conf falls to the 8 GiB
+    default; garbage values must not raise."""
+    from lucene_kmp_spark.pipeline.quantize import _memory_budget_bytes
+
+    class _Conf:
+        def __init__(self, vals):
+            self.vals = vals
+
+        def get(self, k, default=None):
+            return self.vals.get(k, default)
+
+    class _Spark:
+        def __init__(self, vals):
+            self.conf = _Conf(vals)
+
+    base = {"spark.master": "yarn"}
+    assert _memory_budget_bytes(_Spark(base)) == 8 << 30  # no conf at all
+    assert _memory_budget_bytes(_Spark(base | {
+        "spark.executor.memory": "4g", "spark.executor.instances": "0",
+    })) == 8 << 30  # zero instances
+    assert _memory_budget_bytes(_Spark(base | {
+        "spark.executor.memory": "lots", "spark.executor.instances": "2",
+    })) == 8 << 30  # unparsable -> default, no raise

@@ -1488,6 +1488,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_probe"] = q_media_probe
 
+    def q_media_decode_stats(spark, sf_dir):
+        # REAL pixel/sample decode (beyond the header probe): even doc_ids
+        # become full 24-bit BMPs, odd ones 16-bit PCM WAVs — bodies
+        # included — and the engine reads the actual pixel/sample buffers
+        # back (numpy over the raw bytes), reducing to exact integer
+        # channel/sample sums. Pixels are row-constant by construction, so
+        # the oracle recomputes each sum arithmetically (height x one-row
+        # list_sum) while the engine must DECODE it from the container.
+        from lucene_kmp_spark.pipeline.multimodal import (
+            decode_media_stats,
+            synth_decodable,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return decode_media_stats(synth_decodable(spark, docs))
+
+    q["media_decode_stats"] = q_media_decode_stats
+
     def q_text_lm_xent(spark, sf_dir):
         # CCNet-style perplexity quality filter: bigram LM counted over the
         # corpus itself, per-doc cross-entropy (bits/token, add-0.1 smooth).
@@ -5259,6 +5277,36 @@ SELECT doc_id AS media_id,
        CAST(CASE WHEN doc_id % 4 = 3
             THEN ((1000 + doc_id % 5000) * 1000)
                       // (8000 + (doc_id % 5) * 8000) ELSE -1 END AS INTEGER) AS duration_ms
+FROM documents
+"""
+
+    # pixel/sample sums recomputed arithmetically: BMP pixels are
+    # row-constant (sum = height x one-row list_sum); WAV samples enumerate
+    # by flat index j with frame = j // ch, channel = j % ch (interleaved
+    # order — irrelevant to an integer sum but kept identical anyway)
+    o["media_decode_stats"] = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS container,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id * 7) % 56 ELSE -1 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id * 11) % 40 ELSE -1 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN (8 + (doc_id * 7) % 56) * (8 + (doc_id * 11) % 40) ELSE -1 END AS BIGINT) AS n_px,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (8 + (doc_id * 11) % 40) *
+            list_sum(list_transform(range(0, 8 + (doc_id * 7) % 56), x -> (3 * doc_id + 7 * x) % 256))
+            ELSE -1 END AS BIGINT) AS pix_sum_r,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (8 + (doc_id * 11) % 40) *
+            list_sum(list_transform(range(0, 8 + (doc_id * 7) % 56), x -> (2 * doc_id + 5 * x) % 256))
+            ELSE -1 END AS BIGINT) AS pix_sum_g,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (8 + (doc_id * 11) % 40) *
+            list_sum(list_transform(range(0, 8 + (doc_id * 7) % 56), x -> (doc_id + 3 * x) % 256))
+            ELSE -1 END AS BIGINT) AS pix_sum_b,
+       CAST(CASE WHEN doc_id % 2 = 1
+            THEN (64 + doc_id % 64) * (1 + (doc_id % 4) // 2) ELSE -1 END AS BIGINT) AS n_samp,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN
+            list_sum(list_transform(range(0, (64 + doc_id % 64) * (1 + (doc_id % 4) // 2)),
+              j -> ((7 * doc_id + 13 * (j // (1 + (doc_id % 4) // 2))
+                     + 17 * (j % (1 + (doc_id % 4) // 2))) % 2048) - 1024))
+            ELSE -1 END AS BIGINT) AS samp_sum
 FROM documents
 """
 

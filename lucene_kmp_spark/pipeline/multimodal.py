@@ -430,6 +430,88 @@ def decode_media_stats(
     )
 
 
+def resize_nearest(pixels, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (h, w, 3) uint8 array via integer index
+    maps (pure numpy fancy-indexing — the Lanczos/bilinear kernels live in
+    codec libs, but nearest is exactly expressible and deterministic).
+    Source index for output row i is floor(i * h / out_h) (floor-scale
+    sampling), likewise for columns."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[ys][:, xs]
+
+
+def audio_features_pcm(samples, channels: int, frame: int = 256):
+    """(n_frames, zero_crossings, sum_abs) over a mono mix-down of an int16
+    interleaved buffer — the exact-integer core of the usual RMS/ZCR audio
+    featurizer. Mix-down = per-frame channel SUM (not mean) so everything
+    stays integer; zero crossings count strict sign changes between
+    consecutive mixed samples, zeros pass through (sign 0 is not a
+    crossing); framing truncates the tail partial frame."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    usable = len(s) - (len(s) % channels)
+    mixed = s[:usable].reshape(-1, channels).sum(axis=1)
+    n_frames = len(mixed) // frame
+    mixed = mixed[: n_frames * frame]
+    sign = np.sign(mixed)
+    nz = sign[sign != 0]
+    crossings = int((nz[1:] != nz[:-1]).sum()) if len(nz) > 1 else 0
+    return n_frames, crossings, int(np.abs(mixed).sum())
+
+
+def media_feature_frame(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    thumb: int = 8,
+    frame: int = 256,
+) -> DataFrame:
+    """Feature-extract + resize + frame-slice in one real decode pass:
+    images are decoded and nearest-resized to a thumb x thumb RGB grid
+    (flattened int array — the classic perceptual-hash precursor), audio is
+    framed into ``frame``-sample windows with zero-crossing and magnitude
+    totals. Same ``mapInPandas`` shape as ``decode_media_stats`` — at 100 TB
+    this is one shuffle-free columnar scan with a Python decode kernel."""
+    import numpy as np
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                img = decode_bmp(p)
+                if img is not None:
+                    tb = resize_nearest(img, thumb, thumb)
+                    out.append(
+                        (int(mid), "image", [int(v) for v in tb.reshape(-1)], -1, -1, -1)
+                    )
+                    continue
+                wav = decode_wav_pcm(p)
+                if wav is not None:
+                    _, ch, samples = wav
+                    n_frames, zc, sum_abs = audio_features_pcm(samples, ch, frame)
+                    out.append((int(mid), "audio", None, n_frames, zc, sum_abs))
+                    continue
+                out.append((int(mid), "unknown", None, -1, -1, -1))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "thumb", "n_frames", "zero_crossings", "sum_abs"],
+            )
+
+    return media.select(F.col(id_col).alias(id_col), payload_col).mapInPandas(
+        gen,
+        schema=(
+            "media_id long, kind string, thumb array<int>, "
+            "n_frames long, zero_crossings long, sum_abs long"
+        ),
+    )
+
+
 def synth_containers(spark, source: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL container files keyed by id: media_id % 4 picks
     png/jpeg/gif/wav; dimensions / audio params derive from the id by fixed

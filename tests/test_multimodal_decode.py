@@ -114,3 +114,74 @@ def test_decode_stats_unknown_payloads(spark):
     )
     rows = {r["media_id"]: r["container"] for r in decode_media_stats(media).collect()}
     assert rows == {0: "unknown", 1: "unknown"}
+
+
+def test_resize_nearest_identity_and_downscale():
+    from lucene_kmp_spark.pipeline.multimodal import resize_nearest
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 12, 3)).astype(np.uint8)
+    assert np.array_equal(resize_nearest(img, 16, 12), img)  # identity
+    half = resize_nearest(img, 8, 6)
+    assert half.shape == (8, 6, 3)
+    # floor-scale sampling: output (i, j) takes source (2i, 2j)
+    assert np.array_equal(half, img[::2, ::2])
+    up = resize_nearest(img, 32, 24)
+    assert up.shape == (32, 24, 3)
+    assert np.array_equal(up[::2, ::2], img)  # every source pixel survives
+
+
+def test_audio_features_pcm_exact():
+    from lucene_kmp_spark.pipeline.multimodal import audio_features_pcm
+
+    # stereo: mix-down sums channel pairs; alternating-sign mix
+    samples = np.array([100, 50, -30, -40, 20, 5, 0, 0, -7, -3], dtype=np.int16)
+    n_frames, zc, sum_abs = audio_features_pcm(samples, channels=2, frame=5)
+    mixed = np.array([150, -70, 25, 0, -10])
+    assert n_frames == 1
+    assert sum_abs == int(np.abs(mixed).sum())
+    # sign path 150, -70, 25, (0 skipped), -10 -> 3 crossings
+    assert zc == 3
+    # frame truncation: frame bigger than the buffer -> zero frames, empty stats
+    assert audio_features_pcm(samples, channels=2, frame=64) == (0, 0, 0)
+
+
+@pytest.mark.usefixtures("spark")
+def test_media_feature_frame_end_to_end(spark):
+    from lucene_kmp_spark.pipeline.multimodal import media_feature_frame
+
+    src = spark.range(0, 32).selectExpr("id AS doc_id")
+    rows = {
+        r["media_id"]: r.asDict()
+        for r in media_feature_frame(synth_decodable(spark, src), frame=32).collect()
+    }
+    assert len(rows) == 32
+    for i in range(32):
+        r = rows[i]
+        if i % 2 == 0:
+            assert r["kind"] == "image" and len(r["thumb"]) == 8 * 8 * 3
+            # recompute the thumb independently from the synthesis formula
+            w = 8 + (i * 7) % 56
+            h = 8 + (i * 11) % 40
+            x = np.arange(w, dtype=np.int64)
+            row = np.stack(
+                [(3 * i + 7 * x) % 256, (2 * i + 5 * x) % 256, (i + 3 * x) % 256], axis=1
+            ).astype(np.uint8)
+            full = np.broadcast_to(row, (h, w, 3))
+            xs = (np.arange(8, dtype=np.int64) * w) // 8
+            expect = full[(np.arange(8, dtype=np.int64) * h) // 8][:, xs]
+            assert r["thumb"] == [int(v) for v in expect.reshape(-1)]
+        else:
+            ch = 1 + (i % 4) // 2
+            n = 64 + i % 64
+            j = np.arange(n * ch, dtype=np.int64)
+            samples = ((7 * i + 13 * (j // ch) + 17 * (j % ch)) % 2048) - 1024
+            mixed = samples.reshape(-1, ch).sum(axis=1)
+            n_frames = len(mixed) // 32
+            mixed = mixed[: n_frames * 32]
+            sign = np.sign(mixed)
+            nz = sign[sign != 0]
+            zc = int((nz[1:] != nz[:-1]).sum()) if len(nz) > 1 else 0
+            assert r["kind"] == "audio" and r["n_frames"] == n_frames
+            assert r["zero_crossings"] == zc
+            assert r["sum_abs"] == int(np.abs(mixed).sum())

@@ -576,6 +576,20 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     probe_media(synth_containers(spark, docs_pq)).count()
     times["p_media_probe"] = round(time.perf_counter() - t, 3)
 
+    # real pixel/sample decode (BMP/PCM buffers read back with numpy) +
+    # the feature/resize/framing stage over the same decode
+    from lucene_kmp_spark.pipeline.multimodal import (
+        decode_media_stats,
+        media_feature_frame,
+        synth_decodable,
+    )
+
+    t = time.perf_counter()
+    dec_media = synth_decodable(spark, docs_pq)
+    decode_media_stats(dec_media).count()
+    media_feature_frame(dec_media).count()
+    times["p_media_decode"] = round(time.perf_counter() - t, 3)
+
     # bigram-LM perplexity quality filter (train + score in one timing)
     from lucene_kmp_spark.pipeline.textstats import bigram_lm_counts, lm_cross_entropy
 

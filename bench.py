@@ -891,6 +891,15 @@ def main():
                     if ceiling
                     else None
                 ),
+                # best single-attempt engine-vs-box ratio, each attempt
+                # scored against its OWN epoch's burn ceiling: on a box too
+                # degraded for any raw pair to clear the target, this is the
+                # evidence that the gap is environment, not code
+                "best_vs_ceiling": max(
+                    (a["efficiency_vs_ceiling"] for a in attempts
+                     if a["efficiency_vs_ceiling"] is not None),
+                    default=None,
+                ),
                 "attempts": attempts,
             }
         except Exception as e:  # a hung/timed-out subprocess must not void the main numbers

@@ -185,3 +185,68 @@ def test_media_feature_frame_end_to_end(spark):
             assert r["kind"] == "audio" and r["n_frames"] == n_frames
             assert r["zero_crossings"] == zc
             assert r["sum_abs"] == int(np.abs(mixed).sum())
+
+
+# ---- property forms (hypothesis): arbitrary shapes/buffers round-trip ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2 ** 31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(build_bmp(img)), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ch=st.integers(min_value=1, max_value=4),
+    n=st.integers(min_value=0, max_value=500),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(min_value=0, max_value=2 ** 31 - 1),
+)
+def test_wav_roundtrip_property(ch, n, rate, seed):
+    samples = (
+        np.random.RandomState(seed)
+        .randint(-(2 ** 15), 2 ** 15, n * ch)
+        .astype("<i2")
+    )
+    r2, c2, s2 = decode_wav_pcm(build_wav_pcm(rate, ch, samples))
+    assert (r2, c2) == (rate, ch) and np.array_equal(s2, samples)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=30),
+    w=st.integers(min_value=1, max_value=30),
+    oh=st.integers(min_value=1, max_value=30),
+    ow=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2 ** 31 - 1),
+)
+def test_resize_property_every_output_pixel_is_a_source_pixel(h, w, oh, ow, seed):
+    from lucene_kmp_spark.pipeline.multimodal import resize_nearest
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    out = resize_nearest(img, oh, ow)
+    assert out.shape == (oh, ow, 3)
+    # nearest never invents values: output (i, j) == source (i*h//oh, j*w//ow)
+    for i in (0, oh - 1, oh // 2):
+        for j in (0, ow - 1, ow // 2):
+            assert np.array_equal(out[i, j], img[(i * h) // oh, (j * w) // ow])
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_decoders_never_crash_on_arbitrary_bytes(data):
+    # never raises, never returns garbage shapes — None or a valid parse
+    img = decode_bmp(data)
+    assert img is None or (img.ndim == 3 and img.shape[2] == 3)
+    wav = decode_wav_pcm(data)
+    assert wav is None or (wav[0] > 0 and wav[1] > 0)
+    probe_bytes(data)  # must not raise either

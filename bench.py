@@ -580,14 +580,17 @@ def _pipeline_suite(spark, sf_dir: str) -> dict:
     # the feature/resize/framing stage over the same decode
     from lucene_kmp_spark.pipeline.multimodal import (
         decode_media_stats,
+        decode_video_stats,
         media_feature_frame,
         synth_decodable,
+        synth_videos,
     )
 
     t = time.perf_counter()
     dec_media = synth_decodable(spark, docs_pq)
     decode_media_stats(dec_media).count()
     media_feature_frame(dec_media).count()
+    decode_video_stats(synth_videos(spark, docs_pq)).count()
     times["p_media_decode"] = round(time.perf_counter() - t, 3)
 
     # bigram-LM perplexity quality filter (train + score in one timing)

@@ -1506,6 +1506,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_decode_stats"] = q_media_decode_stats
 
+    def q_media_decode_video_stats(spark, sf_dir):
+        # REAL video decode: every doc_id becomes a structurally-valid
+        # uncompressed-DIB AVI (RIFF hdrl/avih/strl + movi 00db frame
+        # chunks, bodies included); the engine walks the chunks and reads
+        # every frame buffer back pixel-for-pixel, reducing to exact
+        # integer stats. Frame pixels are row/channel-constant by
+        # construction, so the oracle recomputes the total arithmetically.
+        from lucene_kmp_spark.pipeline.multimodal import (
+            decode_video_stats,
+            synth_videos,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return decode_video_stats(synth_videos(spark, docs))
+
+    q["media_decode_video_stats"] = q_media_decode_video_stats
+
     def q_text_lm_xent(spark, sf_dir):
         # CCNet-style perplexity quality filter: bigram LM counted over the
         # corpus itself, per-doc cross-entropy (bits/token, add-0.1 smooth).
@@ -5307,6 +5324,22 @@ SELECT doc_id AS media_id,
               j -> ((7 * doc_id + 13 * (j // (1 + (doc_id % 4) // 2))
                      + 17 * (j % (1 + (doc_id % 4) // 2))) % 2048) - 1024))
             ELSE -1 END AS BIGINT) AS samp_sum
+FROM documents
+"""
+
+    # video frame pixels are row/channel-constant: total = 3 channels x
+    # height x sum over (frame, column) of the per-column value
+    o["media_decode_video_stats"] = """
+SELECT doc_id AS media_id, 'avi' AS container,
+       CAST(4 + (doc_id * 5) % 28 AS INTEGER) AS width,
+       CAST(4 + (doc_id * 3) % 20 AS INTEGER) AS height,
+       CAST(2 + doc_id % 6 AS BIGINT) AS n_frames,
+       CAST(10 + doc_id % 5 AS INTEGER) AS fps,
+       CAST(3 * (4 + (doc_id * 3) % 20) *
+            list_sum(list_transform(range(0, (2 + doc_id % 6) * (4 + (doc_id * 5) % 28)),
+              k -> (doc_id + 11 * (k // (4 + (doc_id * 5) % 28))
+                    + 7 * (k % (4 + (doc_id * 5) % 28))) % 256))
+            AS BIGINT) AS pix_sum
 FROM documents
 """
 

@@ -201,6 +201,17 @@ def probe_bytes(payload: bytes) -> tuple:
         if b[:2] == b"BM" and len(b) >= 26:
             w, h = struct.unpack("<ii", b[18:26])
             return ("bmp", w, abs(h), None, None, None)
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            # fast-probe discipline: avih immediately follows 'LIST hdrl'
+            # in any well-formed file; find it rather than full-walking
+            j = b.find(b"avih")
+            if j != -1 and j + 48 <= len(b):
+                us_pf, _, _, _, total, _, _, _, aw, ah = struct.unpack(
+                    "<10I", b[j + 8 : j + 48]
+                )
+                if aw and ah:
+                    return ("avi", aw, ah, None, None, us_pf * total // 1000)
+            return none6
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             i = 12
             rate = ch = byte_rate = None
@@ -427,6 +438,158 @@ def decode_media_stats(
 
     return media.select(F.col(id_col).alias(id_col), payload_col).mapInPandas(
         gen, schema=DECODE_STATS_SCHEMA
+    )
+
+
+def build_avi(frames, fps: int = 10) -> bytes:
+    """Minimal structurally-valid uncompressed AVI (RIFF 'AVI ': hdrl with
+    avih + one 'vids' stream, movi with one '00db' DIB chunk per frame —
+    bottom-up BGR rows, 4-byte padded, same layout as the BMP body).
+    ``frames`` is a list of (h, w, 3) uint8 RGB arrays of equal shape."""
+    import numpy as np
+
+    fr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = fr[0].shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+
+    def dib(px) -> bytes:
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            body += px[y, :, ::-1].tobytes() + pad
+        return bytes(body)
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(typ: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", typ + data)
+
+    us_per_frame = 1_000_000 // max(fps, 1)
+    avih = struct.pack(
+        "<14I", us_per_frame, stride * h * fps, 0, 0, len(fr), 0, 1, stride * h,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        len(fr), stride * h, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in fr))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_avi(payload: bytes):
+    """(fps, frames) from a minimal uncompressed-DIB AVI, each frame an
+    (h, w, 3) uint8 RGB array, or None when the payload is not such an
+    AVI. Walks RIFF LIST chunks for avih (dims / rate) and movi '00db'
+    frame buffers — the same chunk discipline as the WAV reader."""
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    w = h = fps = None
+    frames = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h, fps
+        i = lo
+        while i + 8 <= hi:
+            cid = b[i : i + 4]
+            clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            end = min(i + 8 + clen, hi)
+            if cid == b"LIST":
+                walk(i + 12, end)
+            elif cid == b"avih" and clen >= 40:
+                vals = struct.unpack("<10I", b[i + 8 : i + 48])
+                us_pf, _, _, _, _, _, _, _, aw, ah = vals
+                w, h = aw, ah
+                fps = 1_000_000 // us_pf if us_pf else None
+            elif cid == b"00db":
+                frames.append((i + 8, end))
+            i += 8 + clen + (clen & 1)
+
+    try:
+        walk(12, len(b))
+    except (struct.error, IndexError):
+        return None
+    if not w or not h or w <= 0 or h <= 0 or fps is None or not frames:
+        return None
+    stride = (w * 3 + 3) & ~3
+    out = []
+    for lo, hi in frames:
+        if hi - lo < stride * h:
+            return None
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=lo)
+        rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        out.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR -> image RGB
+    return fps, out
+
+
+def synth_videos(spark, source: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fully-decodable AVI videos keyed by id: w = 4+(id*5)%28,
+    h = 4+(id*3)%20, n_frames = 2+id%6, fps = 10+id%5; the pixel at frame f,
+    column x is the same value on every row and channel:
+    (id + 11*f + 7*x) % 256 — so an oracle recomputes the total pixel sum as
+    3 * h * sum over (f, x)."""
+    import numpy as np
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w = 4 + (i * 5) % 28
+                h = 4 + (i * 3) % 20
+                n_frames = 2 + i % 6
+                fps = 10 + i % 5
+                x = np.arange(w, dtype=np.int64)
+                frames = []
+                for f in range(n_frames):
+                    row = np.repeat(((i + 11 * f + 7 * x) % 256)[:, None], 3, axis=1)
+                    frames.append(np.broadcast_to(row.astype(np.uint8), (h, w, 3)))
+                payloads.append(build_avi(frames, fps))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return source.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def decode_video_stats(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video decode over a binary column: every DIB frame buffer is
+    read back pixel-for-pixel and reduced to exact integer statistics
+    (frame count, parsed fps, total pixel sum across frames/channels).
+    Same shuffle-free ``mapInPandas`` shape as ``decode_media_stats``."""
+    import numpy as np
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                got = decode_avi(p)
+                if got is None:
+                    out.append((int(mid), "unknown", -1, -1, -1, -1, -1))
+                    continue
+                fps, frames = got
+                h, w, _ = frames[0].shape
+                total = sum(int(f.sum(dtype=np.int64)) for f in frames)
+                out.append((int(mid), "avi", w, h, len(frames), fps, total))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "container", "width", "height", "n_frames", "fps", "pix_sum"],
+            )
+
+    return media.select(F.col(id_col).alias(id_col), payload_col).mapInPandas(
+        gen,
+        schema=(
+            "media_id long, container string, width int, height int, "
+            "n_frames long, fps int, pix_sum long"
+        ),
     )
 
 

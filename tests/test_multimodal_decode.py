@@ -250,3 +250,89 @@ def test_decoders_never_crash_on_arbitrary_bytes(data):
     wav = decode_wav_pcm(data)
     assert wav is None or (wav[0] > 0 and wav[1] > 0)
     probe_bytes(data)  # must not raise either
+
+
+# ---- video (uncompressed-DIB AVI) ----
+
+def test_avi_roundtrip_exact():
+    from lucene_kmp_spark.pipeline.multimodal import build_avi, decode_avi
+
+    rng = np.random.RandomState(5)
+    for h, w, n, fps in [(1, 1, 1, 10), (4, 5, 3, 12), (16, 9, 6, 25), (7, 13, 2, 10)]:
+        frames = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(n)]
+        got = decode_avi(build_avi(frames, fps))
+        assert got is not None
+        f2, fr2 = got
+        assert f2 == fps and len(fr2) == n
+        for a, b in zip(frames, fr2):
+            assert np.array_equal(a, b)
+
+
+def test_avi_probe_and_rejection():
+    from lucene_kmp_spark.pipeline.multimodal import (
+        build_avi,
+        build_wav_pcm,
+        decode_avi,
+    )
+
+    frames = [np.zeros((6, 10, 3), np.uint8)] * 4
+    payload = build_avi(frames, fps=20)
+    pc = probe_bytes(payload)
+    # probe: container, dims, and duration from avih (us/frame x frames)
+    assert pc[0] == "avi" and pc[1] == 10 and pc[2] == 6
+    assert pc[5] == (1_000_000 // 20) * 4 // 1000
+    # foreign/hostile inputs
+    assert decode_avi(build_wav_pcm(8000, 1, np.zeros(4, dtype="<i2"))) is None
+    assert decode_avi(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert decode_avi(b"junk") is None and decode_avi(None) is None
+    assert decode_bmp(payload) is None and decode_wav_pcm(payload) is None
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=16),
+    w=st.integers(min_value=1, max_value=16),
+    n=st.integers(min_value=1, max_value=6),
+    fps=st.sampled_from([10, 12, 15, 24, 30]),
+    seed=st.integers(min_value=0, max_value=2 ** 31 - 1),
+)
+def test_avi_roundtrip_property(h, w, n, fps, seed):
+    from lucene_kmp_spark.pipeline.multimodal import build_avi, decode_avi
+
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(n)]
+    f2, fr2 = decode_avi(build_avi(frames, fps))
+    assert f2 == fps and len(fr2) == n
+    for a, b in zip(frames, fr2):
+        assert np.array_equal(a, b)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_decode_avi_never_crashes_on_arbitrary_bytes(data):
+    from lucene_kmp_spark.pipeline.multimodal import decode_avi
+
+    got = decode_avi(data)
+    assert got is None or (got[0] > 0 and len(got[1]) > 0)
+
+
+@pytest.mark.usefixtures("spark")
+def test_decode_video_stats_matches_numpy_recompute(spark):
+    from lucene_kmp_spark.pipeline.multimodal import decode_video_stats, synth_videos
+
+    src = spark.range(0, 48).selectExpr("id AS doc_id")
+    got = {
+        r["media_id"]: r.asDict()
+        for r in decode_video_stats(synth_videos(spark, src)).collect()
+    }
+    assert len(got) == 48
+    for i in range(48):
+        w = 4 + (i * 5) % 28
+        h = 4 + (i * 3) % 20
+        nf = 2 + i % 6
+        x = np.arange(w, dtype=np.int64)
+        total = int(3 * h * sum(((i + 11 * f + 7 * x) % 256).sum() for f in range(nf)))
+        assert got[i] == {
+            "media_id": i, "container": "avi", "width": w, "height": h,
+            "n_frames": nf, "fps": 10 + i % 5, "pix_sum": total,
+        }

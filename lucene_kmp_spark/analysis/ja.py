@@ -52,6 +52,19 @@ SEARCH_MODE_OTHER_PENALTY = 1700
 
 NORMAL, SEARCH, EXTENDED = "normal", "search", "extended"
 
+_NATIVE_TOK = None  # unresolved -> run_tokenize_ja | False
+
+
+def _native_tokenize(v, text):
+    global _NATIVE_TOK
+    if _NATIVE_TOK is None:
+        try:
+            from .cmorph import run_tokenize_ja
+            _NATIVE_TOK = run_tokenize_ja
+        except Exception:
+            _NATIVE_TOK = False
+    return _NATIVE_TOK(v, text) if _NATIVE_TOK else None
+
 
 class JapaneseViterbi(ViterbiLattice):
     def __init__(self, *args, search_mode=True, extended_mode=False,
@@ -100,6 +113,12 @@ class JapaneseViterbi(ViterbiLattice):
 
     # ------------------------------------------------------------ backtrace
     def tokenize(self, text: str) -> list[MorphToken]:
+        # Compiled fast path: forward + search-mode backtrace in one C
+        # call (analysis/cmorph.py run_tokenize_ja) — bit-identical token
+        # stream, transparent fallback to the Python loops below.
+        toks = _native_tokenize(self, text)
+        if toks is not None:
+            return toks
         self.forward(text)
         end_data, least_idx = self.best_end_index(len(text))
         if end_data is None:
@@ -537,6 +556,11 @@ def japanese_tokenizer(
         discard_punctuation=discard_punctuation,
         output_compounds=not discard_compound_token,
     )
+    try:  # pack native tables driver-side so workers inherit them
+        from lucene_kmp_spark.analysis.cmorph import prepack
+        prepack(v)
+    except Exception:
+        pass
     if nbest_cost > 0:
         return lambda text: v.tokenize_nbest(text, nbest_cost)
     return v.tokenize

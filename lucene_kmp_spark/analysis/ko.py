@@ -311,6 +311,11 @@ def korean_tokenizer(
         discard_punctuation=discard_punctuation,
         output_unknown_unigrams=output_unknown_unigrams,
     )
+    try:  # pack native tables driver-side so workers inherit them
+        from lucene_kmp_spark.analysis.cmorph import prepack
+        prepack(v)
+    except Exception:
+        pass
     return v.tokenize
 
 

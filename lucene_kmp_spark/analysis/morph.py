@@ -234,6 +234,22 @@ class _Pos:
         self.back_type.clear()
 
 
+_NATIVE = None  # unresolved -> run_forward | False
+
+
+def _native_forward(v, text) -> bool:
+    """Dispatch to the compiled forward kernel when available (lazy import
+    to avoid a cycle: cmorph imports this module's classes)."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from .cmorph import run_forward
+            _NATIVE = run_forward
+        except Exception:
+            _NATIVE = False
+    return _NATIVE(v, text) if _NATIVE else False
+
+
 class ViterbiLattice:
     """The shared forward pass. Language subclasses provide unknown-word
     processing, penalties, and the backtrace."""
@@ -315,9 +331,9 @@ class ViterbiLattice:
         raise NotImplementedError
 
     # -------------------------------------------------------------- forward
-    def forward(self, text: str):
-        """Build the lattice (Viterbi.kt:49-233 minus streaming valves)."""
-        # flatten unknown entries into one id space for entry_of
+    def _flatten_unknowns(self):
+        """Flatten unknown entries into one id space for entry_of — shared
+        by the Python forward pass and the compiled fast paths."""
         self._unk_entries: list[MorphEntry] = []
         self._unk_ids: dict[str, list[int]] = {}
         for cls, entries in self.unk.by_class.items():
@@ -327,9 +343,20 @@ class ViterbiLattice:
                 self._unk_entries.append(e)
             self._unk_ids[cls] = ids
 
+    def forward(self, text: str):
+        """Build the lattice (Viterbi.kt:49-233 minus streaming valves)."""
+        self._flatten_unknowns()
         self.text = text
         n = len(text)
         self.positions = {}
+
+        # Compiled forward pass (analysis/cmorph.py + _native/cmorph.c):
+        # bit-identical lattice for the registered exact classes, built by
+        # the C kernel when the machine has gcc; transparent fallback to
+        # the Python loop below otherwise (LKS_MORPH_NATIVE=0 disables).
+        if _native_forward(self, text):
+            return
+
         self._pos_at(0).add(0, 0, -1, -1, -1, -1, KNOWN)
         unknown_end = -1
         user_max_ahead = -1

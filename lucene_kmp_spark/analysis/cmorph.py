@@ -97,6 +97,30 @@ class _TokOut(ct.Structure):
                 ("type", ct.c_void_p), ("capacity", ct.c_int64)]
 
 
+def _src_bytes() -> bytes:
+    """Kernel source — from the filesystem, or (spark-submit --py-files)
+    from inside the package zip via importlib.resources."""
+    try:
+        with open(_SRC, "rb") as f:
+            return f.read()
+    except OSError:
+        from importlib import resources
+        return (resources.files("lucene_kmp_spark.analysis")
+                / "_native" / "cmorph.c").read_bytes()
+
+
+def _build_dir() -> str:
+    """Writable directory for the compiled .so and the charflags cache.
+    The in-repo ``_native/`` dir when available; a per-user temp dir when
+    the package is imported from a zip (Spark executors)."""
+    if os.path.isdir(_DIR) and os.access(_DIR, os.W_OK):
+        return _DIR
+    d = os.path.join(tempfile.gettempdir(),
+                     f"lks_native_{os.getuid() if hasattr(os, 'getuid') else 0}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _load():
     """Compile (once per machine) and dlopen the kernel; None if we can't."""
     global _LIB
@@ -106,21 +130,25 @@ def _load():
         _LIB = False
         return None
     try:
-        with open(_SRC, "rb") as f:
-            src = f.read()
+        src = _src_bytes()
+        bdir = _build_dir()
         tag = hashlib.sha256(src).hexdigest()[:12]
-        so = os.path.join(_DIR, f"cmorph_{tag}.so")
+        so = os.path.join(bdir, f"cmorph_{tag}.so")
         if not os.path.exists(so):
-            fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+            fd, csrc = tempfile.mkstemp(suffix=".c", dir=bdir)
+            with os.fdopen(fd, "wb") as f:
+                f.write(src)
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=bdir)
             os.close(fd)
             try:
                 subprocess.run(
-                    ["gcc", "-O3", "-fPIC", "-shared", "-o", tmp, _SRC],
+                    ["gcc", "-O3", "-fPIC", "-shared", "-o", tmp, csrc],
                     check=True, capture_output=True, timeout=120)
                 os.replace(tmp, so)  # atomic: concurrent workers race safely
             finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
+                for leftover in (tmp, csrc):
+                    if os.path.exists(leftover):
+                        os.unlink(leftover)
         lib = ct.CDLL(so)
         lib.lkm_forward.restype = ct.c_int64
         lib.lkm_forward.argtypes = [
@@ -151,7 +179,7 @@ def _char_flags() -> np.ndarray:
     if _CHARFLAGS is not None:
         return _CHARFLAGS
     cache = os.path.join(
-        _DIR, f"charflags_u{unicodedata.unidata_version}.npy")
+        _build_dir(), f"charflags_u{unicodedata.unidata_version}.npy")
     try:
         t = np.load(cache)
         if t.shape == (_MAX_CP,) and t.dtype == np.uint8:
@@ -177,7 +205,7 @@ def _char_flags() -> np.ndarray:
             f |= CF_MCME
         t[cp] = f
     try:
-        fd, tmp = tempfile.mkstemp(suffix=".npy", dir=_DIR)
+        fd, tmp = tempfile.mkstemp(suffix=".npy", dir=_build_dir())
         os.close(fd)
         np.save(tmp, t)  # suffix is .npy, so np.save writes in place
         os.replace(tmp, cache)

@@ -76,6 +76,10 @@ typedef struct {
     const int32_t *seg_off;   /* user dict: segmentation slices, else NULL */
     const int32_t *seg_len;
     const int32_t *seg;
+    const uint8_t *ptype;     /* 0 MORPHEME, 1 COMPOUND, 2 INFLECT, 3 PREANALYSIS */
+    const int32_t *m_off;     /* per entry: slice of m_lens[] (codepoint */
+    const int32_t *m_cnt;     /* lengths of the decompound morpheme surfaces) */
+    const int32_t *m_lens;
 } Dict;
 
 typedef struct {
@@ -106,6 +110,10 @@ typedef struct {
     const int32_t *right_id;
     const int32_t *word_cost;
     const uint8_t *space_flag;
+    const uint8_t *ptype;
+    const int32_t *m_off;
+    const int32_t *m_cnt;
+    const int32_t *m_lens;
 } UnkPack;
 
 typedef struct {
@@ -126,6 +134,8 @@ typedef struct {
     int32_t *word_id;
     int32_t *poslen;
     int8_t *type;
+    int8_t *posinc;
+    int32_t *midx;            /* decompound morpheme index, -1 = whole entry */
     int64_t capacity;
 } TokOut;
 
@@ -582,10 +592,12 @@ static int prune_and_rescore(Ctx *c, int32_t start, int32_t end,
 }
 
 static int emit(const TokOut *out, int64_t *cnt, int32_t s, int32_t e,
-                int8_t type, int32_t wid, int32_t poslen) {
+                int8_t type, int32_t wid, int32_t poslen, int8_t posinc,
+                int32_t midx) {
     if (*cnt >= out->capacity) return -1;
     out->start[*cnt] = s; out->end[*cnt] = e; out->type[*cnt] = type;
     out->word_id[*cnt] = wid; out->poslen[*cnt] = poslen;
+    out->posinc[*cnt] = posinc; out->midx[*cnt] = midx;
     (*cnt)++;
     return 0;
 }
@@ -678,7 +690,7 @@ int64_t lkm_tokenize_ja(const uint32_t *text, int32_t n, const Dict *known,
         if (alt_present && alt_s >= back_pos) {
             if ((flags & FLAG_OUT_COMPOUNDS) && back_count > 0) {
                 back_count += 1;
-                if (emit(out, &cnt, alt_s, alt_e, alt_t, alt_id, back_count))
+                if (emit(out, &cnt, alt_s, alt_e, alt_t, alt_id, back_count, 1, -1))
                     overflow = 1;
             }
             alt_present = 0;
@@ -698,7 +710,7 @@ int64_t lkm_tokenize_ja(const uint32_t *text, int32_t n, const Dict *known,
             }
             for (int32_t i = nseg - 1; i >= 0; i--) {
                 if (emit(out, &cnt, starts[i], starts[i] + user->seg[soff + i],
-                         TYPE_USER, back_id, 1))
+                         TYPE_USER, back_id, 1, 1, -1))
                     overflow = 1;
             }
             back_count += nseg;
@@ -714,7 +726,7 @@ int64_t lkm_tokenize_ja(const uint32_t *text, int32_t n, const Dict *known,
                 uint32_t ch = text[back_pos + i];
                 if (!discard_punct || !(charflags[ch] & CF_PUNCT)) {
                     if (emit(out, &cnt, back_pos + i, back_pos + i + char_len,
-                             TYPE_UNKNOWN, back_id, 1))
+                             TYPE_UNKNOWN, back_id, 1, 1, -1))
                         overflow = 1;
                     back_count += 1;
                 }
@@ -722,12 +734,138 @@ int64_t lkm_tokenize_ja(const uint32_t *text, int32_t n, const Dict *known,
             }
         } else if (!discard_punct || length == 0 ||
                    !(charflags[text[back_pos]] & CF_PUNCT)) {
-            if (emit(out, &cnt, back_pos, pos, back_type, back_id, 1))
+            if (emit(out, &cnt, back_pos, pos, back_type, back_id, 1, 1, -1))
                 overflow = 1;
             back_count += 1;
         }
 
         last_left = ent_left(&c, back_id, back_type);
+        pos = back_pos;
+        best_idx = next_best_idx;
+    }
+
+    ctx_free(&c);
+    return overflow ? -2 : cnt;
+}
+
+/* ko.py:207 tokenize / :216 _backtrace (nori Viterbi.backtrace
+ * :115-242), emitting records in the Python ``pending`` append order.
+ * mode: 0 = NONE, 1 = DISCARD, 2 = MIXED.  Decompound parts reference
+ * the owning entry via (word_id, midx); the caller builds the part
+ * surfaces from entry.morphemes. */
+static int32_t ent_ptype(const Ctx *c, int32_t id, int8_t t) {
+    return t == TYPE_KNOWN ? c->known->ptype[id]
+         : t == TYPE_USER ? c->user->ptype[id] : c->unk->ptype[id];
+}
+
+int64_t lkm_tokenize_ko(const uint32_t *text, int32_t n, const Dict *known,
+                        const Dict *user, const int32_t *conn, int32_t n_ctx,
+                        const CharDef *cd, const ScriptTab *st,
+                        const uint8_t *charflags, const UnkPack *unk,
+                        int32_t flags, int32_t mode, TokOut *out) {
+    Ctx c;
+    if (ctx_init(&c, text, n, known, user, conn, n_ctx, cd, st, charflags,
+                 unk, flags, 0))
+        return -1;
+    if (build_lattice(&c)) { ctx_free(&c); return -1; }
+
+    if (c.head[n] < 0) { ctx_free(&c); return 0; }
+    int64_t least = 0;
+    int32_t least_idx = -1, idx = 0;
+    for (int32_t ai = c.head[n]; ai >= 0; ai = c.pool[ai].next, idx++) {
+        Arc *a = &c.pool[ai];
+        int64_t cost = a->cost + c.conn[(int64_t)a->last_right * n_ctx];
+        if (least_idx < 0 || cost < least) { least = cost; least_idx = idx; }
+    }
+
+    int64_t cnt = 0;
+    int overflow = 0;
+    int discard_punct = (flags & FLAG_DISCARD_PUNCT) != 0;
+    int unigrams = (flags & FLAG_EXTENDED) != 0;  /* output_unknown_unigrams */
+    int32_t pos = n, best_idx = least_idx;
+
+    while (pos > 0) {
+        Arc *a = arc_at(&c, pos, best_idx);
+        int32_t back_pos = a->back_pos;
+        int32_t bwp = a->back_word_pos;
+        int32_t length = pos - bwp;
+        int8_t back_type = a->type;
+        int32_t back_id = a->back_id;
+        int32_t next_best_idx = a->back_index;
+
+        if (unigrams && back_type == TYPE_UNKNOWN) {
+            int32_t i = length - 1;
+            while (i >= 0) {
+                int32_t char_len = 1;
+                uint32_t chk = text[bwp + i];
+                if (i > 0 && chk >= 0xDC00 && chk <= 0xDFFF) {
+                    i -= 1;
+                    char_len = 2;
+                }
+                if (emit(out, &cnt, bwp + i, bwp + i + char_len,
+                         TYPE_UNKNOWN, back_id, 1, 1, -1))
+                    overflow = 1;
+                i -= 1;
+            }
+        } else {
+            int32_t ptype = ent_ptype(&c, back_id, back_type);
+            if (ptype == 0 /* MORPHEME */ || mode == 0 /* NONE */) {
+                if (!(discard_punct && (charflags[text[bwp]] & CF_PUNCT)))
+                    if (emit(out, &cnt, bwp, pos, back_type, back_id,
+                             1, 1, -1))
+                        overflow = 1;
+            } else {
+                const int32_t *moff, *mcnt_a, *mlens;
+                if (back_type == TYPE_KNOWN) {
+                    moff = known->m_off; mcnt_a = known->m_cnt;
+                    mlens = known->m_lens;
+                } else if (back_type == TYPE_USER) {
+                    moff = user->m_off; mcnt_a = user->m_cnt;
+                    mlens = user->m_lens;
+                } else {
+                    moff = unk->m_off; mcnt_a = unk->m_cnt;
+                    mlens = unk->m_lens;
+                }
+                int32_t mc = mcnt_a[back_id];
+                if (mc == 0) {
+                    if (emit(out, &cnt, bwp, pos, back_type, back_id,
+                             1, 1, -1))
+                        overflow = 1;
+                } else {
+                    /* parts appended i = mc-1 .. 0, then (MIXED) the
+                     * compound token (ko.py:255-280) */
+                    int32_t end_offset = pos, pos_len = 0;
+                    for (int32_t i = mc - 1; i >= 0; i--) {
+                        int32_t mlen = mlens[moff[back_id] + i];
+                        int8_t pinc = (i == 0 && mode == 2) ? 0 : 1;
+                        int rcode;
+                        if (ptype == 1 /* COMPOUND */)
+                            rcode = emit(out, &cnt, end_offset - mlen,
+                                         end_offset, back_type, back_id,
+                                         1, pinc, i);
+                        else  /* INFLECT / PREANALYSIS: whole span */
+                            rcode = emit(out, &cnt, bwp, pos, back_type,
+                                         back_id, 1, pinc, i);
+                        if (rcode) overflow = 1;
+                        pos_len++;
+                        end_offset -= mlen;
+                    }
+                    if (mode == 2 /* MIXED */) {
+                        int32_t pl = pos_len > 1 ? pos_len : 1;
+                        if (emit(out, &cnt, bwp, pos, back_type, back_id,
+                                 pl, 1, -1))
+                            overflow = 1;
+                    }
+                }
+            }
+        }
+
+        if (!discard_punct && bwp != back_pos) {
+            /* whitespace run as a SPACE unknown token (ko.py:282-288) */
+            if (emit(out, &cnt, back_pos, bwp, 3, -1, 1, 1, -1))
+                overflow = 1;
+        }
+
         pos = back_pos;
         best_idx = next_best_idx;
     }

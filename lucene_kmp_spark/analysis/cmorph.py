@@ -37,7 +37,8 @@ import unicodedata
 
 import numpy as np
 
-from .morph import _Pos, _PUNCT_CATEGORIES, KNOWN, UNKNOWN, USER, MorphToken
+from .morph import (_Pos, _PUNCT_CATEGORIES, KNOWN, UNKNOWN, USER,
+                    MorphEntry, MorphToken)
 
 _DIR = os.path.join(os.path.dirname(__file__), "_native")
 _SRC = os.path.join(_DIR, "cmorph.c")
@@ -59,7 +60,9 @@ class _Dict(ct.Structure):
                 ("cap_mask", ct.c_int64), ("left_id", ct.c_void_p),
                 ("right_id", ct.c_void_p), ("word_cost", ct.c_void_p),
                 ("space_flag", ct.c_void_p), ("seg_off", ct.c_void_p),
-                ("seg_len", ct.c_void_p), ("seg", ct.c_void_p)]
+                ("seg_len", ct.c_void_p), ("seg", ct.c_void_p),
+                ("ptype", ct.c_void_p), ("m_off", ct.c_void_p),
+                ("m_cnt", ct.c_void_p), ("m_lens", ct.c_void_p)]
 
 
 class _CharDef(ct.Structure):
@@ -80,7 +83,9 @@ class _UnkPack(ct.Structure):
     _fields_ = [("off", ct.c_void_p), ("len", ct.c_void_p),
                 ("ids", ct.c_void_p), ("left_id", ct.c_void_p),
                 ("right_id", ct.c_void_p), ("word_cost", ct.c_void_p),
-                ("space_flag", ct.c_void_p)]
+                ("space_flag", ct.c_void_p), ("ptype", ct.c_void_p),
+                ("m_off", ct.c_void_p), ("m_cnt", ct.c_void_p),
+                ("m_lens", ct.c_void_p)]
 
 
 class _Out(ct.Structure):
@@ -94,7 +99,8 @@ class _Out(ct.Structure):
 class _TokOut(ct.Structure):
     _fields_ = [("start", ct.c_void_p), ("end", ct.c_void_p),
                 ("word_id", ct.c_void_p), ("poslen", ct.c_void_p),
-                ("type", ct.c_void_p), ("capacity", ct.c_int64)]
+                ("type", ct.c_void_p), ("posinc", ct.c_void_p),
+                ("midx", ct.c_void_p), ("capacity", ct.c_int64)]
 
 
 def _src_bytes() -> bytes:
@@ -161,6 +167,12 @@ def _load():
             ct.c_void_p, ct.c_int32, ct.POINTER(_Dict), ct.POINTER(_Dict),
             ct.c_void_p, ct.c_int32, ct.POINTER(_CharDef), ct.c_void_p,
             ct.POINTER(_UnkPack), ct.c_int32, ct.POINTER(_TokOut)]
+        lib.lkm_tokenize_ko.restype = ct.c_int64
+        lib.lkm_tokenize_ko.argtypes = [
+            ct.c_void_p, ct.c_int32, ct.POINTER(_Dict), ct.POINTER(_Dict),
+            ct.c_void_p, ct.c_int32, ct.POINTER(_CharDef),
+            ct.POINTER(_ScriptTab), ct.c_void_p, ct.POINTER(_UnkPack),
+            ct.c_int32, ct.c_int32, ct.POINTER(_TokOut)]
         _LIB = lib
     except Exception:
         _LIB = False
@@ -241,6 +253,21 @@ def _fnv(cps) -> int:
     return h
 
 
+_PT = {"MORPHEME": 0, "COMPOUND": 1, "INFLECT": 2, "PREANALYSIS": 3}
+
+
+def _morph_tables(entries):
+    """pos_type byte + decompound morpheme surface lengths per entry."""
+    ptype = np.array([_PT.get(e.pos_type, 0) for e in entries], np.uint8)
+    m_off, m_cnt, m_lens = [], [], []
+    for e in entries:
+        m_off.append(len(m_lens))
+        m_cnt.append(len(e.morphemes))
+        m_lens.extend(len(m[1]) for m in e.morphemes)
+    return (ptype, np.array(m_off, np.int32), np.array(m_cnt, np.int32),
+            np.array(m_lens, np.int32))
+
+
 def _space_flags(entries, tags) -> np.ndarray:
     if not tags:
         return np.zeros(len(entries), np.uint8)
@@ -306,6 +333,7 @@ def _pack_prefix_dict(pd, tags, key):
         "seg_len": np.array(seg_len, np.int32),
         "seg": np.array(seg, np.int32),
     }
+    p["ptype"], p["m_off"], p["m_cnt"], p["m_lens"] = _morph_tables(pd.entries)
     setattr(pd, key, p)
     return p
 
@@ -364,6 +392,7 @@ def _pack_unk(unk, cd_pack, tags, key):
         "cost": np.array([e.word_cost for e in flat], np.int32),
         "space": _space_flags(flat, tags),
     }
+    p["ptype"], p["m_off"], p["m_cnt"], p["m_lens"] = _morph_tables(flat)
     setattr(unk, key, p)
     return p
 
@@ -411,14 +440,16 @@ def _ct_dict(p):
                   _ptr(p["lengths"]), len(p["lengths"]), p["cap_mask"],
                   _ptr(p["left"]), _ptr(p["right"]), _ptr(p["cost"]),
                   _ptr(p["space"]), _ptr(p["seg_off"]), _ptr(p["seg_len"]),
-                  _ptr(p["seg"]))
+                  _ptr(p["seg"]), _ptr(p["ptype"]), _ptr(p["m_off"]),
+                  _ptr(p["m_cnt"]), _ptr(p["m_lens"]))
         c = (d, p)
         _CT_CACHE[id(p)] = c
     return c[0]
 
 
 _EMPTY_DICT = _Dict(None, None, None, None, None, None, None, 0, -1,
-                    None, None, None, None, None, None, None)
+                    None, None, None, None, None, None, None,
+                    None, None, None, None)
 
 
 def _ct_chardef(p):
@@ -437,7 +468,8 @@ def _ct_unk(p):
     if c is None:
         d = _UnkPack(_ptr(p["off"]), _ptr(p["len"]), _ptr(p["ids"]),
                      _ptr(p["left"]), _ptr(p["right"]), _ptr(p["cost"]),
-                     _ptr(p["space"]))
+                     _ptr(p["space"]), _ptr(p["ptype"]), _ptr(p["m_off"]),
+                     _ptr(p["m_cnt"]), _ptr(p["m_lens"]))
         c = (d, p)
         _CT_CACHE[id(p)] = c
     return c[0]
@@ -663,8 +695,10 @@ def run_tokenize_ja(v, text: str):
         t_id = np.empty(cap, np.int32)
         t_pl = np.empty(cap, np.int32)
         t_ty = np.empty(cap, np.int8)
+        t_pi = np.empty(cap, np.int8)
+        t_mi = np.empty(cap, np.int32)
         out = _TokOut(_ptr(t_s), _ptr(t_e), _ptr(t_id), _ptr(t_pl),
-                      _ptr(t_ty), cap)
+                      _ptr(t_ty), _ptr(t_pi), _ptr(t_mi), cap)
         rc = lib.lkm_tokenize_ja(
             tarr.ctypes.data_as(ct.c_void_p), n, ct.byref(_ct_dict(kp)),
             ct.byref(_ct_dict(up) if up is not None else _EMPTY_DICT),
@@ -704,5 +738,108 @@ def run_tokenize_ja(v, text: str):
         tok = MorphToken(text[starts[i]:ends[i]], starts[i], ends[i], ty, e)
         if plens[i] != 1:
             tok.position_length = plens[i]
+        toks.append(tok)
+    return toks
+
+
+def run_tokenize_ko(v, text: str):
+    """Full Korean tokenize in C; returns the token list, or None to
+    fall back to the Python path."""
+    lib = _load()
+    if lib is None:
+        return None
+    from .ko import DISCARD, MIXED, NONE, KoreanViterbi, _SPACE_PENALTY_TAGS
+    if type(v) is not KoreanViterbi:
+        return None
+    mode = {NONE: 0, DISCARD: 1, MIXED: 2}.get(v.mode)
+    if mode is None:
+        return None
+    try:
+        buf = text.encode("utf-32-le")
+    except UnicodeEncodeError:
+        return None
+    packs = _packs(v, 1, _SPACE_PENALTY_TAGS)
+    if packs is None:
+        return None
+    kp, up, cdp, conn, ukp = packs
+    st = _ct_scripts(_pack_scripts())
+    flags = _base_flags(v, 1)
+    if v.discard_punctuation:
+        flags |= _F_DISCARD_PUNCT
+    if v.output_unknown_unigrams:
+        flags |= _F_EXTENDED  # reused bit: output_unknown_unigrams
+
+    n = len(text)
+    tarr = np.frombuffer(buf, np.uint32)
+    cap = 4 * n + 64
+    while True:
+        t_s = np.empty(cap, np.int32)
+        t_e = np.empty(cap, np.int32)
+        t_id = np.empty(cap, np.int32)
+        t_pl = np.empty(cap, np.int32)
+        t_ty = np.empty(cap, np.int8)
+        t_pi = np.empty(cap, np.int8)
+        t_mi = np.empty(cap, np.int32)
+        out = _TokOut(_ptr(t_s), _ptr(t_e), _ptr(t_id), _ptr(t_pl),
+                      _ptr(t_ty), _ptr(t_pi), _ptr(t_mi), cap)
+        rc = lib.lkm_tokenize_ko(
+            tarr.ctypes.data_as(ct.c_void_p), n, ct.byref(_ct_dict(kp)),
+            ct.byref(_ct_dict(up) if up is not None else _EMPTY_DICT),
+            conn.ctypes.data_as(ct.c_void_p), conn.shape[1],
+            ct.byref(_ct_chardef(cdp)), ct.byref(st),
+            cdp["charflags"].ctypes.data_as(ct.c_void_p),
+            ct.byref(_ct_unk(ukp)), flags, mode, ct.byref(out))
+        if rc == -2:
+            cap *= 2
+            continue
+        if rc < 0:
+            return None
+        break
+
+    cnt = int(rc)
+    v._flatten_unknowns()
+    v.text = text
+    v.positions = {}  # lattice consumed in C; tokenize() owns the state
+    ent_known = v.dictionary.entries
+    ent_user = v.user.entries if v.user is not None else None
+    ent_unk = v._unk_entries
+    space_entry = None
+    starts = t_s[:cnt].tolist()
+    ends = t_e[:cnt].tolist()
+    wids = t_id[:cnt].tolist()
+    plens = t_pl[:cnt].tolist()
+    types = t_ty[:cnt].tolist()
+    pincs = t_pi[:cnt].tolist()
+    midxs = t_mi[:cnt].tolist()
+    toks = []
+    for i in range(cnt - 1, -1, -1):  # pending is emitted reversed
+        t = types[i]
+        if t == 3:  # whitespace run (ko.py:282-288)
+            if space_entry is None:
+                space_entry = (v.unk.entries_for("SPACE") or
+                               [MorphEntry(" ", 0, 0, 0, "SP")])[0]
+            tok = MorphToken(text[starts[i]:ends[i]], starts[i], ends[i],
+                             UNKNOWN, space_entry)
+        else:
+            wid = wids[i]
+            if t == 0:
+                e0, ty = ent_known[wid], KNOWN
+            elif t == 1:
+                e0, ty = ent_unk[wid], UNKNOWN
+            else:
+                e0, ty = ent_user[wid], USER
+            mi = midxs[i]
+            if mi >= 0:  # decompound part (ko.py:258-276)
+                m_pos, m_surface = e0.morphemes[mi]
+                tok = MorphToken(
+                    m_surface, starts[i], ends[i], ty,
+                    MorphEntry(m_surface, e0.left_id, e0.right_id, 0, m_pos))
+            else:
+                tok = MorphToken(text[starts[i]:ends[i]], starts[i],
+                                 ends[i], ty, e0)
+        if plens[i] != 1:
+            tok.position_length = plens[i]
+        if pincs[i] != 1:
+            tok.position_increment = pincs[i]
         toks.append(tok)
     return toks

@@ -152,6 +152,20 @@ def _common_or_inherited(script: str) -> bool:
     return script == "COMMON" or script == "INHERITED"
 
 
+_NATIVE_TOK = None  # unresolved -> run_tokenize_ko | False
+
+
+def _native_tokenize(v, text):
+    global _NATIVE_TOK
+    if _NATIVE_TOK is None:
+        try:
+            from .cmorph import run_tokenize_ko
+            _NATIVE_TOK = run_tokenize_ko
+        except Exception:
+            _NATIVE_TOK = False
+    return _NATIVE_TOK(v, text) if _NATIVE_TOK else None
+
+
 class KoreanViterbi(ViterbiLattice):
     def __init__(self, *args, mode=DEFAULT_DECOMPOUND,
                  discard_punctuation=True, output_unknown_unigrams=False, **kw):
@@ -205,6 +219,12 @@ class KoreanViterbi(ViterbiLattice):
         return length
 
     def tokenize(self, text: str) -> list[MorphToken]:
+        # Compiled fast path: forward + backtrace in one C call
+        # (analysis/cmorph.py run_tokenize_ko) — bit-identical token
+        # stream, transparent fallback to the Python loops below.
+        toks = _native_tokenize(self, text)
+        if toks is not None:
+            return toks
         self.forward(text)
         end_data, least_idx = self.best_end_index(len(text))
         if end_data is None:

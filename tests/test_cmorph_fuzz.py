@@ -17,6 +17,7 @@ import pytest
 
 import lucene_kmp_spark.analysis.cmorph as cmorph
 import lucene_kmp_spark.analysis.ja as ja_mod
+import lucene_kmp_spark.analysis.ko as ko_mod
 import lucene_kmp_spark.analysis.morph as morph_mod
 from lucene_kmp_spark.analysis.ja import JapaneseViterbi
 from lucene_kmp_spark.analysis.ko import KoreanViterbi
@@ -87,11 +88,13 @@ def _rand_texts(rng, n):
 def _check(v, texts, label):
     nat = [v.tokenize(t) for t in texts]
     ja_mod._NATIVE_TOK = False
+    ko_mod._NATIVE_TOK = False
     morph_mod._NATIVE = False
     try:
         py = [v.tokenize(t) for t in texts]
     finally:
         ja_mod._NATIVE_TOK = None
+        ko_mod._NATIVE_TOK = None
         morph_mod._NATIVE = None
     for t, a, b in zip(texts, nat, py):
         assert _tok_key(a) == _tok_key(b), (label, repr(t))

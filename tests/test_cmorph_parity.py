@@ -14,6 +14,7 @@ import pytest
 
 import lucene_kmp_spark.analysis.cmorph as cmorph
 import lucene_kmp_spark.analysis.ja as ja_mod
+import lucene_kmp_spark.analysis.ko as ko_mod
 import lucene_kmp_spark.analysis.morph as morph_mod
 from lucene_kmp_spark.analysis.ja import (
     EXTENDED, NORMAL, SEARCH, JapaneseViterbi, demo_japanese_dictionary,
@@ -59,11 +60,13 @@ def _pos_key(positions, n):
 def _both_tokenize(v, text):
     nat = v.tokenize(text)
     ja_mod._NATIVE_TOK = False
+    ko_mod._NATIVE_TOK = False
     morph_mod._NATIVE = False
     try:
         py = v.tokenize(text)
     finally:
         ja_mod._NATIVE_TOK = None
+        ko_mod._NATIVE_TOK = None
         morph_mod._NATIVE = None
     return nat, py
 

@@ -222,6 +222,33 @@ def test_inherited_mark_run_parity():
         assert _tok_key(nat) == _tok_key(py), repr(text)
 
 
+def test_ja_hybrid_forward_only_parity(ja_synth):
+    # native forward + PYTHON backtrace (the combination that engages
+    # whenever run_tokenize_ja bails but run_forward doesn't): the
+    # search-mode prune-and-rescore must mutate the lazily materialised
+    # lattice exactly like the eager Python one
+    entries, conn, unk, cd, sents = ja_synth
+    v = JapaneseViterbi(PrefixDictionary(entries), conn, unk, cd,
+                        search_mode=True)
+    texts = _mixed_texts(21, sents)
+    ja_mod._NATIVE_TOK = False          # keep morph_mod._NATIVE active
+    try:
+        hybrid = [v.tokenize(t) for t in texts]
+    finally:
+        ja_mod._NATIVE_TOK = None
+    ja_mod._NATIVE_TOK = False
+    ko_mod._NATIVE_TOK = False
+    morph_mod._NATIVE = False
+    try:
+        py = [v.tokenize(t) for t in texts]
+    finally:
+        ja_mod._NATIVE_TOK = None
+        ko_mod._NATIVE_TOK = None
+        morph_mod._NATIVE = None
+    for t, a, b in zip(texts, hybrid, py):
+        assert _tok_key(a) == _tok_key(b), repr(t)
+
+
 def test_native_disabled_by_env(monkeypatch):
     # LKS_MORPH_NATIVE=0 must force the Python path (fresh load check)
     monkeypatch.setenv("LKS_MORPH_NATIVE", "0")
